@@ -1,0 +1,267 @@
+"""Deterministic synthetic corpus: interleaved text+media documents.
+
+Each document row carries:
+* ``doc_id``      — stable key
+* ``pdf``         — real PDF bytes (optionally base64/gzip-wrapped, matching
+                    the reference's byte-sniffing path, document.py:111-127)
+* ``n_pages``     — page count (drives the salting/explode stage)
+* ``spans``       — the GOLDEN ordered span sequence
+                    (kind, text, media_ref, offset) the pipeline must
+                    reproduce by parsing ``pdf`` from scratch
+
+Golden spans are computed from the generator's ground-truth word geometry via
+the same layout kernels the pipeline uses (docprompt_spark.kernels) — the PDF
+parse itself is therefore independently verified by span equality.
+
+All coordinates are dyadic rationals (multiples of 1/16 PDF unit) so that
+Td-relative positioning accumulates exactly in IEEE754 and the parser recovers
+bit-identical geometry.
+
+Skew: every ``skew_every``-th document is a multi-dozen-page "book" standing
+in for the reference's multi-thousand-page case (the LPT balancing problem of
+/root/reference/docprompt/_pdfium.py:258-289); the pipeline handles it via
+page-bucket salting rather than greedy bin-packing.
+"""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import hashlib
+import math
+import random
+from typing import Dict, List, Optional, Tuple
+
+from docprompt_spark import kernels
+from docprompt_spark.pdfwrite import (
+    ASCENT_PM,
+    DESCENT_PM,
+    advance_width,
+    char_width_pm,
+    write_pdf,
+)
+
+PAGE_W, PAGE_H = 612.0, 792.0
+FONT_SIZE = 10.0
+LEADING = 14.5          # baseline-to-baseline within a paragraph (dyadic)
+PARA_EXTRA = 29.0       # extra gap between paragraphs (dyadic)
+IMG_GAP = 20.5          # gap after an inline image (dyadic)
+MARGIN_X = 72.0
+TOP_Y = 720.0
+MIN_Y = 110.0
+
+
+def _snap16(v: float) -> float:
+    """Round up to the next multiple of 1/16 (exact in binary floating point)."""
+    return math.ceil(v * 16.0) / 16.0
+
+
+_ASCII = "abcdefghijklmnopqrstuvwxyz"
+_EXTRA = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+_PUNCT = ".,;:()[]\\'\"-"
+_UNI = "αβγδεζηθικλμνξπρστυφχψωÀÉÎÕüßñç№€"
+
+
+def _make_vocab(seed: int, n: int = 800) -> Tuple[List[str], List[str]]:
+    rng = random.Random(f"vocab:{seed}")
+    ascii_words, uni_words = [], []
+    for i in range(n):
+        length = rng.randint(2, 9)
+        chars = [rng.choice(_ASCII) for _ in range(length)]
+        if rng.random() < 0.2:
+            chars[0] = rng.choice(_EXTRA)
+        if rng.random() < 0.15:
+            chars.append(rng.choice(_PUNCT))
+        ascii_words.append("".join(chars))
+    for i in range(n // 4):
+        length = rng.randint(2, 6)
+        uni_words.append("".join(rng.choice(_UNI + _ASCII) for _ in range(length)))
+    return ascii_words, uni_words
+
+
+_VOCAB_CACHE: Dict[int, Tuple[List[str], List[str]]] = {}
+
+
+def _vocab(seed: int) -> Tuple[List[str], List[str]]:
+    if seed not in _VOCAB_CACHE:
+        _VOCAB_CACHE[seed] = _make_vocab(seed)
+    return _VOCAB_CACHE[seed]
+
+
+def _gen_page(rng: random.Random, use_f2: bool, seed: int) -> Tuple[dict, List[dict], List[dict]]:
+    """Returns (writer_page, ground-truth words, ground-truth images)."""
+    ascii_words, uni_words = _vocab(seed)
+    text_ops: List[dict] = []
+    images_w: List[dict] = []
+    words_gt: List[dict] = []
+    images_gt: List[dict] = []
+
+    y = TOP_Y
+    n_paras = rng.randint(2, 4)
+    first_op_of_page = True
+    for para in range(n_paras):
+        if y < MIN_Y:
+            break
+        if para > 0 and rng.random() < 0.35:
+            # inline figure between paragraphs -> media span
+            h = rng.choice([48.0, 64.0, 96.0])
+            w = rng.choice([96.0, 128.0, 160.0])
+            y -= h
+            ix = _snap16(MARGIN_X + rng.random() * 280.0)
+            data = bytes(rng.getrandbits(8) for _ in range(rng.randint(40, 160)))
+            images_w.append(
+                {"data": data, "width": int(w), "height": int(h), "x": ix, "y": y, "w": w, "h": h}
+            )
+            images_gt.append(
+                {
+                    "media_ref": hashlib.md5(data).hexdigest(),
+                    "bbox": kernels.norm_rect_bbox(ix, y, w, h, PAGE_W, PAGE_H),
+                }
+            )
+            y -= IMG_GAP
+            if y < MIN_Y:
+                break
+        f2_para = use_f2 and rng.random() < 0.5
+        font = "F2" if f2_para else "F1"
+        vocab = uni_words if f2_para else ascii_words
+        n_lines = rng.randint(2, 5)
+        for _line in range(n_lines):
+            if y < MIN_Y:
+                break
+            x = MARGIN_X + (0.0 if rng.random() < 0.6 else _snap16(rng.random() * 40.0))
+            n_words = rng.randint(3, 8)
+            prev_placed = False
+            for _w in range(n_words):
+                word = rng.choice(vocab)
+                if rng.random() < 0.2 and len(word) >= 4:
+                    cut = rng.randint(1, len(word) - 1)
+                    segments: List = [word[:cut], rng.choice([-40, -60, -80]), word[cut:]]
+                else:
+                    segments = [word]
+                width = advance_width(segments, FONT_SIZE)
+                if x + width > PAGE_W - MARGIN_X:
+                    break
+                mode = "Tm" if (first_op_of_page or not prev_placed or rng.random() < 0.5) else "Td"
+                text_ops.append(
+                    {"font": font, "size": FONT_SIZE, "x": x, "y": y, "mode": mode, "segments": segments}
+                )
+                first_op_of_page = False
+                prev_placed = True
+                bbox = kernels.norm_word_bbox(
+                    x, y, width, FONT_SIZE, ASCENT_PM, DESCENT_PM, PAGE_W, PAGE_H
+                )
+                words_gt.append(
+                    {"text": word, "x0": bbox[0], "top": bbox[1], "x1": bbox[2], "bottom": bbox[3]}
+                )
+                x = _snap16(x + width + FONT_SIZE * (0.25 + rng.random() * 0.3))
+            y -= LEADING
+        y -= PARA_EXTRA
+
+    page = {"width": PAGE_W, "height": PAGE_H, "text_ops": text_ops, "images": images_w}
+    return page, words_gt, images_gt
+
+
+def _wrap(pdf: bytes, variant: int) -> bytes:
+    """Byte envelopes exercised by the sniffing path (S5)."""
+    if variant == 1:
+        return base64.b64encode(pdf)
+    if variant == 2:
+        return gzip.compress(pdf, 5, mtime=0)
+    if variant == 3:
+        return base64.b64encode(gzip.compress(pdf, 5, mtime=0))
+    return pdf
+
+
+def gen_doc(idx: int, seed: int = 42, skew_every: int = 47) -> dict:
+    """One deterministic document: pdf bytes + golden span sequence."""
+    rng = random.Random(f"doc:{seed}:{idx}")
+    doc_id = f"doc-{seed}-{idx:08d}"
+    if skew_every and idx > 0 and idx % skew_every == 0:
+        n_pages = rng.randint(24, 64)  # skew tail
+    else:
+        n_pages = rng.randint(1, 3)
+    use_f2 = idx % 3 == 0
+
+    pages_w: List[dict] = []
+    page_results: List[dict] = []
+    for p in range(n_pages):
+        page, words_gt, images_gt = _gen_page(rng, use_f2, seed)
+        pages_w.append(page)
+        layout = kernels.build_page_layout(words_gt)
+        spans = kernels.assemble_page_spans(layout, images_gt)
+        page_results.append(
+            {"page_number": p + 1, "page_text": layout["page_text"], "spans": spans}
+        )
+
+    pdf = write_pdf(pages_w, doc_title=doc_id, compress_streams=idx % 2 == 0)
+    wrapped = _wrap(pdf, idx % 4)
+    golden = kernels.assemble_doc_spans(page_results)
+    return {
+        "doc_id": doc_id,
+        "pdf": wrapped,
+        "n_pages": n_pages,
+        "spans": golden,
+    }
+
+
+def gen_corpus(n_docs: int, seed: int = 42, skew_every: int = 47) -> List[dict]:
+    return [gen_doc(i, seed=seed, skew_every=skew_every) for i in range(n_docs)]
+
+
+# ---------------------------------------------------------------------------
+# Parquet materialization (for bench / large corpora; plain pyarrow, no Spark)
+# ---------------------------------------------------------------------------
+
+def corpus_arrow_schema():
+    import pyarrow as pa
+
+    span_t = pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+    return pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("pdf", pa.binary()),
+            ("n_pages", pa.int32()),
+            ("spans", pa.list_(span_t)),
+        ]
+    )
+
+
+def write_corpus_parquet(
+    path: str,
+    n_docs: int,
+    seed: int = 42,
+    skew_every: int = 47,
+    rows_per_file: int = 2000,
+) -> None:
+    """Materialize the corpus as a parquet directory (multiple row groups so
+    Spark gets parallel input splits)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    schema = corpus_arrow_schema()
+    part = 0
+    for start in range(0, n_docs, rows_per_file):
+        docs = [gen_doc(i, seed=seed, skew_every=skew_every) for i in range(start, min(start + rows_per_file, n_docs))]
+        table = pa.Table.from_pylist(
+            [
+                {
+                    "doc_id": d["doc_id"],
+                    "pdf": d["pdf"],
+                    "n_pages": d["n_pages"],
+                    "spans": d["spans"],
+                }
+                for d in docs
+            ],
+            schema=schema,
+        )
+        pq.write_table(table, os.path.join(path, f"part-{part:05d}.parquet"))
+        part += 1

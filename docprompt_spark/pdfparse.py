@@ -1,0 +1,728 @@
+"""From-scratch PDF parser: xref walk, page-tree traversal, content-stream
+tokenization, font-metric and ToUnicode CMap decoding.
+
+Replaces the reference's pdfium delegation
+(/root/reference/docprompt/_pdfium.py, docprompt/utils/util.py:33-42) with a
+pure-Python implementation per the north rule ("xref/page-tree walk,
+content-stream tokenization, CMap/ToUnicode decoding"). It runs inside
+Arrow-batched ``mapInPandas`` workers; per-page outputs are small dicts that
+feed the layout kernels (:mod:`docprompt_spark.kernels`).
+
+Byte-wrapper sniffing (base64 / gzip envelopes) mirrors
+``PdfDocument.validate_file_bytes`` (reference schema/document.py:111-127).
+
+Supported subset (what our corpus writer emits, plus defensive extras):
+classic xref tables (with /Prev chains), direct & indirect /Length,
+FlateDecode, literal/hex strings, arrays/dicts/names/numbers/refs,
+page-tree inheritance (/MediaBox, /Resources), text ops
+BT/ET/Tf/Td/TD/TL/T*/Tm/Tj/TJ/', graphics q/Q/cm/Do, simple fonts with
+/Widths and Type0 (Identity-H) fonts with /W + /ToUnicode.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import gzip
+import hashlib
+import re
+import zlib
+from typing import Any, Dict, List, Optional, Tuple
+
+from docprompt_spark.kernels import norm_rect_bbox, norm_word_bbox
+
+# ---------------------------------------------------------------------------
+# Byte-wrapper sniffing (S5)
+# ---------------------------------------------------------------------------
+
+_B64_RE = re.compile(rb"\A[A-Za-z0-9+/=\r\n]+\Z")
+
+
+def unwrap_pdf_bytes(data: bytes, _depth: int = 0) -> bytes:
+    """Sniff & unwrap base64 / gzip envelopes until raw %PDF bytes emerge."""
+    if _depth > 4:
+        raise ValueError("too many encoding layers")
+    if data[:5] == b"%PDF-":
+        return data
+    if data[:2] == b"\x1f\x8b":
+        return unwrap_pdf_bytes(gzip.decompress(data), _depth + 1)
+    sample = data[:4096]
+    if _B64_RE.match(sample):
+        try:
+            return unwrap_pdf_bytes(base64.b64decode(data, validate=False), _depth + 1)
+        except (binascii.Error, ValueError):
+            pass
+    raise ValueError("not a PDF byte stream")
+
+
+# ---------------------------------------------------------------------------
+# Object model
+# ---------------------------------------------------------------------------
+
+
+class Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int) -> None:
+        self.num, self.gen = num, gen
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"{self.num} {self.gen} R"
+
+
+class Name(str):
+    """PDF name (distinct from strings)."""
+
+
+class Stream:
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: dict, raw: bytes) -> None:
+        self.dict, self.raw = d, raw
+
+    def data(self, resolve) -> bytes:
+        filt = self.dict.get("Filter")
+        raw = self.raw
+        if filt is None:
+            return raw
+        filters = filt if isinstance(filt, list) else [filt]
+        for f in filters:
+            if f == "FlateDecode":
+                raw = zlib.decompress(raw)
+            else:
+                raise ValueError(f"unsupported filter {f}")
+        return raw
+
+
+class Op(bytes):
+    """Keyword/operator token (content-stream operators, obj/endobj, R...)."""
+
+
+class LitString(bytes):
+    """String written as (...) literal."""
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    """Tokenizer over PDF syntax, used for both objects & content streams."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+
+    def skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # % comment
+                while self.pos < n and d[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def peek(self) -> int:
+        return self.data[self.pos]
+
+    def read_token(self) -> Any:
+        """Next syntactic token: returns python values, Name, Ref markers
+        handled by the parser above; operators come back as bytes."""
+        self.skip_ws()
+        d = self.data
+        if self.pos >= len(d):
+            raise EOFError
+        c = d[self.pos]
+        if c == 0x2F:  # /Name
+            return self._read_name()
+        if c == 0x28:  # ( literal string
+            return self._read_literal_string()
+        if c == 0x3C:  # < or <<
+            if d[self.pos : self.pos + 2] == b"<<":
+                self.pos += 2
+                return b"<<"
+            return self._read_hex_string()
+        if c == 0x3E and d[self.pos : self.pos + 2] == b">>":
+            self.pos += 2
+            return b">>"
+        if c in b"[]":
+            self.pos += 1
+            return bytes([c])
+        if c in b"+-." or 0x30 <= c <= 0x39:
+            return self._read_number()
+        # keyword / operator
+        start = self.pos
+        while self.pos < len(d) and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            self.pos += 1
+        if self.pos == start:  # lone delimiter (e.g. { })
+            self.pos += 1
+            return d[start : self.pos]
+        return Op(d[start : self.pos])
+
+    def _read_name(self) -> Name:
+        d = self.data
+        self.pos += 1
+        start = self.pos
+        out = bytearray()
+        while self.pos < len(d) and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            if d[self.pos] == 0x23 and self.pos + 2 < len(d):  # #xx
+                out += bytes([int(d[self.pos + 1 : self.pos + 3], 16)])
+                self.pos += 3
+            else:
+                out.append(d[self.pos])
+                self.pos += 1
+        return Name(out.decode("latin-1"))
+
+    def _read_number(self):
+        d = self.data
+        start = self.pos
+        self.pos += 1
+        while self.pos < len(d) and (d[self.pos] in b"0123456789.+-"):
+            self.pos += 1
+        tok = d[start : self.pos]
+        if b"." in tok:
+            return float(tok)
+        return int(tok)
+
+    def _read_literal_string(self) -> bytes:
+        d = self.data
+        self.pos += 1
+        depth = 1
+        out = bytearray()
+        while self.pos < len(d):
+            c = d[self.pos]
+            if c == 0x5C:  # backslash
+                self.pos += 1
+                e = d[self.pos]
+                if e in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+                    self.pos += 1
+                elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                    oct_digits = bytearray()
+                    while len(oct_digits) < 3 and 0x30 <= d[self.pos] <= 0x37:
+                        oct_digits.append(d[self.pos])
+                        self.pos += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    self.pos += 1
+                    if e == 0x0D and d[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    out.append(e)
+                    self.pos += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == 0x29:
+                depth -= 1
+                self.pos += 1
+                if depth == 0:
+                    return LitString(bytes(out))
+                out.append(c)
+            else:
+                out.append(c)
+                self.pos += 1
+        raise ValueError("unterminated string")
+
+    def _read_hex_string(self) -> bytes:
+        d = self.data
+        self.pos += 1
+        out = bytearray()
+        digits = bytearray()
+        while self.pos < len(d):
+            c = d[self.pos]
+            self.pos += 1
+            if c == 0x3E:
+                break
+            if c in _WS:
+                continue
+            digits.append(c)
+        if len(digits) % 2:
+            digits.append(0x30)
+        for i in range(0, len(digits), 2):
+            out.append(int(digits[i : i + 2], 16))
+        return HexString(bytes(out))
+
+
+class HexString(bytes):
+    """Marks strings written as <...> (2-byte CID codes for Type0 fonts)."""
+
+
+def _parse_object(lex: _Lexer) -> Any:
+    """Parse one object (after keywords like obj); resolves `n g R` inline."""
+    tok = lex.read_token()
+    return _parse_from_token(lex, tok)
+
+
+def _parse_from_token(lex: _Lexer, tok: Any) -> Any:
+    structural = type(tok) is bytes
+    if structural and tok == b"<<":
+        d: Dict[str, Any] = {}
+        while True:
+            key = lex.read_token()
+            if type(key) is bytes and key == b">>":
+                return d
+            if not isinstance(key, Name):
+                raise ValueError(f"bad dict key {key!r}")
+            d[str(key)] = _parse_object(lex)
+    if structural and tok == b"[":
+        arr = []
+        while True:
+            t = lex.read_token()
+            if type(t) is bytes and t == b"]":
+                return arr
+            arr.append(_parse_from_token(lex, t))
+    if isinstance(tok, int):
+        # maybe "n g R"
+        save = lex.pos
+        try:
+            t2 = lex.read_token()
+            if isinstance(t2, int):
+                t3 = lex.read_token()
+                if t3 == b"R":
+                    return Ref(tok, t2)
+            lex.pos = save
+        except EOFError:
+            lex.pos = save
+        return tok
+    if isinstance(tok, Op):
+        if tok == b"true":
+            return True
+        if tok == b"false":
+            return False
+        if tok == b"null":
+            return None
+    return tok  # Name, str/bytes, float, operator bytes
+
+
+# ---------------------------------------------------------------------------
+# File-level: xref + object store
+# ---------------------------------------------------------------------------
+
+
+class PdfFile:
+    def __init__(self, data: bytes) -> None:
+        self.data = unwrap_pdf_bytes(data)
+        self._cache: Dict[int, Any] = {}
+        self._font_cache: Dict[int, dict] = {}
+        self.xref: Dict[int, int] = {}
+        self.trailer: Dict[str, Any] = {}
+        self._parse_xref_chain()
+        self._page_refs: Optional[List[Ref]] = None
+
+    # -- xref ---------------------------------------------------------------
+    def _parse_xref_chain(self) -> None:
+        tail = self.data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            raise ValueError("no startxref")
+        off = int(m.group(1))
+        seen = set()
+        while off and off not in seen:
+            seen.add(off)
+            off = self._parse_xref_section(off)
+
+    def _parse_xref_section(self, off: int) -> int:
+        lex = _Lexer(self.data, off)
+        lex.skip_ws()
+        if self.data[lex.pos : lex.pos + 4] != b"xref":
+            raise ValueError("xref streams not supported")
+        lex.pos += 4
+        lex.skip_ws()
+        while True:
+            save = lex.pos
+            tok = lex.read_token()
+            if tok == b"trailer":
+                trailer = _parse_object(lex)
+                for k, v in trailer.items():
+                    self.trailer.setdefault(k, v)
+                prev = trailer.get("Prev")
+                return int(prev) if prev is not None else 0
+            start = int(tok)
+            count = int(lex.read_token())
+            lex.skip_ws()
+            for i in range(count):
+                entry = self.data[lex.pos : lex.pos + 20]
+                lex.pos += 20
+                obj_off = int(entry[0:10])
+                kind = entry[17:18]
+                num = start + i
+                if kind == b"n" and num not in self.xref:
+                    self.xref[num] = obj_off
+            lex.skip_ws()
+
+    # -- objects --------------------------------------------------------------
+    def resolve(self, obj: Any) -> Any:
+        while isinstance(obj, Ref):
+            obj = self.get_object(obj.num)
+        return obj
+
+    def get_object(self, num: int) -> Any:
+        if num in self._cache:
+            return self._cache[num]
+        off = self.xref.get(num)
+        if off is None:
+            return None
+        lex = _Lexer(self.data, off)
+        onum = lex.read_token()
+        gen = lex.read_token()
+        kw = lex.read_token()
+        if kw != b"obj" or int(onum) != num:
+            raise ValueError(f"bad object header at {off}")
+        obj = _parse_object(lex)
+        lex.skip_ws()
+        if self.data[lex.pos : lex.pos + 6] == b"stream":
+            lex.pos += 6
+            if self.data[lex.pos : lex.pos + 2] == b"\r\n":
+                lex.pos += 2
+            elif self.data[lex.pos : lex.pos + 1] == b"\n":
+                lex.pos += 1
+            length = self.resolve(obj["Length"])
+            raw = self.data[lex.pos : lex.pos + int(length)]
+            obj = Stream(obj, raw)
+        self._cache[num] = obj
+        return obj
+
+    # -- page tree ------------------------------------------------------------
+    @property
+    def root(self) -> dict:
+        return self.resolve(self.trailer["Root"])
+
+    @property
+    def page_refs(self) -> List[Ref]:
+        if self._page_refs is None:
+            pages: List[Ref] = []
+
+            def walk(ref: Ref) -> None:
+                node = self.resolve(ref)
+                t = node.get("Type")
+                if t == "Pages":
+                    for kid in self.resolve(node["Kids"]):
+                        walk(kid)
+                else:
+                    pages.append(ref)
+
+            walk(self.root["Pages"])
+            self._page_refs = pages
+        return self._page_refs
+
+    @property
+    def page_count(self) -> int:
+        return len(self.page_refs)
+
+    def _inherited(self, page: dict, key: str) -> Any:
+        node = page
+        while node is not None:
+            if key in node:
+                return self.resolve(node[key])
+            parent = node.get("Parent")
+            node = self.resolve(parent) if parent is not None else None
+        return None
+
+    # -- fonts ------------------------------------------------------------
+    def _load_font(self, ref: Ref) -> dict:
+        if ref.num in self._font_cache:
+            return self._font_cache[ref.num]
+        fd = self.resolve(ref)
+        subtype = fd.get("Subtype")
+        info: Dict[str, Any] = {"type0": subtype == "Type0"}
+        if info["type0"]:
+            desc_font = self.resolve(self.resolve(fd["DescendantFonts"])[0])
+            descriptor = self.resolve(desc_font.get("FontDescriptor")) or {}
+            info["dw"] = float(self.resolve(desc_font.get("DW", 1000)))
+            widths: Dict[int, float] = {}
+            w_arr = self.resolve(desc_font.get("W", []))
+            i = 0
+            while i < len(w_arr):
+                first = int(self.resolve(w_arr[i]))
+                nxt = self.resolve(w_arr[i + 1])
+                if isinstance(nxt, list):
+                    for j, w in enumerate(nxt):
+                        widths[first + j] = float(w)
+                    i += 2
+                else:
+                    last = int(nxt)
+                    w = float(self.resolve(w_arr[i + 2]))
+                    for cid in range(first, last + 1):
+                        widths[cid] = w
+                    i += 3
+            info["widths"] = widths
+            tounicode = fd.get("ToUnicode")
+            info["cmap"] = (
+                _parse_tounicode(self.resolve(tounicode).data(self.resolve))
+                if tounicode is not None
+                else {}
+            )
+        else:
+            descriptor = self.resolve(fd.get("FontDescriptor")) or {}
+            first = int(self.resolve(fd.get("FirstChar", 0)))
+            arr = self.resolve(fd.get("Widths", [])) or []
+            info["widths"] = {first + i: float(self.resolve(w)) for i, w in enumerate(arr)}
+            info["dw"] = float(descriptor.get("MissingWidth", 500))
+        info["ascent"] = float(descriptor.get("Ascent", 720))
+        info["descent"] = float(descriptor.get("Descent", -180))
+        self._font_cache[ref.num] = info
+        return info
+
+    # -- page extraction ----------------------------------------------------
+    def extract_page(self, index: int) -> dict:
+        """Words + images for 0-based page ``index`` (normalized bboxes)."""
+        page = self.resolve(self.page_refs[index])
+        media = self._inherited(page, "MediaBox")
+        pw, ph = float(media[2]) - float(media[0]), float(media[3]) - float(media[1])
+        resources = self._inherited(page, "Resources") or {}
+        fonts_d = self.resolve(resources.get("Font", {})) or {}
+        xobjs_d = self.resolve(resources.get("XObject", {})) or {}
+
+        contents = page.get("Contents")
+        if contents is None:
+            return {"width": pw, "height": ph, "words": [], "images": []}
+        contents = self.resolve(contents)
+        if isinstance(contents, list):
+            data = b"\n".join(
+                self.resolve(c).data(self.resolve) for c in contents
+            )
+        else:
+            data = contents.data(self.resolve)
+
+        words, images = _interpret_content(
+            data,
+            fonts={name: self._load_font(ref) for name, ref in fonts_d.items()},
+            xobjects=xobjs_d,
+            resolve=self.resolve,
+            page_w=pw,
+            page_h=ph,
+        )
+        return {"width": pw, "height": ph, "words": words, "images": images}
+
+
+# ---------------------------------------------------------------------------
+# ToUnicode CMap
+# ---------------------------------------------------------------------------
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_HEXTRIPLE_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+
+
+def _parse_tounicode(data: bytes) -> Dict[int, str]:
+    cmap: Dict[int, str] = {}
+    for section in _BFCHAR_RE.findall(data):
+        for src, dst in _HEXPAIR_RE.findall(section):
+            cmap[int(src, 16)] = bytes.fromhex(dst.decode()).decode("utf-16-be")
+    for section in _BFRANGE_RE.findall(data):
+        for lo, hi, dst in _HEXTRIPLE_RE.findall(section):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            base = int(dst, 16)
+            for cid in range(lo_i, hi_i + 1):
+                cmap[cid] = chr(base + (cid - lo_i))
+    return cmap
+
+
+# ---------------------------------------------------------------------------
+# Content-stream interpreter
+# ---------------------------------------------------------------------------
+
+
+def _mat_mul(a, b):
+    """2D affine (a,b,c,d,e,f): result = a × b."""
+    return (
+        a[0] * b[0] + a[1] * b[2],
+        a[0] * b[1] + a[1] * b[3],
+        a[2] * b[0] + a[3] * b[2],
+        a[2] * b[1] + a[3] * b[3],
+        a[4] * b[0] + a[5] * b[2] + b[4],
+        a[4] * b[1] + a[5] * b[3] + b[5],
+    )
+
+
+_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _interpret_content(
+    data: bytes, *, fonts: dict, xobjects: dict, resolve, page_w: float, page_h: float
+) -> Tuple[List[dict], List[dict]]:
+    lex = _Lexer(data)
+    stack: List[Any] = []
+    ctm = _ID
+    gs_stack: List[tuple] = []
+    tm = tlm = _ID
+    tl = 0.0
+    font: Optional[dict] = None
+    size = 0.0
+    tx = 0.0  # text-space pen displacement since last Tm/Td
+    words: List[dict] = []
+    images: List[dict] = []
+
+    def begin_line(matrix):
+        nonlocal tm, tlm, tx
+        tm = tlm = matrix
+        tx = 0.0
+
+    def show(segments: List[Any]) -> None:
+        """One show op; glyph-by-glyph advance in the writer's float-op order
+        (pdfwrite.advance_width) so positions match the golden fixtures.
+
+        Word bboxes: x0 from the device-space pen at word start, width from
+        the text-space advance times the horizontal scale — the exact float
+        expressions the corpus golden uses (pdfwrite.advance_width +
+        kernels.norm_word_bbox), guaranteeing bit-identical round-trip.
+        """
+        nonlocal tx
+        assert font is not None
+        e_x, e_y = tm[4], tm[5]
+        scale_x = tm[0]
+        cur_text: List[str] = []
+        start_tx = tx
+
+        def flush() -> None:
+            nonlocal cur_text, start_tx
+            if cur_text:
+                x_dev = e_x + scale_x * start_tx if start_tx else e_x
+                width = (tx - start_tx) * scale_x
+                bbox = norm_word_bbox(
+                    x_dev, e_y, width, size,
+                    font["ascent"], font["descent"], page_w, page_h,
+                )
+                words.append(
+                    {
+                        "text": "".join(cur_text),
+                        "x0": bbox[0], "top": bbox[1],
+                        "x1": bbox[2], "bottom": bbox[3],
+                    }
+                )
+            cur_text = []
+            start_tx = tx
+
+        for seg in segments:
+            if isinstance(seg, (int, float)):
+                tx += -seg / 1000.0 * size
+                continue
+            if font["type0"]:
+                codes = [
+                    (seg[i] << 8) | seg[i + 1] for i in range(0, len(seg) - 1, 2)
+                ]
+                chars = [font["cmap"].get(c, "�") for c in codes]
+            else:
+                codes = list(seg)
+                chars = [chr(c) for c in codes]
+            for code, ch in zip(codes, chars):
+                if ch == " ":
+                    flush()
+                    tx += font["widths"].get(code, font["dw"]) * size / 1000.0
+                    start_tx = tx
+                else:
+                    if not cur_text:
+                        start_tx = tx
+                    cur_text.append(ch)
+                    tx += font["widths"].get(code, font["dw"]) * size / 1000.0
+        flush()
+
+    while True:
+        try:
+            tok = lex.read_token()
+        except EOFError:
+            break
+        if not isinstance(tok, Op):
+            if type(tok) is bytes and tok in (b"<<", b"["):
+                stack.append(_parse_from_token(lex, tok))
+            else:
+                stack.append(tok)
+            continue
+        op = tok
+        if op == b"q":
+            gs_stack.append(ctm)
+        elif op == b"Q":
+            if gs_stack:
+                ctm = gs_stack.pop()
+        elif op == b"cm":
+            m = tuple(float(v) for v in stack[-6:])
+            ctm = _mat_mul(m, ctm)
+            stack.clear()
+        elif op == b"BT":
+            begin_line(_ID)
+            stack.clear()
+        elif op == b"ET":
+            stack.clear()
+        elif op == b"Tf":
+            size = float(stack[-1])
+            font = fonts[str(stack[-2])]
+            stack.clear()
+        elif op == b"TL":
+            tl = float(stack[-1])
+            stack.clear()
+        elif op == b"Td":
+            dx, dy = float(stack[-2]), float(stack[-1])
+            begin_line((tlm[0], tlm[1], tlm[2], tlm[3], tlm[4] + dx, tlm[5] + dy))
+            stack.clear()
+        elif op == b"TD":
+            dx, dy = float(stack[-2]), float(stack[-1])
+            tl = -dy
+            begin_line((tlm[0], tlm[1], tlm[2], tlm[3], tlm[4] + dx, tlm[5] + dy))
+            stack.clear()
+        elif op == b"Tm":
+            m = tuple(float(v) for v in stack[-6:])
+            begin_line(m)
+            stack.clear()
+        elif op == b"T*":
+            begin_line((tlm[0], tlm[1], tlm[2], tlm[3], tlm[4], tlm[5] - tl))
+            stack.clear()
+        elif op == b"Tj":
+            show([stack[-1]])
+            stack.clear()
+        elif op == b"'":
+            begin_line((tlm[0], tlm[1], tlm[2], tlm[3], tlm[4], tlm[5] - tl))
+            show([stack[-1]])
+            stack.clear()
+        elif op == b"TJ":
+            show(list(stack[-1]))
+            stack.clear()
+        elif op == b"Do":
+            name = str(stack[-1])
+            ref = xobjects.get(name)
+            if ref is not None:
+                xo = resolve(ref)
+                if xo.dict.get("Subtype") == "Image":
+                    a, d, e, f = ctm[0], ctm[3], ctm[4], ctm[5]
+                    bbox = norm_rect_bbox(e, f, a, d, page_w, page_h)
+                    images.append(
+                        {
+                            "media_ref": hashlib.md5(xo.raw).hexdigest(),
+                            "bbox": bbox,
+                        }
+                    )
+            stack.clear()
+        else:
+            # unknown operator: discard operands (defensive)
+            stack.clear()
+    return words, images
+
+
+# ---------------------------------------------------------------------------
+# Convenience API used by the pipeline
+# ---------------------------------------------------------------------------
+
+
+def extract_pages(data: bytes, lo: int = 0, hi: Optional[int] = None) -> List[dict]:
+    """Parse pages [lo, hi) (0-based) and return per-page dicts:
+    {page_number (1-based), width, height, words, images}."""
+    pf = PdfFile(data)
+    n = pf.page_count
+    hi = n if hi is None else min(hi, n)
+    out = []
+    for i in range(lo, hi):
+        page = pf.extract_page(i)
+        page["page_number"] = i + 1
+        out.append(page)
+    return out
+
+
+def page_count(data: bytes) -> int:
+    return PdfFile(data).page_count

@@ -1,0 +1,334 @@
+"""Minimal-but-real PDF writer for the deterministic synthetic corpus.
+
+Emits genuine PDF 1.7 byte streams — classic xref table, page tree (with
+intermediate /Pages nodes to exercise tree walking), content streams using
+Tm/Td/Tj/TJ text operators, a simple /Type1 font with /Widths, a composite
+/Type0 (Identity-H) font with a /W array and a /ToUnicode CMap stream, and
+image XObjects placed via `cm ... Do`. Content streams are optionally
+FlateDecode-compressed.
+
+The parser (:mod:`docprompt_spark.pdfparse`) reads these files the hard way
+(xref walk, object parse, content-stream tokenization, ToUnicode decoding) —
+the reference library delegates this to pdfium
+(/root/reference/docprompt/_pdfium.py); per the north rule we implement it
+from scratch.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+# ---------------------------------------------------------------------------
+# Font metrics (authoring side; readers recover these from the file itself)
+# ---------------------------------------------------------------------------
+
+ASCENT_PM = 720
+DESCENT_PM = -180
+
+
+def char_width_pm(ch: str) -> int:
+    """Deterministic per-mille advance width for a character."""
+    return 350 + (ord(ch) * 37) % 401
+
+
+Segment = Union[str, int]  # str = glyph run, int = TJ kerning adjustment
+
+
+def advance_width(segments: Sequence[Segment], size: float, width_pm=char_width_pm) -> float:
+    """Pen advance of a TJ-style segment list, accumulated glyph-by-glyph in
+    the same float-op order the parser uses (so widths match bit-exactly)."""
+    x = 0.0
+    for seg in segments:
+        if isinstance(seg, str):
+            for ch in seg:
+                x += width_pm(ch) * size / 1000.0
+        else:
+            x += -seg / 1000.0 * size
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Low-level serialization helpers
+# ---------------------------------------------------------------------------
+
+
+def fmt_num(v: float) -> str:
+    if isinstance(v, int):
+        return str(v)
+    if float(v).is_integer():
+        return str(int(v))
+    return repr(float(v))
+
+
+def esc_literal(data: bytes) -> bytes:
+    out = bytearray()
+    for b in data:
+        if b in (0x28, 0x29, 0x5C):  # ( ) \
+            out += b"\\" + bytes([b])
+        elif 32 <= b <= 126:
+            out.append(b)
+        else:
+            out += ("\\%03o" % b).encode()
+    return bytes(out)
+
+
+class _Builder:
+    """Accumulates numbered objects, then assembles body + xref + trailer."""
+
+    def __init__(self) -> None:
+        self.objects: List[Optional[bytes]] = []
+
+    def reserve(self) -> int:
+        self.objects.append(None)
+        return len(self.objects)  # 1-based object number
+
+    def set(self, num: int, body: bytes) -> int:
+        self.objects[num - 1] = body
+        return num
+
+    def add(self, body: bytes) -> int:
+        return self.set(self.reserve(), body)
+
+    def add_stream(self, dict_entries: str, data: bytes, compress: bool = False) -> int:
+        if compress:
+            data = zlib.compress(data, 6)
+            dict_entries += " /Filter /FlateDecode"
+        head = f"<< {dict_entries} /Length {len(data)} >>\nstream\n".encode()
+        return self.add(head + data + b"\nendstream")
+
+    def assemble(self, root_num: int, info_num: Optional[int] = None) -> bytes:
+        out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+        offsets = [0] * (len(self.objects) + 1)
+        for i, body in enumerate(self.objects, start=1):
+            assert body is not None, f"object {i} never set"
+            offsets[i] = len(out)
+            out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+        xref_off = len(out)
+        out += f"xref\n0 {len(self.objects) + 1}\n".encode()
+        out += b"0000000000 65535 f\r\n"
+        for i in range(1, len(self.objects) + 1):
+            out += ("%010d 00000 n\r\n" % offsets[i]).encode()
+        trailer = f"<< /Size {len(self.objects) + 1} /Root {root_num} 0 R"
+        if info_num is not None:
+            trailer += f" /Info {info_num} 0 R"
+        trailer += " >>"
+        out += b"trailer\n" + trailer.encode() + b"\n"
+        out += b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Document model accepted by the writer
+# ---------------------------------------------------------------------------
+# page = {
+#   "width": float, "height": float,
+#   "text_ops": [ {font: "F1"|"F2", size: float, x: float, y: float,
+#                  mode: "Tm"|"Td", segments: [str|int, ...]} ... ],
+#   "images": [ {data: bytes, width: int, height: int,
+#                x: float, y: float, w: float, h: float} ... ],
+# }
+# Words on one visual line share a y; ops are emitted in the given order.
+
+
+def _tounicode_cmap(charset: Sequence[str]) -> bytes:
+    lines = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "/CIDSystemInfo << /Registry (DS) /Ordering (UCS) /Supplement 0 >> def",
+        "/CMapName /DS-UCS def",
+        "/CMapType 2 def",
+        "1 begincodespacerange",
+        "<0000> <FFFF>",
+        "endcodespacerange",
+    ]
+    # bfchar sections max 100 entries each per spec
+    for start in range(0, len(charset), 100):
+        chunk = charset[start : start + 100]
+        lines.append(f"{len(chunk)} beginbfchar")
+        for cid, ch in enumerate(chunk, start=start):
+            u = ch.encode("utf-16-be").hex()
+            lines.append(f"<{cid:04x}> <{u}>")
+        lines.append("endbfchar")
+    lines += ["endcmap", "CMapName currentdict /CMap defineresource pop", "end", "end"]
+    return "\n".join(lines).encode()
+
+
+def write_pdf(
+    pages: List[dict],
+    *,
+    doc_title: str = "",
+    compress_streams: bool = False,
+    kids_per_node: int = 8,
+) -> bytes:
+    """Serialize page dicts (see module comment) into PDF bytes."""
+    b = _Builder()
+    catalog = b.reserve()
+    pages_root = b.reserve()
+
+    # --- fonts -----------------------------------------------------------
+    # F1: simple Type1 with explicit /Widths for codes 32..126
+    f1_desc = b.add(
+        (
+            "<< /Type /FontDescriptor /FontName /DSMono /Flags 32"
+            f" /Ascent {ASCENT_PM} /Descent {DESCENT_PM} /CapHeight 660"
+            " /ItalicAngle 0 /StemV 80 /FontBBox [0 -180 760 720] >>"
+        ).encode()
+    )
+    widths = " ".join(str(char_width_pm(chr(c))) for c in range(32, 127))
+    f1 = b.add(
+        (
+            "<< /Type /Font /Subtype /Type1 /BaseFont /DSMono"
+            f" /FirstChar 32 /LastChar 126 /Widths [{widths}]"
+            f" /FontDescriptor {f1_desc} 0 R >>"
+        ).encode()
+    )
+
+    # F2: Type0 / Identity-H with per-doc charset; ToUnicode CMap
+    charset = sorted(
+        {
+            ch
+            for page in pages
+            for op in page["text_ops"]
+            if op["font"] == "F2"
+            for seg in op["segments"]
+            if isinstance(seg, str)
+            for ch in seg
+        }
+    )
+    cid_of: Dict[str, int] = {ch: i for i, ch in enumerate(charset)}
+    f2 = None
+    if charset:
+        f2_desc = b.add(
+            (
+                "<< /Type /FontDescriptor /FontName /DSCID /Flags 4"
+                f" /Ascent {ASCENT_PM} /Descent {DESCENT_PM} /CapHeight 660"
+                " /ItalicAngle 0 /StemV 80 /FontBBox [0 -180 760 720] >>"
+            ).encode()
+        )
+        w_array = " ".join(str(char_width_pm(ch)) for ch in charset)
+        cidfont = b.add(
+            (
+                "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /DSCID"
+                " /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+                " /Supplement 0 >>"
+                f" /FontDescriptor {f2_desc} 0 R /DW 500 /W [0 [{w_array}]]"
+                " /CIDToGIDMap /Identity >>"
+            ).encode()
+        )
+        tounicode = b.add_stream("", _tounicode_cmap(charset), compress=compress_streams)
+        f2 = b.add(
+            (
+                "<< /Type /Font /Subtype /Type0 /BaseFont /DSCID"
+                " /Encoding /Identity-H"
+                f" /DescendantFonts [{cidfont} 0 R] /ToUnicode {tounicode} 0 R >>"
+            ).encode()
+        )
+
+    # --- pages ------------------------------------------------------------
+    page_nums: List[int] = []
+    for page in pages:
+        content = _render_content(page, cid_of)
+        content_num = b.add_stream("", content, compress=compress_streams)
+        xobj_entries = []
+        for i, im in enumerate(page["images"]):
+            im_num = b.add_stream(
+                (
+                    f"/Type /XObject /Subtype /Image /Width {im['width']}"
+                    f" /Height {im['height']} /ColorSpace /DeviceGray"
+                    " /BitsPerComponent 8"
+                ),
+                im["data"],
+                compress=False,  # media_ref = md5(raw stream bytes)
+            )
+            xobj_entries.append(f"/Im{i} {im_num} 0 R")
+        fonts = f"/F1 {f1} 0 R"
+        if f2 is not None:
+            fonts += f" /F2 {f2} 0 R"
+        res = f"<< /Font << {fonts} >>"
+        if xobj_entries:
+            res += f" /XObject << {' '.join(xobj_entries)} >>"
+        res += " >>"
+        # /MediaBox inherited from the page-tree root; /Resources per page
+        page_num = b.add(
+            (
+                f"<< /Type /Page /Parent {pages_root} 0 R /Resources {res}"
+                f" /Contents {content_num} 0 R >>"
+            ).encode()
+        )
+        page_nums.append(page_num)
+
+    # --- page tree (intermediate nodes exercise the tree walk) ------------
+    pw, ph = pages[0]["width"], pages[0]["height"]
+    if len(page_nums) > kids_per_node:
+        kid_nodes = []
+        for start in range(0, len(page_nums), kids_per_node):
+            chunk = page_nums[start : start + kids_per_node]
+            node = b.add(
+                (
+                    f"<< /Type /Pages /Parent {pages_root} 0 R /Count {len(chunk)}"
+                    f" /Kids [{' '.join(f'{n} 0 R' for n in chunk)}] >>"
+                ).encode()
+            )
+            kid_nodes.append(node)
+        kids = kid_nodes
+    else:
+        kids = page_nums
+    b.set(
+        pages_root,
+        (
+            f"<< /Type /Pages /Count {len(page_nums)}"
+            f" /MediaBox [0 0 {fmt_num(pw)} {fmt_num(ph)}]"
+            f" /Kids [{' '.join(f'{n} 0 R' for n in kids)}] >>"
+        ).encode(),
+    )
+    b.set(catalog, f"<< /Type /Catalog /Pages {pages_root} 0 R >>".encode())
+    info = b.add(f"<< /Title ({esc_literal(doc_title.encode()).decode('latin-1')}) >>".encode())
+    return b.assemble(catalog, info)
+
+
+def _render_content(page: dict, cid_of: Dict[str, int]) -> bytes:
+    """Content stream: images first (painted under text), then one BT/ET."""
+    parts: List[str] = []
+    for i, im in enumerate(page["images"]):
+        parts.append(
+            "q {a} 0 0 {d} {e} {f} cm /Im{i} Do Q".format(
+                a=fmt_num(im["w"]), d=fmt_num(im["h"]),
+                e=fmt_num(im["x"]), f=fmt_num(im["y"]), i=i,
+            )
+        )
+    parts.append("BT")
+    cur_font = None
+    line_start: Optional[Tuple[float, float]] = None
+    for op in page["text_ops"]:
+        key = (op["font"], op["size"])
+        if key != cur_font:
+            parts.append(f"/{op['font']} {fmt_num(op['size'])} Tf")
+            cur_font = key
+        if op["mode"] == "Td" and line_start is not None:
+            dx, dy = op["x"] - line_start[0], op["y"] - line_start[1]
+            parts.append(f"{fmt_num(dx)} {fmt_num(dy)} Td")
+        else:
+            parts.append(f"1 0 0 1 {fmt_num(op['x'])} {fmt_num(op['y'])} Tm")
+        line_start = (op["x"], op["y"])
+        parts.append(_show_op(op, cid_of))
+    parts.append("ET")
+    return "\n".join(parts).encode("latin-1")
+
+
+def _encode_string(text: str, font: str, cid_of: Dict[str, int]) -> str:
+    if font == "F2":
+        return "<" + "".join("%04x" % cid_of[ch] for ch in text) + ">"
+    return "(" + esc_literal(text.encode("latin-1")).decode("latin-1") + ")"
+
+
+def _show_op(op: dict, cid_of: Dict[str, int]) -> str:
+    segs = op["segments"]
+    if len(segs) == 1 and isinstance(segs[0], str):
+        return _encode_string(segs[0], op["font"], cid_of) + " Tj"
+    items = [
+        _encode_string(s, op["font"], cid_of) if isinstance(s, str) else str(s)
+        for s in segs
+    ]
+    return "[" + " ".join(items) + "] TJ"
