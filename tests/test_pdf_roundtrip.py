@@ -1,0 +1,74 @@
+"""Parser ⇄ writer round-trip: the from-scratch PDF parse + layout must
+reproduce the generator's golden span sequences bit-exactly (the north-rule
+span-sequence equality contract), across all corpus variants: raw/base64/
+gzip-wrapped bytes, Flate-compressed streams, simple and Type0/ToUnicode
+fonts, TJ kerning, Td-relative positioning, multi-node page trees (skew
+docs), and interleaved image XObjects."""
+
+import pytest
+
+from docprompt_spark import kernels, pdfparse
+from docprompt_spark.corpus import gen_doc
+
+
+def spans_from_pdf(pdf_bytes: bytes):
+    pages = pdfparse.extract_pages(pdf_bytes)
+    prs = []
+    for p in pages:
+        layout = kernels.build_page_layout(p["words"])
+        spans = kernels.assemble_page_spans(layout, p["images"])
+        prs.append(
+            {
+                "page_number": p["page_number"],
+                "page_text": layout["page_text"],
+                "spans": spans,
+            }
+        )
+    return kernels.assemble_doc_spans(prs)
+
+
+@pytest.mark.parametrize("idx", list(range(12)))
+def test_roundtrip_span_equality(idx):
+    d = gen_doc(idx, seed=42)
+    assert spans_from_pdf(d["pdf"]) == d["spans"]
+
+
+def test_roundtrip_skew_doc_multinode_page_tree():
+    d = gen_doc(47, seed=42)  # skew tail: 24-64 pages, intermediate /Pages nodes
+    assert d["n_pages"] >= 24
+    assert pdfparse.page_count(d["pdf"]) == d["n_pages"]
+    assert spans_from_pdf(d["pdf"]) == d["spans"]
+
+
+def test_page_range_parse_matches_full_parse():
+    d = gen_doc(47, seed=42)
+    full = pdfparse.extract_pages(d["pdf"])
+    lo, hi = 5, 9
+    part = pdfparse.extract_pages(d["pdf"], lo, hi)
+    assert [p["page_number"] for p in part] == [6, 7, 8, 9]
+    for a, b in zip(part, full[lo:hi]):
+        assert a == b
+
+
+def test_wrapper_sniffing_variants():
+    # idx % 4 selects raw / base64 / gzip / base64(gzip)
+    for idx in (4, 5, 6, 7):
+        d = gen_doc(idx, seed=7)
+        raw = pdfparse.unwrap_pdf_bytes(d["pdf"])
+        assert raw[:5] == b"%PDF-"
+        assert spans_from_pdf(d["pdf"]) == d["spans"]
+
+
+def test_media_spans_present_and_content_addressed():
+    import hashlib
+
+    found = False
+    for idx in range(20):
+        d = gen_doc(idx, seed=42)
+        media = [s for s in d["spans"] if s["kind"] == "media"]
+        for m in media:
+            found = True
+            assert m["text"] is None
+            assert len(m["media_ref"]) == 32  # md5 hex of the image payload
+            assert m["offset"] >= 0
+    assert found
