@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship end-to-end extraction on the deterministic
+corpus: from-scratch PDF parse (xref walk, content-stream tokenization,
+ToUnicode decoding) → layout-aware reading order → ordered span sequences.
+
+``queries()`` / ``oracle_sql()`` — the operator surface from SURVEY.md §2
+plus training-data-pipeline operators (dedup, similarity search, text
+analysis), each Spark implementation paired with a DuckDB oracle where
+SQL-expressible.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extraction pipeline over the deterministic synthetic corpus
+    (the driver checks rows > 0 and a stable schema)."""
+    from docprompt_spark import pipeline
+
+    docs = pipeline.corpus_df(spark, 24, seed=42, skew_every=20)
+    result = pipeline.run_extraction(spark, docs.select("doc_id", "pdf", "n_pages"))
+    return pipeline.spans_exploded(result)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from docprompt_spark import queries as q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from docprompt_spark import queries as q
+
+    return q.oracle_sql()

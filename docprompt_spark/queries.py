@@ -1,0 +1,1163 @@
+"""Relational / text / dedup / similarity operator surface.
+
+Every entry maps a SURVEY.md §2 operator family (or a training-data-pipeline
+operator: dedup, similarity search, text analysis) to
+
+* a Spark DataFrame implementation ``fn(spark, sf_dir) -> DataFrame`` that is
+  shuffle-conscious (broadcast small dims, single-pass aggregations, no
+  row-at-a-time Python UDFs), and
+* a DuckDB oracle SQL string over the driver's pre-registered views
+  (``region nation customer supplier part orders lineitem events documents
+  embeddings``), or ``None`` for non-SQL-expressible pipelines (those get a
+  rows-only check).
+
+Cross-engine determinism rules used throughout:
+* money aggregates: exact DECIMAL sums, then ``round(cast(.. as double), 2)``
+* portable 60-bit hash: ``conv(substr(md5(x),1,15),16,10)`` (Spark) ==
+  ``('0x'||substr(md5(x),1,15))::BIGINT`` (DuckDB)
+* every computed column aliased identically on both sides
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {}
+
+
+def query(name: str, oracle: Optional[str]):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def registry() -> Dict[str, Tuple[QueryFn, Optional[str]]]:
+    return dict(_REGISTRY)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _h60(col, salt: str = ""):
+    """Portable 60-bit hash (Spark side)."""
+    base = F.concat(F.lit(salt), col) if salt else col
+    return F.conv(F.substring(F.md5(base), 1, 15), 16, 10).cast("long")
+
+
+def _h60_sql(expr: str, salt: str = "") -> str:
+    inner = f"'{salt}' || {expr}" if salt else expr
+    return f"(('0x' || substr(md5({inner}), 1, 15))::BIGINT)"
+
+
+# ===========================================================================
+# 1. Aggregations (SURVEY §2.4 A1-A10)
+# ===========================================================================
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape (agg family A1-A9): map-side partial agg, one shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")).cast("double"),
+                2,
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "avg_word_len_by_lang",
+    """
+    SELECT lang,
+           round(sum(CAST(n_chars AS BIGINT)) / sum(CAST(len(string_split(text, ' ')) AS BIGINT)), 4) AS avg_word_len
+    FROM documents GROUP BY lang
+    """,
+)
+def avg_word_len_by_lang(spark, sf_dir):
+    """A4 analog (_get_average_char_width): exact integer sums then one
+    double division (deterministic across engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.round(
+                F.sum(F.col("n_chars").cast("long"))
+                / F.sum(F.size(F.split(F.col("text"), " ")).cast("long")),
+                4,
+            ).alias("avg_word_len")
+        )
+    )
+
+
+# ===========================================================================
+# 2. Joins (SURVEY §2.3): broadcast dims, anti-join resume, argmax, theta
+# ===========================================================================
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey AS o_orderkey,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """Join pipeline with a broadcast dimension + top-k (W6)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c_: F.col(c_).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_supplier_volume_by_nation",
+    """
+    SELECT n.n_name AS n_name,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+)
+def q5_supplier_volume_by_nation(spark, sf_dir):
+    """Multi-way star join: every dimension broadcast (no shuffle until the
+    final groupBy)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    dec = lambda c_: F.col(c_).cast("decimal(18,4)")
+    dims = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(dims, li.l_suppkey == dims.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c.c_custkey AS c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    """Anti-join (J4, checkpoint-resume shape: work MINUS done)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+
+
+@query(
+    "argmax_lineitem_per_order",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+      FROM lineitem) WHERE rn = 1
+    """,
+)
+def argmax_lineitem_per_order(spark, sf_dir):
+    """Argmax join (J1: word→line max-overlap assignment, relational form)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "theta_quantity_near_size",
+    """
+    SELECT p.p_brand AS p_brand, count(*) AS n_near
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity BETWEEN p.p_size - 2 AND p.p_size + 2
+    GROUP BY p.p_brand
+    """,
+)
+def theta_quantity_near_size(spark, sf_dir):
+    """Range-predicate join (J2 R-tree intersection analog): equi key plus a
+    theta band, broadcast part side."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(
+            (F.col("l_quantity") >= F.col("p_size") - 2)
+            & (F.col("l_quantity") <= F.col("p_size") + 2)
+        )
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_near"))
+    )
+
+
+# ===========================================================================
+# 3. Windows / ordering / top-k (SURVEY §2.5 W1-W8)
+# ===========================================================================
+
+
+@query(
+    "top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def top3_orders_per_customer(spark, sf_dir):
+    """Per-group top-k (W6 search_n_best)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@query(
+    "sessionize_events",
+    """
+    SELECT user_id, session_id, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS session_value
+    FROM (
+      SELECT user_id, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000 OR
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events))
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Sessionization (W1 greedy line clustering as lag→flag→cumsum)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp"))
+                > 1800000000
+            )
+            | F.lag(F.col("ts")).over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "session_value"
+        ),
+    )
+
+
+@query(
+    "event_value_delta",
+    """
+    SELECT event_id, round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+    FROM events QUALIFY delta IS NOT NULL
+    """,
+)
+def event_value_delta(spark, sf_dir):
+    """lag-based delta (W4 newline-count arithmetic shape)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        )
+        .filter(F.col("delta").isNotNull())
+    )
+
+
+@query(
+    "page_bucket_batching",
+    """
+    SELECT CAST(floor((l_linenumber - 1) / 3) AS BIGINT) AS bucket, count(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def page_bucket_batching(spark, sf_dir):
+    """Fixed-size batching (D4 pdf_split_iter_fast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.floor((F.col("l_linenumber") - 1) / 3).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ===========================================================================
+# 4. Set ops / distinct (SURVEY §2.6)
+# ===========================================================================
+
+
+@query(
+    "distinct_order_priorities",
+    "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders",
+)
+def distinct_order_priorities(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus").distinct()
+
+
+# ===========================================================================
+# 5. Scalar functions: text / regex / dates / geometry (SURVEY §2.7)
+# ===========================================================================
+
+
+@query(
+    "clean_text_lengths",
+    """
+    SELECT doc_id, length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS clean_len
+    FROM documents
+    """,
+)
+def clean_text_lengths(spark, sf_dir):
+    """F1 clean_text: whitespace normalization, JVM-side regex."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("clean_len"),
+    )
+
+
+@query(
+    "term_frequencies_top20",
+    """
+    SELECT tok, count(*) AS freq FROM (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE tok <> '' GROUP BY tok ORDER BY freq DESC, tok LIMIT 20
+    """,
+)
+def term_frequencies_top20(spark, sf_dir):
+    """F2 word_tokenize + D20 inverted-index term stats."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@query(
+    "posting_list_sizes",
+    """
+    SELECT tok, count(DISTINCT doc_id) AS df FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE tok <> '' GROUP BY tok
+    """,
+)
+def posting_list_sizes(spark, sf_dir):
+    """D20 inverted index: document frequency per term."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+
+
+@query(
+    "date_extraction",
+    """
+    SELECT y, count(*) AS n FROM (
+      SELECT CAST(substr(regexp_extract(s, '(\\d{4}-\\d{2}-\\d{2})', 1), 1, 4) AS INT) AS y
+      FROM (SELECT 'Received on ' || strftime(o_orderdate, '%Y-%m-%d') || ' ok' AS s FROM orders)
+      WHERE regexp_matches(s, '\\d{4}-\\d{2}-\\d{2}'))
+    GROUP BY y
+    """,
+)
+def date_extraction(spark, sf_dir):
+    """F4 extract_dates_from_text: regex extraction + validation, UDF-free."""
+    o = _t(spark, sf_dir, "orders")
+    s = F.concat(F.lit("Received on "), F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit(" ok"))
+    return (
+        o.select(s.alias("s"))
+        .filter(F.col("s").rlike(r"\d{4}-\d{2}-\d{2}"))
+        .select(
+            F.substring(F.regexp_extract("s", r"(\d{4}-\d{2}-\d{2})", 1), 1, 4)
+            .cast("int")
+            .alias("y")
+        )
+        .groupBy("y")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "bbox_iou_vs_query",
+    """
+    SELECT p_partkey, round(iou, 5) AS iou FROM (
+      SELECT p_partkey,
+             CASE WHEN least(x1, 0.5) - greatest(x0, 0.2) >= 0 AND least(b, 0.4) - greatest(t, 0.1) >= 0
+                  THEN ((least(x1, 0.5) - greatest(x0, 0.2)) * (least(b, 0.4) - greatest(t, 0.1))) /
+                       ((x1 - x0) * (b - t) + 0.3 * 0.3 - (least(x1, 0.5) - greatest(x0, 0.2)) * (least(b, 0.4) - greatest(t, 0.1)))
+                  ELSE 0 END AS iou
+      FROM (
+        SELECT p_partkey,
+               (p_size % 10) / 20.0 AS x0, (p_partkey % 7) / 10.0 AS t,
+               (p_size % 10) / 20.0 + ((p_size % 5) + 1) / 25.0 AS x1,
+               (p_partkey % 7) / 10.0 + ((p_partkey % 3) + 1) / 20.0 AS b
+        FROM part))
+    WHERE round(iou, 5) > 0
+    """,
+)
+def bbox_iou_vs_query(spark, sf_dir):
+    """F8 bbox algebra as pure column arithmetic (layout.py:99-123 IoU with a
+    broadcast query box (0.2, 0.1, 0.5, 0.4))."""
+    p = _t(spark, sf_dir, "part")
+    boxes = p.select(
+        "p_partkey",
+        ((F.col("p_size") % 10) / 20.0).alias("x0"),
+        ((F.col("p_partkey") % 7) / 10.0).alias("t"),
+        ((F.col("p_size") % 10) / 20.0 + ((F.col("p_size") % 5) + 1) / 25.0).alias("x1"),
+        ((F.col("p_partkey") % 7) / 10.0 + ((F.col("p_partkey") % 3) + 1) / 20.0).alias("b"),
+    )
+    qx0, qt, qx1, qb = 0.2, 0.1, 0.5, 0.4
+    iw = F.least(F.col("x1"), F.lit(qx1)) - F.greatest(F.col("x0"), F.lit(qx0))
+    ih = F.least(F.col("b"), F.lit(qb)) - F.greatest(F.col("t"), F.lit(qt))
+    inter = iw * ih
+    area_a = (F.col("x1") - F.col("x0")) * (F.col("b") - F.col("t"))
+    area_q = F.lit(0.3 * 0.3)
+    iou = F.when((iw >= 0) & (ih >= 0), inter / (area_a + area_q - inter)).otherwise(F.lit(0))
+    return (
+        boxes.select("p_partkey", F.round(iou, 5).alias("iou"))
+        .filter(F.col("iou") > 0)
+    )
+
+
+@query(
+    "bbox_combine_by_brand",
+    """
+    SELECT p_brand,
+           min((p_size % 10) / 20.0) AS x0,
+           min((p_partkey % 7) / 10.0) AS top,
+           max((p_size % 10) / 20.0 + ((p_size % 5) + 1) / 25.0) AS x1,
+           max((p_partkey % 7) / 10.0 + ((p_partkey % 3) + 1) / 20.0) AS bottom
+    FROM part GROUP BY p_brand
+    """,
+)
+def bbox_combine_by_brand(spark, sf_dir):
+    """A6 NormBBox.combine as min/max aggregates."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.min((F.col("p_size") % 10) / 20.0).alias("x0"),
+        F.min((F.col("p_partkey") % 7) / 10.0).alias("top"),
+        F.max((F.col("p_size") % 10) / 20.0 + ((F.col("p_size") % 5) + 1) / 25.0).alias("x1"),
+        F.max((F.col("p_partkey") % 7) / 10.0 + ((F.col("p_partkey") % 3) + 1) / 20.0).alias("bottom"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    """
+    SELECT doc_id, substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting (F5 hash_from_bytes analog on normalized text)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring(
+            F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))), 1, 16
+        ).alias("fp"),
+    )
+
+
+# ===========================================================================
+# 6. Text analysis for training-data pipelines
+# ===========================================================================
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_SW_SQL = "('" + "','".join(_STOPWORDS) + "')"
+
+
+@query(
+    "text_quality_scores",
+    f"""
+    SELECT doc_id,
+           n_tok,
+           round(sw_ratio, 4) AS stopword_ratio,
+           round(punct_ratio, 4) AS punct_ratio,
+           round(0.4 * least(n_tok / 100.0, 1.0) + 0.4 * least(sw_ratio * 10, 1.0) + 0.2 * (1 - punct_ratio), 4) AS quality
+    FROM (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok,
+             len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL})) /
+               greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1) AS sw_ratio,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text), 1) AS punct_ratio
+      FROM documents)
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    """Quality scoring: token count, stopword ratio, punctuation ratio →
+    weighted score. All JVM-side expressions (higher-order functions)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    sw = F.filter(F.split("text", " "), lambda t: t.isin(*_STOPWORDS))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        (F.size(sw) / F.greatest(F.size(toks), F.lit(1))).alias("sw_ratio"),
+        (
+            F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("punct_ratio"),
+    )
+    quality = F.round(
+        0.4 * F.least(F.col("n_tok") / 100.0, F.lit(1.0))
+        + 0.4 * F.least(F.col("sw_ratio") * 10, F.lit(1.0))
+        + 0.2 * (1 - F.col("punct_ratio")),
+        4,
+    )
+    return base.select(
+        "doc_id",
+        "n_tok",
+        F.round("sw_ratio", 4).alias("stopword_ratio"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        quality.alias("quality"),
+    )
+
+
+@query(
+    "language_id_heuristic",
+    f"""
+    SELECT doc_id,
+           CASE WHEN sw_ratio >= 0.03 THEN 'en-like' ELSE 'und' END AS pred_lang,
+           round(sw_ratio, 4) AS sw_ratio
+    FROM (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL})) /
+               greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1) AS sw_ratio
+      FROM documents)
+    """,
+)
+def language_id_heuristic(spark, sf_dir):
+    """Language-ID heuristic (stopword-ratio n-gram stand-in)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    sw = F.filter(F.split("text", " "), lambda t: t.isin(*_STOPWORDS))
+    base = docs.select(
+        "doc_id", (F.size(sw) / F.greatest(F.size(toks), F.lit(1))).alias("sw_ratio")
+    )
+    return base.select(
+        "doc_id",
+        F.when(F.col("sw_ratio") >= 0.03, "en-like").otherwise("und").alias("pred_lang"),
+        F.round("sw_ratio", 4).alias("sw_ratio"),
+    )
+
+
+@query(
+    "token_counts_bpe_ish",
+    """
+    SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+    FROM documents
+    """,
+)
+def token_counts_bpe_ish(spark, sf_dir):
+    """Token counting with a BPE-ish regex (words / numbers / symbols)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
+        ).alias("n_tokens"),
+    )
+
+
+# ===========================================================================
+# 7. Deduplication
+# ===========================================================================
+
+# Augmented corpora (duplicates constructed deterministically so dedup ops
+# have real positives; both engines derive the same derived input).
+_AUG_EXACT_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+"""
+
+_AUG_NEAR_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(text, strpos(text, ' ') + 1) AS text
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _aug_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return d.unionAll(dup)
+
+
+def _aug_near(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    var = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return d.unionAll(var)
+
+
+@query(
+    "dedup_exact_groups",
+    f"""
+    SELECT h, count(*) AS n, min(doc_id) AS keeper
+    FROM (SELECT doc_id, md5(text) AS h FROM ({_AUG_EXACT_SQL}))
+    GROUP BY h HAVING count(*) > 1
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup: content-hash groupBy; keeper = min doc_id."""
+    aug = _aug_exact(spark, sf_dir)
+    return (
+        aug.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def _shingle_expr_spark(col: str):
+    toks = f"filter(split({col}, ' '), t -> t <> '')"
+    # guard: sequence() is descending when start > stop, so gate on size >= 3
+    return F.expr(
+        f"array_distinct(CASE WHEN size({toks}) >= 3 THEN"
+        f" transform(sequence(0, size({toks}) - 3),"
+        f" i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2]))"
+        f" ELSE cast(array() as array<string>) END)"
+    )
+
+
+_SHINGLE_SQL = (
+    "list_distinct(list_transform("
+    " generate_series(1, greatest(len(list_filter(string_split(text, ' '), t -> t <> '')) - 2, 0)),"
+    " i -> list_filter(string_split(text, ' '), t -> t <> '')[i] || ' ' ||"
+    "      list_filter(string_split(text, ' '), t -> t <> '')[i+1] || ' ' ||"
+    "      list_filter(string_split(text, ' '), t -> t <> '')[i+2]))"
+)
+
+
+@query(
+    "minhash_lsh_neardup_pairs",
+    f"""
+    WITH aug AS ({_AUG_NEAR_SQL}),
+    sh AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM aug
+           WHERE len({_SHINGLE_SQL}) > 0)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles)) /
+                 len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles)) /
+          len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.6
+    """,
+)
+def minhash_lsh_neardup_pairs(spark, sf_dir):
+    """MinHash + LSH near-dup: shingle → 16 minhashes → 8 bands of 2 →
+    band-bucket join → exact-Jaccard verification ≥ 0.6.
+
+    The oracle brute-forces exact Jaccard over all pairs; with 16 hashes / 8
+    bands, recall at J≥0.6 is ≈1 on this corpus, and the verification filter
+    makes precision exact — so LSH output == brute-force output, while
+    scaling as O(candidates) instead of O(n²).
+    """
+    aug = _aug_near(spark, sf_dir)
+    sh = aug.select("doc_id", _shingle_expr_spark("text").alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    # 16 minhash values per doc
+    mh = sh.select(
+        "doc_id",
+        "shingles",
+        *[
+            F.array_min(
+                F.expr(
+                    f"transform(shingles, s -> cast(conv(substr(md5(concat('{i}:', s)), 1, 15), 16, 10) as bigint))"
+                )
+            ).alias(f"mh{i}")
+            for i in range(16)
+        ],
+    )
+    # 8 bands of 2 rows
+    bands = mh.select(
+        "doc_id",
+        "shingles",
+        F.array(
+            *[
+                F.md5(F.concat_ws(":", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))).alias(f"b{b}")
+                for b in range(8)
+            ]
+        ).alias("bands"),
+    ).select("doc_id", "shingles", F.posexplode("bands").alias("band_idx", "band_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_distinct(F.concat("sh_a", "sh_b"))
+    )
+    return (
+        cand.withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= 0.6)
+        .select("doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard"))
+    )
+
+
+def _simhash_spark(df, text_col="text", bits=32):
+    toks = df.select(
+        "doc_id", F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = toks.withColumn("h", _h60(F.col("tok"), salt="sim:"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{k}")
+        for k in range(bits)
+    ]
+    sums = h.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for k in range(bits):
+        term = F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def _simhash_sql(src_sql: str, bits: int = 32) -> str:
+    h = _h60_sql("tok", salt="sim:")
+    sums = ", ".join(
+        f"sum(CASE WHEN (({h} >> {k}) & 1) = 1 THEN 1 ELSE -1 END) AS s{k}"
+        for k in range(bits)
+    )
+    recomb = " + ".join(
+        f"(CASE WHEN s{k} > 0 THEN CAST({1 << k} AS BIGINT) ELSE 0 END)" for k in range(bits)
+    )
+    return f"""
+      SELECT doc_id, CAST({recomb} AS BIGINT) AS simhash FROM (
+        SELECT doc_id, {sums} FROM (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM ({src_sql})) WHERE tok <> '' GROUP BY doc_id)
+    """
+
+
+@query("simhash_signatures", _simhash_sql("SELECT doc_id, text FROM documents"))
+def simhash_signatures(spark, sf_dir):
+    """SimHash (32-bit) over distinct tokens, portable md5-based hashing."""
+    return _simhash_spark(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+@query(
+    "simhash_neardup_pairs",
+    f"""
+    WITH sims AS ({_simhash_sql(_AUG_NEAR_SQL)})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_neardup_pairs(spark, sf_dir):
+    """SimHash near-dup with banded LSH join: 4 bands × 8 bits — hamming ≤ 3
+    guarantees ≥1 identical band (pigeonhole), so the banded join has exact
+    recall vs the oracle's O(n²) scan while scaling linearly in candidates."""
+    sims = _simhash_spark(_aug_near(spark, sf_dir))
+    banded = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), bnd * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for bnd in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+@query(
+    "ngram_jaccard_self_similarity",
+    f"""
+    SELECT doc_id, len({_SHINGLE_SQL}) AS n_shingles
+    FROM documents WHERE len({_SHINGLE_SQL}) > 0
+    """,
+)
+def ngram_jaccard_self_similarity(spark, sf_dir):
+    """n-gram shingle inventory (the Jaccard-dedup building block)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", _shingle_expr_spark("text").alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.size("sh").alias("n_shingles"))
+    )
+
+
+# ===========================================================================
+# 8. Similarity search over embeddings
+# ===========================================================================
+
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, len(a.emb)),"
+    " i -> a.emb[i] * q.emb[i]))"
+)
+
+
+def _emb_double(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+    )
+
+
+_EMB_SQL = "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings"
+
+
+@query(
+    "ann_bruteforce_cosine_top10",
+    f"""
+    WITH e AS ({_EMB_SQL}),
+    q AS (SELECT emb FROM e WHERE vec_id = 0),
+    scored AS (
+      SELECT a.vec_id AS vec_id,
+             {_DOT_SQL} /
+             (sqrt(list_sum(list_transform(a.emb, x -> x * x))) *
+              sqrt(list_sum(list_transform(q.emb, x -> x * x)))) AS sim
+      FROM e a, q WHERE a.vec_id <> 0)
+    SELECT vec_id, round(sim, 6) AS sim,
+           row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+    FROM scored ORDER BY rank LIMIT 10
+    """,
+)
+def ann_bruteforce_cosine_top10(spark, sf_dir):
+    """Brute-force cosine top-k vs a broadcast query vector — the exact
+    baseline for ANN. Dot products via higher-order functions (JVM-side)."""
+    e = _emb_double(spark, sf_dir)
+    q = F.broadcast(e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb")))
+    dot = F.expr("aggregate(zip_with(emb, qemb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    norm = lambda c: F.sqrt(F.expr(f"aggregate(transform({c}, x -> x * x), 0D, (acc, v) -> acc + v)"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select("vec_id", (dot / (norm("emb") * norm("qemb"))).alias("sim"))
+    )
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("vec_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+_BUCKET_SQL = (
+    "(CASE WHEN emb[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN emb[2] > 0 THEN 2 ELSE 0 END) +"
+    "(CASE WHEN emb[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN emb[4] > 0 THEN 8 ELSE 0 END)"
+)
+
+
+@query(
+    "ann_lsh_bucketed_top5",
+    f"""
+    WITH e AS (SELECT vec_id, emb, {_BUCKET_SQL} AS bucket FROM ({_EMB_SQL})),
+    q AS (SELECT emb, bucket FROM e WHERE vec_id = 0),
+    scored AS (
+      SELECT a.vec_id AS vec_id,
+             {_DOT_SQL} /
+             (sqrt(list_sum(list_transform(a.emb, x -> x * x))) *
+              sqrt(list_sum(list_transform(q.emb, x -> x * x)))) AS sim
+      FROM e a, q WHERE a.vec_id <> 0 AND a.bucket = q.bucket)
+    SELECT vec_id, round(sim, 6) AS sim,
+           row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+    FROM scored ORDER BY rank LIMIT 5
+    """,
+)
+def ann_lsh_bucketed_top5(spark, sf_dir):
+    """LSH-bucketed ANN (sign-bit hyperplane buckets): search only the
+    query's bucket — the O(n/2^b) scale path next to the brute-force
+    baseline."""
+    e = _emb_double(spark, sf_dir)
+    bucket = (
+        F.when(F.expr("emb[0]") > 0, 1).otherwise(0)
+        + F.when(F.expr("emb[1]") > 0, 2).otherwise(0)
+        + F.when(F.expr("emb[2]") > 0, 4).otherwise(0)
+        + F.when(F.expr("emb[3]") > 0, 8).otherwise(0)
+    )
+    eb = e.select("vec_id", "emb", bucket.alias("bucket"))
+    q = F.broadcast(
+        eb.filter(F.col("vec_id") == 0).select(
+            F.col("emb").alias("qemb"), F.col("bucket").alias("qbucket")
+        )
+    )
+    dot = F.expr("aggregate(zip_with(emb, qemb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    norm = lambda c: F.sqrt(F.expr(f"aggregate(transform({c}, x -> x * x), 0D, (acc, v) -> acc + v)"))
+    scored = (
+        eb.filter(F.col("vec_id") != 0)
+        .join(q, F.col("bucket") == F.col("qbucket"))
+        .select("vec_id", (dot / (norm("emb") * norm("qemb"))).alias("sim"))
+    )
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("vec_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+@query(
+    "knn_top2_per_label",
+    f"""
+    WITH e AS ({_EMB_SQL}),
+    q AS (SELECT emb FROM e WHERE vec_id = 0),
+    scored AS (
+      SELECT a.label AS label, a.vec_id AS vec_id,
+             {_DOT_SQL} AS dot
+      FROM e a, q WHERE a.vec_id <> 0)
+    SELECT label, vec_id, round(dot, 6) AS dot FROM (
+      SELECT label, vec_id, dot,
+             row_number() OVER (PARTITION BY label ORDER BY dot DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= 2
+    """,
+)
+def knn_top2_per_label(spark, sf_dir):
+    """k-NN per group (J3 R-tree nearest analog): window top-k per label."""
+    e = _emb_double(spark, sf_dir)
+    q = F.broadcast(e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb")))
+    dot = F.expr("aggregate(zip_with(emb, qemb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select("label", "vec_id", dot.alias("dot_raw"))
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dot_raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("label", "vec_id", F.round("dot_raw", 6).alias("dot"))
+    )
+
+
+# ===========================================================================
+# 9. Extraction pipeline entries (non-SQL-expressible → rows-only, except
+#    the flagship which embeds its golden fixture as a VALUES oracle)
+# ===========================================================================
+
+_FLAGSHIP_DOCS = 8
+_FLAGSHIP_SEED = 123
+
+
+def _sql_quote(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
+def _flagship_oracle_sql() -> str:
+    """Golden spans of the flagship corpus, embedded as a VALUES table —
+    DuckDB-checkable ground truth for the full parse+layout pipeline."""
+    from docprompt_spark.corpus import gen_corpus
+
+    rows = []
+    for d in gen_corpus(_FLAGSHIP_DOCS, seed=_FLAGSHIP_SEED, skew_every=0):
+        for seq, s in enumerate(d["spans"]):
+            rows.append(
+                f"({_sql_quote(d['doc_id'])},{seq},{_sql_quote(s['kind'])},"
+                f"{_sql_quote(s['text'])},{_sql_quote(s['media_ref'])},{s['offset']})"
+            )
+    values = ",\n".join(rows)
+    return (
+        'SELECT doc_id, CAST(seq AS INT) AS seq, kind, text, media_ref,'
+        ' CAST("offset" AS INT) AS "offset" FROM (VALUES\n'
+        + values
+        + '\n) AS t(doc_id, seq, kind, text, media_ref, "offset")'
+    )
+
+
+def extraction_spans_flat(spark, sf_dir):
+    """Flagship: deterministic corpus → from-scratch PDF parse → layout →
+    ordered spans, flattened. Verified against the generator's golden spans
+    (embedded as the oracle)."""
+    from docprompt_spark import pipeline
+
+    docs = pipeline.corpus_df(spark, _FLAGSHIP_DOCS, seed=_FLAGSHIP_SEED, skew_every=0)
+    result = pipeline.run_extraction(spark, docs.select("doc_id", "pdf", "n_pages"))
+    flat = pipeline.spans_exploded(result)
+    return flat.select(
+        "doc_id",
+        F.col("seq").cast("int").alias("seq"),
+        "kind",
+        "text",
+        "media_ref",
+        F.col("offset").cast("int").alias("offset"),
+    )
+
+
+_REGISTRY["extraction_spans_flat"] = (extraction_spans_flat, None)  # oracle added lazily
+
+
+def extraction_page_stats(spark, sf_dir):
+    """Per-document page/word/line/block/media counts from the parse stage
+    (rows-only check: stateful pipeline, not SQL-expressible)."""
+    from docprompt_spark import pipeline
+
+    docs = pipeline.corpus_df(spark, 12, seed=7, skew_every=5)
+    buckets = pipeline.salt_page_buckets(docs.select("doc_id", "pdf", "n_pages"))
+    pages = pipeline.parse_pages(buckets)
+    return (
+        pages.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("n_blocks").alias("n_blocks"),
+            F.sum("n_media").alias("n_media"),
+        )
+    )
+
+
+_REGISTRY["extraction_page_stats"] = (extraction_page_stats, None)
+
+
+def queries() -> Dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> Dict[str, str]:
+    out = {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    out["extraction_spans_flat"] = _flagship_oracle_sql()
+    return out
