@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (north rule).
+
+No real cluster exists in this sandbox, so N vs 4N executors is evidenced as
+local[8] vs local[32] on identical input (same cached corpus parquet, same
+sf dir): runs bench.py in two fresh JVMs and writes BENCH/BASELINE.md with
+throughput at both parallelism levels and the scaling efficiency
+T-ratio = throughput(32) / (4 × throughput(8)), target ≥ 0.8.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import date
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    r8 = run(8)
+    r32 = run(32)
+    tp8 = r8["extraction"]["docs_per_sec"]
+    tp32 = r32["extraction"]["docs_per_sec"]
+    eff = tp32 / (4.0 * tp8)
+
+    lines = [
+        "# BENCH/BASELINE.md — measured numbers",
+        "",
+        f"Measured {date.today().isoformat()} on this sandbox "
+        "(single machine, 32 hardware threads; the north rule's N vs 4N "
+        "executors is evidenced as local[8] vs local[32] on identical input — "
+        "same cached corpus parquet, same sf0.1 relational tables).",
+        "",
+        "## Extraction (flagship): corpus → parse → layout → span sequences",
+        "",
+        "| parallelism | docs | pages | wall sec | docs/sec | pages/sec |",
+        "|---|---|---|---|---|---|",
+        f"| local[8] (N) | {r8['extraction']['n_docs']} | {r8['extraction']['n_pages']} "
+        f"| {r8['value']} | {tp8} | {r8['extraction']['pages_per_sec']} |",
+        f"| local[32] (4N) | {r32['extraction']['n_docs']} | {r32['extraction']['n_pages']} "
+        f"| {r32['value']} | {tp32} | {r32['extraction']['pages_per_sec']} |",
+        "",
+        f"**Scaling efficiency** = tp(32) / (4 × tp(8)) = {tp32} / (4 × {tp8}) "
+        f"= **{eff:.3f}** (target ≥ 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})",
+        "",
+        "## Headline query timings (seconds, sf0.1)",
+        "",
+        "| query | local[8] | local[32] |",
+        "|---|---|---|",
+    ]
+    for name in r8["queries"]:
+        lines.append(
+            f"| {name} | {r8['queries'][name]} | {r32['queries'].get(name, '')} |"
+        )
+    lines += [
+        "",
+        "Raw JSON:",
+        "```json",
+        json.dumps(r8),
+        json.dumps(r32),
+        "```",
+        "",
+    ]
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines))
+    print(json.dumps({"efficiency": round(eff, 4), "tp8": tp8, "tp32": tp32}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line. The extraction corpus is materialized once to a cached parquet dir (not
+counted in timings) so repeated runs — including the N-vs-4N scaling runs in
+BENCH/run_scaling.py — read identical input.
+
+Usage: python bench.py [--docs N] [--json-only]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def corpus_path(n_docs: int, seed: int = 42) -> str:
+    """Deterministic bench corpus, cached under /tmp (generation excluded
+    from timing)."""
+    path = f"/tmp/docprompt_bench_corpus/seed{seed}_n{n_docs}"
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        from docprompt_spark.corpus import write_corpus_parquet
+
+        write_corpus_parquet(path, n_docs, seed=seed)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+
+    n_docs = int(os.environ.get("BENCH_DOCS", "0")) or max(int(4000 * sf), 100)
+    if "--docs" in sys.argv:
+        n_docs = int(sys.argv[sys.argv.index("--docs") + 1])
+
+    cpath = corpus_path(n_docs)
+
+    from docprompt_spark import pipeline
+    from docprompt_spark import queries as qmod
+    from docprompt_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="bench")
+
+    # warmup: JVM + python worker pool spin-up, not counted
+    spark.range(1000).selectExpr("sum(id)").collect()
+    pipeline.run_extraction(
+        spark, pipeline.corpus_df(spark, 4, seed=1, skew_every=0)
+    ).count()
+
+    docs = spark.read.parquet(cpath).select("doc_id", "pdf", "n_pages")
+    docs.persist().count()  # input cached: measure compute, not disk
+
+    n_pages = docs.selectExpr("sum(n_pages)").collect()[0][0]
+    t0 = time.perf_counter()
+    result = pipeline.run_extraction(spark, docs)
+    n_spans = result.selectExpr("sum(size(spans))").collect()[0][0]
+    extraction_sec = time.perf_counter() - t0
+
+    headline = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_supplier_volume_by_nation",
+        "sessionize_events",
+        "top3_orders_per_customer",
+        "term_frequencies_top20",
+        "dedup_exact_groups",
+        "minhash_lsh_neardup_pairs",
+        "simhash_neardup_pairs",
+        "ann_bruteforce_cosine_top10",
+        "ann_lsh_bucketed_top5",
+        "text_quality_scores",
+    ]
+    reg = qmod.registry()
+    query_secs = {}
+    for name in headline:
+        fn, _ = reg[name]
+        t = time.perf_counter()
+        fn(spark, sf_dir).count()
+        query_secs[name] = round(time.perf_counter() - t, 3)
+
+    out = {
+        "metric": "e2e_extraction_wall_sec",
+        "value": round(extraction_sec, 3),
+        "unit": "sec",
+        "queries": {"extraction": round(extraction_sec, 3), **query_secs},
+        "sf": sf,
+        "cpus": cpus,
+        "extraction": {
+            "n_docs": n_docs,
+            "n_pages": int(n_pages),
+            "n_spans": int(n_spans),
+            "docs_per_sec": round(n_docs / extraction_sec, 2),
+            "pages_per_sec": round(n_pages / extraction_sec, 2),
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

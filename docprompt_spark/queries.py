@@ -717,14 +717,24 @@ def dedup_exact_groups(spark, sf_dir):
     )
 
 
-def _shingle_expr_spark(col: str):
-    toks = f"filter(split({col}, ' '), t -> t <> '')"
-    # guard: sequence() is descending when start > stop, so gate on size >= 3
-    return F.expr(
-        f"array_distinct(CASE WHEN size({toks}) >= 3 THEN"
-        f" transform(sequence(0, size({toks}) - 3),"
-        f" i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2]))"
-        f" ELSE cast(array() as array<string>) END)"
+def _tri_shingles(df):
+    """Distinct word-trigram shingles, fully relational (explode + window
+    lead): linear work per token, no nested-lambda recomputation."""
+    tokens = df.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        tokens.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("shingle"),
+            F.lead("tok", 2).over(w).alias("_t2"),
+        )
+        .filter(F.col("_t2").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
     )
 
 
@@ -761,35 +771,25 @@ def minhash_lsh_neardup_pairs(spark, sf_dir):
     scaling as O(candidates) instead of O(n²).
     """
     aug = _aug_near(spark, sf_dir)
-    sh = aug.select("doc_id", _shingle_expr_spark("text").alias("shingles")).filter(
-        F.size("shingles") > 0
+    tri = _tri_shingles(aug)
+    # 16 minhashes in ONE groupBy pass (map-side partial min)
+    mh = tri.groupBy("doc_id").agg(
+        F.count("*").alias("n_sh"),
+        *[F.min(_h60(F.col("shingle"), salt=f"{i}:")).alias(f"mh{i}") for i in range(16)],
     )
-    # 16 minhash values per doc
-    mh = sh.select(
-        "doc_id",
-        "shingles",
-        *[
-            F.array_min(
-                F.expr(
-                    f"transform(shingles, s -> cast(conv(substr(md5(concat('{i}:', s)), 1, 15), 16, 10) as bigint))"
-                )
-            ).alias(f"mh{i}")
-            for i in range(16)
-        ],
-    )
-    # 8 bands of 2 rows
+    # 8 bands of 2 rows → bucket join on (band_idx, band_key)
     bands = mh.select(
         "doc_id",
-        "shingles",
-        F.array(
-            *[
-                F.md5(F.concat_ws(":", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))).alias(f"b{b}")
-                for b in range(8)
-            ]
-        ).alias("bands"),
-    ).select("doc_id", "shingles", F.posexplode("bands").alias("band_idx", "band_key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat_ws(":", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")))
+                    for b in range(8)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
@@ -797,20 +797,25 @@ def minhash_lsh_neardup_pairs(spark, sf_dir):
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_distinct(F.concat("sh_a", "sh_b"))
+    # exact-Jaccard verification via shingle joins (relational set intersect)
+    ta = tri.select(F.col("doc_id").alias("doc_a"), "shingle")
+    tb = tri.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(ta, "doc_a").join(tb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = mh.select("doc_id", "n_sh")
+    jac = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("jaccard_raw", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
     )
     return (
-        cand.withColumn("jaccard_raw", jac)
-        .filter(F.col("jaccard_raw") >= 0.6)
+        jac.filter(F.col("jaccard_raw") >= 0.6)
         .select("doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard"))
     )
 
@@ -917,11 +922,11 @@ def simhash_neardup_pairs(spark, sf_dir):
 )
 def ngram_jaccard_self_similarity(spark, sf_dir):
     """n-gram shingle inventory (the Jaccard-dedup building block)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return (
-        docs.select("doc_id", _shingle_expr_spark("text").alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select("doc_id", F.size("sh").alias("n_shingles"))
+        _tri_shingles(docs)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"))
     )
 
 
