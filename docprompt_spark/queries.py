@@ -1158,6 +1158,28 @@ def extraction_page_stats(spark, sf_dir):
 _REGISTRY["extraction_page_stats"] = (extraction_page_stats, None)
 
 
+def provenance_search(spark, sf_dir):
+    """Provenance search (D20 tantivy + J2 bbox-join analog): broadcast a
+    query table against extracted word spans; per (query, doc) hit counts
+    with first-hit offset. Rows-only check (depends on the extraction
+    pipeline, not SQL-expressible over the driver views)."""
+    from docprompt_spark import pipeline
+
+    docs = pipeline.corpus_df(spark, _FLAGSHIP_DOCS, seed=_FLAGSHIP_SEED, skew_every=0)
+    result = pipeline.run_extraction(spark, docs.select("doc_id", "pdf", "n_pages"))
+    words = pipeline.spans_exploded(result).filter(F.col("kind") == "word")
+    queries_df = F.broadcast(
+        spark.createDataFrame([("an",), ("the",), ("qu",)], ["q"])
+    )
+    hits = words.join(queries_df, F.col("text").contains(F.col("q")))
+    return hits.groupBy("doc_id", "q").agg(
+        F.count("*").alias("n_hits"), F.min("offset").alias("first_offset")
+    )
+
+
+_REGISTRY["provenance_search"] = (provenance_search, None)
+
+
 def queries() -> Dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
