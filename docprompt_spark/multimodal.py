@@ -1,0 +1,261 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The reference treats media as raw bytes on nodes (`ImageNode`,
+/root/reference/docprompt/schema/pipeline/node/image.py:12; raster pipeline
+rasterize.py:188-229). Here media is a first-class TABLE:
+
+    media(doc_id, page_number, media_ref, media_kind, payload: binary,
+          width, height, n_bytes)
+
+extracted from the corpus PDFs' image XObjects (content-addressed:
+``media_ref = md5(payload)``, matching the media spans emitted by the
+extraction pipeline — joinable on ``media_ref``).
+
+Decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` kernels. The image/audio codec libraries are NOT in this
+container, so the codec step is STUBBED with a clearly-marked deterministic
+fake (`_fake_decode`) behind an import-try; the Spark-side plumbing — schema,
+partitioning, UDF signature, batch shape — is real and tested. Swap
+`_fake_decode` for PIL/libav when available.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("page_number", IntegerType(), False),
+        StructField("media_ref", StringType(), False),
+        StructField("media_kind", StringType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_bytes", IntegerType(), False),
+    ]
+)
+
+
+def media_table(docs_df: DataFrame, pages_per_bucket: int = 16) -> DataFrame:
+    """Extract the media sidecar table from document PDFs (image XObjects),
+    salted/partitioned exactly like the text parse stage."""
+    from docprompt_spark import pipeline
+    from docprompt_spark.shipping import ensure_py_files
+
+    ensure_py_files(docs_df.sparkSession)
+    buckets = pipeline.salt_page_buckets(docs_df, pages_per_bucket)
+    pruned = buckets.select("doc_id", "pdf", "page_bucket").repartition(
+        buckets.sparkSession.sparkContext.defaultParallelism * 2,
+        "doc_id",
+        "page_bucket",
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from docprompt_spark import pdfparse
+
+        for batch in batches:
+            rows = []
+            for doc_id, blob, bucket in zip(
+                batch["doc_id"], batch["pdf"], batch["page_bucket"]
+            ):
+                lo = int(bucket) * pages_per_bucket
+                pf = pdfparse.PdfFile(bytes(blob))
+                hi = min(lo + pages_per_bucket, pf.page_count)
+                for i in range(lo, hi):
+                    page = pf.resolve(pf.page_refs[i])
+                    resources = pf._inherited(page, "Resources") or {}
+                    xobjs = pf.resolve(resources.get("XObject", {})) or {}
+                    for _name, ref in xobjs.items():
+                        xo = pf.resolve(ref)
+                        if xo.dict.get("Subtype") != "Image":
+                            continue
+                        payload = xo.raw
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "page_number": i + 1,
+                                "media_ref": hashlib.md5(payload).hexdigest(),
+                                "media_kind": "image",
+                                "payload": payload,
+                                "width": int(pf.resolve(xo.dict.get("Width", 0))),
+                                "height": int(pf.resolve(xo.dict.get("Height", 0))),
+                                "n_bytes": len(payload),
+                            }
+                        )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return pruned.mapInPandas(extract, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Codec stub
+# ---------------------------------------------------------------------------
+
+try:  # real codecs are not in this container; gate behind import-try
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB codec: deterministic fake 'pixels' derived from the raw bytes.
+
+    Real deployment: replace with PIL/turbojpeg decode. The fake keeps every
+    downstream kernel (features, resize, frame-sample) fully exercisable and
+    deterministic.
+    """
+    w = max(int(width), 1)
+    h = max(int(height), 1)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    reps = (w * h + len(arr) - 1) // max(len(arr), 1)
+    return np.tile(arr, max(reps, 1))[: w * h].reshape(h, w)
+
+
+def decode_or_stub(
+    payload: bytes, width: int, height: int, use_real_codec: bool = False
+) -> np.ndarray:
+    if use_real_codec:
+        # The real path is intentionally unimplemented in this sandbox (no
+        # codec libraries baked in); the plumbing around it is real.
+        raise NotImplementedError(
+            "real codec path not available in this environment"
+            + ("" if _HAVE_PIL else " (PIL not installed)")
+        )
+    return _fake_decode(payload, width, height)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized media kernels (Arrow batch in/out)
+# ---------------------------------------------------------------------------
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("mean_intensity", DoubleType(), False),
+        StructField("std_intensity", DoubleType(), False),
+        StructField("edge_density", DoubleType(), False),
+    ]
+)
+
+
+def image_features(media_df: DataFrame) -> DataFrame:
+    """Decode (stub) → per-image intensity/edge features."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for ref, payload, w, h in zip(
+                batch["media_ref"], batch["payload"], batch["width"], batch["height"]
+            ):
+                px = decode_or_stub(bytes(payload), w, h).astype(np.float64)
+                gx = np.abs(np.diff(px, axis=1)).mean() if px.shape[1] > 1 else 0.0
+                out.append(
+                    {
+                        "media_ref": ref,
+                        "mean_intensity": float(px.mean()),
+                        "std_intensity": float(px.std()),
+                        "edge_density": float(gx),
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return media_df.select("media_ref", "payload", "width", "height").mapInPandas(
+        fn, schema=FEATURE_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("out_w", IntegerType(), False),
+        StructField("out_h", IntegerType(), False),
+        StructField("thumb", ArrayType(DoubleType()), False),
+    ]
+)
+
+
+def resize_thumbnails(media_df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Decode (stub) → box-downsample to out_w×out_h (rasterize.py:69-116
+    analog); emits the thumbnail as a numeric array column."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for ref, payload, w, h in zip(
+                batch["media_ref"], batch["payload"], batch["width"], batch["height"]
+            ):
+                px = decode_or_stub(bytes(payload), w, h).astype(np.float64)
+                ys = np.linspace(0, px.shape[0], out_h + 1).astype(int)
+                xs = np.linspace(0, px.shape[1], out_w + 1).astype(int)
+                thumb = [
+                    float(px[ys[i] : max(ys[i + 1], ys[i] + 1),
+                             xs[j] : max(xs[j + 1], xs[j] + 1)].mean())
+                    for i in range(out_h)
+                    for j in range(out_w)
+                ]
+                out.append(
+                    {"media_ref": ref, "out_w": out_w, "out_h": out_h, "thumb": thumb}
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return media_df.select("media_ref", "payload", "width", "height").mapInPandas(
+        fn, schema=RESIZE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_hash", StringType(), False),
+        StructField("frame_bytes", IntegerType(), False),
+    ]
+)
+
+
+def frame_sample(media_df: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
+    """Video-style frame sampling stub: treat the payload as a byte stream of
+    fixed-size 'frames' and sample every k-th — the mapInPandas fan-out shape
+    (one input row → many frame rows) a real ffmpeg-backed sampler uses."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for ref, payload in zip(batch["media_ref"], batch["payload"]):
+                data = bytes(payload)
+                n_frames = min(max(len(data) // every_n_bytes, 1), max_frames)
+                for k in range(n_frames):
+                    frame = data[k * every_n_bytes : (k + 1) * every_n_bytes]
+                    out.append(
+                        {
+                            "media_ref": ref,
+                            "frame_idx": k,
+                            "frame_hash": hashlib.md5(frame).hexdigest(),
+                            "frame_bytes": len(frame),
+                        }
+                    )
+            if out:
+                yield pd.DataFrame(out)
+
+    return media_df.select("media_ref", "payload").mapInPandas(fn, schema=FRAME_SCHEMA)

@@ -148,7 +148,10 @@ def parse_pages(
 ) -> DataFrame:
     """Salted bucket rows → page rows. Repartitions by (doc_id, page_bucket)
     so skew-tail documents spread across the cluster."""
+    from docprompt_spark.shipping import ensure_py_files
+
     spark = buckets_df.sparkSession
+    ensure_py_files(spark)
     nparts = parallelism or spark.sparkContext.defaultParallelism * 2
     pruned = buckets_df.select("doc_id", "pdf", "page_bucket").repartition(
         nparts, "doc_id", "page_bucket"

@@ -930,6 +930,149 @@ def ngram_jaccard_self_similarity(spark, sf_dir):
     )
 
 
+@query(
+    "fuzzy_term_match",
+    """
+    SELECT q, tok, levenshtein(q, tok) AS dist FROM (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents) t
+    CROSS JOIN (VALUES ('qurey'), ('tabel'), ('streem')) AS qs(q)
+    WHERE tok <> '' AND levenshtein(q, tok) <= 2
+    """,
+)
+def fuzzy_term_match(spark, sf_dir):
+    """F17 fuzzy matching (rapidfuzz ratio analog): broadcast misspelled
+    query terms against the distinct-term vocabulary, Levenshtein ≤ 2."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    qs = F.broadcast(
+        spark.createDataFrame([("qurey",), ("tabel",), ("streem",)], ["q"])
+    )
+    return (
+        vocab.crossJoin(qs)
+        .withColumn("dist", F.levenshtein("q", "tok"))
+        .filter(F.col("dist") <= 2)
+        .select("q", "tok", "dist")
+    )
+
+
+@query(
+    "margin_regularize_x0",
+    """
+    WITH boxes AS (
+      SELECT p_partkey, (p_partkey % 50) / 100.0 + (p_size % 3) / 10000.0 AS x0
+      FROM part),
+    flagged AS (
+      SELECT p_partkey, x0,
+             CASE WHEN x0 - lag(x0) OVER (ORDER BY x0, p_partkey) <= 0.001
+                  THEN 0 ELSE 1 END AS brk
+      FROM boxes),
+    clustered AS (
+      SELECT p_partkey, x0,
+             CAST(sum(brk) OVER (ORDER BY x0, p_partkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cid
+      FROM flagged)
+    SELECT p_partkey,
+           round(CASE WHEN count(*) OVER (PARTITION BY cid) >= 4
+                      THEN avg(x0) OVER (PARTITION BY cid) ELSE x0 END, 5) AS x0_reg
+    FROM clustered
+    """,
+)
+def margin_regularize_x0(spark, sf_dir):
+    """W2 _normalize_block_edges (utils/layout.py:9-64) as a relational
+    pipeline: sort → adjacent-gap flag → cumsum cluster id → conditional
+    cluster-mean update for clusters of ≥ 4."""
+    p = _t(spark, sf_dir, "part")
+    boxes = p.select(
+        "p_partkey",
+        ((F.col("p_partkey") % 50) / 100.0 + (F.col("p_size") % 3) / 10000.0).alias("x0"),
+    )
+    w = Window.orderBy("x0", "p_partkey")
+    flagged = boxes.withColumn(
+        "brk",
+        F.when(F.col("x0") - F.lag("x0").over(w) <= 0.001, 0).otherwise(1),
+    )
+    clustered = flagged.withColumn(
+        "cid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
+    )
+    wc = Window.partitionBy("cid")
+    return clustered.select(
+        "p_partkey",
+        F.round(
+            F.when(F.count("*").over(wc) >= 4, F.avg("x0").over(wc)).otherwise(
+                F.col("x0")
+            ),
+            5,
+        ).alias("x0_reg"),
+    )
+
+
+@query(
+    "size_capped_batching",
+    """
+    SELECT doc_id,
+           CAST(floor((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - 1) / 20000) AS BIGINT) AS batch_id
+    FROM documents
+    """,
+)
+def size_capped_batching(spark, sf_dir):
+    """D5 size-capped batching (splitter.py:80-208 pattern): cumulative byte
+    budget → batch id (drives size-balanced partition assignment)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return docs.select(
+        "doc_id",
+        F.floor((F.sum("n_chars").over(w) - 1) / 20000).cast("long").alias("batch_id"),
+    )
+
+
+@query(
+    "ordered_text_splice",
+    """
+    SELECT lang, string_agg(substr(text, 1, 3), '' ORDER BY doc_id) AS splice
+    FROM documents GROUP BY lang
+    """,
+)
+def ordered_text_splice(spark, sf_dir):
+    """A3 text_from_layout (gcp.py:144-161): ordered segment splice as an
+    order-preserving aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.struct("doc_id", F.substring("text", 1, 3).alias("s")).alias("seg"))
+        .groupBy("lang")
+        .agg(
+            F.concat_ws(
+                "", F.expr("transform(array_sort(collect_list(seg)), x -> x.s)")
+            ).alias("splice")
+        )
+    )
+
+
+@query(
+    "collect_set_postings",
+    """
+    SELECT tok, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_list FROM (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id < 50) WHERE tok <> '' GROUP BY tok
+    """,
+)
+def collect_set_postings(spark, sf_dir):
+    """SE3 token→doc-id set (provenance/util.py:119-128): collect_set +
+    deterministic ordering."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return toks.groupBy("tok").agg(
+        F.concat_ws(
+            ",",
+            F.expr("transform(array_sort(collect_set(doc_id)), x -> cast(x as string))"),
+        ).alias("doc_list")
+    )
+
+
 # ===========================================================================
 # 8. Similarity search over embeddings
 # ===========================================================================
@@ -1075,8 +1218,120 @@ def knn_top2_per_label(spark, sf_dir):
     )
 
 
+_AUG_EMB_SQL = """
+  SELECT vec_id, emb FROM ({base})
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, list_transform(emb, x -> x * 1.01) AS emb
+  FROM ({base}) WHERE vec_id % 10 = 0
+""".format(base=_EMB_SQL)
+
+
+@query(
+    "embedding_cosine_neardup_pairs",
+    f"""
+    WITH e AS ({_AUG_EMB_SQL})
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum(list_transform(generate_series(1, len(a.emb)), i -> a.emb[i] * b.emb[i])) /
+                 (sqrt(list_sum(list_transform(a.emb, x -> x * x))) *
+                  sqrt(list_sum(list_transform(b.emb, x -> x * x)))), 4) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(generate_series(1, len(a.emb)), i -> a.emb[i] * b.emb[i])) /
+          (sqrt(list_sum(list_transform(a.emb, x -> x * x))) *
+           sqrt(list_sum(list_transform(b.emb, x -> x * x)))) >= 0.999
+    """,
+)
+def embedding_cosine_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup: sign-bit bucketed self-join (scaled copies
+    keep their signs, so bucket recall is exact for true duplicates) +
+    cosine ≥ 0.999 verification. Oracle brute-forces all pairs."""
+    e = _emb_double(spark, sf_dir).select("vec_id", "emb")
+    dup = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr("transform(emb, x -> x * 1.01)").alias("emb"),
+    )
+    aug = e.unionAll(dup)
+    bucket = (
+        F.when(F.expr("emb[0]") > 0, 1).otherwise(0)
+        + F.when(F.expr("emb[1]") > 0, 2).otherwise(0)
+        + F.when(F.expr("emb[2]") > 0, 4).otherwise(0)
+        + F.when(F.expr("emb[3]") > 0, 8).otherwise(0)
+    )
+    ab = aug.select("vec_id", "emb", bucket.alias("bucket"))
+    a = ab.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "bucket"
+    )
+    b = ab.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "bucket"
+    )
+    dot = F.expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    norm = lambda c: F.sqrt(
+        F.expr(f"aggregate(transform({c}, x -> x * x), 0D, (acc, v) -> acc + v)")
+    )
+    pairs = (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim_raw", dot / (norm("emb_a") * norm("emb_b")))
+        .filter(F.col("sim_raw") >= 0.999)
+    )
+    return pairs.select("vec_a", "vec_b", F.round("sim_raw", 4).alias("sim"))
+
+
 # ===========================================================================
-# 9. Extraction pipeline entries (non-SQL-expressible → rows-only, except
+# 9. Multimodal media table + kernels (rows-only: stateful Arrow pipelines)
+# ===========================================================================
+
+
+def _corpus_media(spark):
+    from docprompt_spark import multimodal, pipeline
+
+    docs = pipeline.corpus_df(spark, 16, seed=11, skew_every=0)
+    return multimodal.media_table(docs.select("doc_id", "pdf", "n_pages"))
+
+
+def media_inventory(spark, sf_dir):
+    """Media sidecar table: per-doc media counts + byte totals (ImageNode
+    analog, content-addressed media_refs)."""
+    media = _corpus_media(spark)
+    return media.groupBy("doc_id").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("media_ref").alias("n_distinct"),
+    )
+
+
+def media_image_features(spark, sf_dir):
+    """Decode(stub) → intensity/edge features per image."""
+    from docprompt_spark import multimodal
+
+    return multimodal.image_features(_corpus_media(spark))
+
+
+def media_thumbnails(spark, sf_dir):
+    """Decode(stub) → 8x8 box-downsampled thumbnails."""
+    from docprompt_spark import multimodal
+
+    df = multimodal.resize_thumbnails(_corpus_media(spark))
+    return df.select("media_ref", "out_w", "out_h", F.size("thumb").alias("thumb_len"))
+
+
+def media_frame_samples(spark, sf_dir):
+    """Frame-sampling fan-out stub (1 media row → N frame rows)."""
+    from docprompt_spark import multimodal
+
+    return multimodal.frame_sample(_corpus_media(spark))
+
+
+for _n, _f in [
+    ("media_inventory", media_inventory),
+    ("media_image_features", media_image_features),
+    ("media_thumbnails", media_thumbnails),
+    ("media_frame_samples", media_frame_samples),
+]:
+    _REGISTRY[_n] = (_f, None)
+
+
+# ===========================================================================
+# 10. Extraction pipeline entries (non-SQL-expressible → rows-only, except
 #    the flagship which embeds its golden fixture as a VALUES oracle)
 # ===========================================================================
 

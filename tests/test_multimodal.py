@@ -1,0 +1,77 @@
+"""Multimodal plumbing: media table extraction, stubbed codec kernels —
+schemas, batch shapes, fan-out, and joinability with extraction media spans."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from docprompt_spark import multimodal, pipeline
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = pipeline.corpus_df(spark, 16, seed=11, skew_every=0)
+    docs.persist().count()
+    m = multimodal.media_table(docs.select("doc_id", "pdf", "n_pages"))
+    m.persist().count()
+    return docs, m
+
+
+def test_media_table_matches_extraction_media_spans(spark, media):
+    docs, m = media
+    result = pipeline.run_extraction(spark, docs.select("doc_id", "pdf", "n_pages"))
+    spans_media = (
+        pipeline.spans_exploded(result)
+        .filter(F.col("kind") == "media")
+        .select("doc_id", "media_ref")
+    )
+    # every media span joins to exactly one media payload row (content-addressed)
+    joined = spans_media.join(m, ["doc_id", "media_ref"], "left")
+    assert joined.filter(F.col("payload").isNull()).count() == 0
+    assert spans_media.count() == m.count()
+
+
+def test_media_payload_content_addressed(media):
+    import hashlib
+
+    _, m = media
+    rows = m.select("media_ref", "payload").collect()
+    assert rows
+    for r in rows:
+        assert hashlib.md5(bytes(r["payload"])).hexdigest() == r["media_ref"]
+
+
+def test_image_features_deterministic(media):
+    _, m = media
+    f1 = {r["media_ref"]: r for r in multimodal.image_features(m).collect()}
+    f2 = {r["media_ref"]: r for r in multimodal.image_features(m).collect()}
+    assert f1.keys() == f2.keys() and len(f1) > 0
+    for k in f1:
+        assert f1[k] == f2[k]
+        assert 0.0 <= f1[k]["mean_intensity"] <= 255.0
+
+
+def test_thumbnails_shape(media):
+    _, m = media
+    rows = multimodal.resize_thumbnails(m, out_w=8, out_h=8).collect()
+    assert rows
+    for r in rows:
+        assert len(r["thumb"]) == 64
+
+
+def test_frame_sample_fanout(media):
+    _, m = media
+    frames = multimodal.frame_sample(m)
+    per_ref = frames.groupBy("media_ref").count().collect()
+    assert per_ref
+    assert all(1 <= r["count"] <= 4 for r in per_ref)
+    # frame_idx dense from 0
+    idx = frames.groupBy("media_ref").agg(
+        F.min("frame_idx").alias("lo"), F.max("frame_idx").alias("hi"), F.count("*").alias("n")
+    )
+    bad = idx.filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)).count()
+    assert bad == 0
+
+
+def test_real_codec_path_is_marked_unimplemented():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_or_stub(b"xx", 2, 2, use_real_codec=True)
