@@ -252,6 +252,9 @@ class HexString(bytes):
     """Marks strings written as <...> (2-byte CID codes for Type0 fonts)."""
 
 
+_REF_TAIL_RE = re.compile(rb"[\0\t\n\f\r ]+(\d+)[\0\t\n\f\r ]+R(?![^\0\t\n\f\r ()<>\[\]{}/%])")
+
+
 def _parse_object(lex: _Lexer) -> Any:
     """Parse one object (after keywords like obj); resolves `n g R` inline."""
     tok = lex.read_token()
@@ -277,17 +280,11 @@ def _parse_from_token(lex: _Lexer, tok: Any) -> Any:
                 return arr
             arr.append(_parse_from_token(lex, t))
     if isinstance(tok, int):
-        # maybe "n g R"
-        save = lex.pos
-        try:
-            t2 = lex.read_token()
-            if isinstance(t2, int):
-                t3 = lex.read_token()
-                if t3 == b"R":
-                    return Ref(tok, t2)
-            lex.pos = save
-        except EOFError:
-            lex.pos = save
+        # maybe "n g R" — single regex probe instead of two token reads
+        m = _REF_TAIL_RE.match(lex.data, lex.pos)
+        if m is not None:
+            lex.pos = m.end()
+            return Ref(tok, int(m.group(1)))
         return tok
     if isinstance(tok, Op):
         if tok == b"true":
@@ -527,6 +524,60 @@ def _parse_tounicode(data: bytes) -> Dict[int, str]:
 
 
 # ---------------------------------------------------------------------------
+# Content-stream tokenizer (fast path): one compiled-regex pass instead of
+# byte-at-a-time lexing. Literal strings fall back to the escape-aware reader.
+# ---------------------------------------------------------------------------
+
+_CS_RE = re.compile(
+    rb"(?:%[^\r\n]*|[\0\t\n\f\r ])*"
+    rb"(\[|\]|<<|>>|\("
+    rb"|<[0-9A-Fa-f\0\t\n\f\r ]*>"
+    rb"|/[^\0\t\n\f\r ()<>\[\]{}/%]*"
+    rb"|[+-]?(?:\d+\.\d*|\.\d+|\d+)"
+    rb"|[^\0\t\n\f\r ()<>\[\]{}/%]+)"
+)
+
+_HEX_WS = b"\0\t\n\f\r "
+
+
+def _tokenize_content(data: bytes):
+    """Yield typed tokens: int/float, Name, LitString, HexString, or Op/bytes
+    structural markers — same token types as the generic lexer."""
+    pos = 0
+    n = len(data)
+    lex = None
+    while pos < n:
+        m = _CS_RE.match(data, pos)
+        if m is None or m.group(1) is None:
+            break
+        tok = m.group(1)
+        pos = m.end()
+        c = tok[0]
+        if c == 0x28:  # ( literal string: escape-aware fallback reader
+            if lex is None:
+                lex = _Lexer(data)
+            lex.pos = pos - 1
+            yield lex._read_literal_string()
+            pos = lex.pos
+        elif 0x30 <= c <= 0x39 or c in (0x2B, 0x2D, 0x2E):  # number
+            yield float(tok) if b"." in tok else int(tok)
+        elif c == 0x2F:  # /Name
+            yield Name(tok[1:].decode("latin-1"))
+        elif c == 0x3C:  # <...> hex string or <<
+            if tok == b"<<":
+                yield b"<<"
+            else:
+                digits = tok[1:-1].translate(None, _HEX_WS)
+                if len(digits) % 2:
+                    digits += b"0"
+                yield HexString(bytes.fromhex(digits.decode("ascii")))
+        elif tok in (b"[", b"]", b">>"):
+            yield tok
+        else:
+            yield Op(tok)
+
+
+# ---------------------------------------------------------------------------
 # Content-stream interpreter
 # ---------------------------------------------------------------------------
 
@@ -549,7 +600,7 @@ _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 def _interpret_content(
     data: bytes, *, fonts: dict, xobjects: dict, resolve, page_w: float, page_h: float
 ) -> Tuple[List[dict], List[dict]]:
-    lex = _Lexer(data)
+    tokens = _tokenize_content(data)
     stack: List[Any] = []
     ctm = _ID
     gs_stack: List[tuple] = []
@@ -625,14 +676,24 @@ def _interpret_content(
                     tx += font["widths"].get(code, font["dw"]) * size / 1000.0
         flush()
 
-    while True:
-        try:
-            tok = lex.read_token()
-        except EOFError:
-            break
+    for tok in tokens:
         if not isinstance(tok, Op):
-            if type(tok) is bytes and tok in (b"<<", b"["):
-                stack.append(_parse_from_token(lex, tok))
+            if type(tok) is bytes and tok == b"[":
+                arr: List[Any] = []
+                for t in tokens:
+                    if type(t) is bytes and t == b"]":
+                        break
+                    arr.append(t)
+                stack.append(arr)
+            elif type(tok) is bytes and tok == b"<<":
+                depth = 1  # inline dict (unused by text ops): skip balanced
+                for t in tokens:
+                    if type(t) is bytes and t == b"<<":
+                        depth += 1
+                    elif type(t) is bytes and t == b">>":
+                        depth -= 1
+                        if depth == 0:
+                            break
             else:
                 stack.append(tok)
             continue
