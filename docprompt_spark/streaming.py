@@ -1,0 +1,114 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (SURVEY.md §2.10: its incremental story is the
+checkpoint/resume cache, which :mod:`docprompt_spark.pipeline` reproduces
+exactly). This module adds the streaming shapes a continuously-fed corpus
+needs on Spark:
+
+* :func:`stream_extraction` — incremental document ingest: a file-source
+  stream over the docs table, extraction per micro-batch via ``foreachBatch``
+  (correct because one row = one whole document: the per-doc window/groupBy
+  never spans micro-batches), exactly-once via the streaming checkpoint's
+  offset log + idempotent parquet append.
+* :func:`windowed_event_counts` — watermark + tumbling-window aggregation
+  over an event stream (late-data tolerant), the streaming analog of the
+  sessionization operator family (W1).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_extraction(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    pages_per_bucket: int = 16,
+    available_now: bool = True,
+):
+    """Continuously extract span sequences from documents arriving as parquet
+    files in ``input_dir``. Returns the started StreamingQuery."""
+    from docprompt_spark import pipeline
+
+    stream = (
+        spark.readStream.schema(pipeline.DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(input_dir)
+        .select("doc_id", "pdf", "n_pages")
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        result = pipeline.doc_spans(
+            pipeline.parse_pages(
+                pipeline.salt_page_buckets(batch_df, pages_per_bucket),
+                pages_per_bucket,
+            )
+        )
+        result.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            output_dir
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (late events beyond
+    the watermark are dropped deterministically)."""
+    return (
+        events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "event_counts",
+    schema=None,
+):
+    """File-source event stream → watermarked windowed counts into an
+    in-memory sink (for tests/demo; swap for a parquet/Kafka sink in prod)."""
+    schema = schema or spark.read.parquet(input_dir).schema
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    agg = windowed_event_counts(stream)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

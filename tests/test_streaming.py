@@ -1,0 +1,65 @@
+"""Structured Streaming: incremental extraction with exactly-once file
+tracking, and watermarked windowed aggregation matching its batch analog."""
+
+import pyspark.sql.functions as F
+
+from docprompt_spark import pipeline, streaming
+
+
+def _spans_map(df):
+    return {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in df.collect()
+    }
+
+
+def test_stream_extraction_incremental(spark, tmp_path):
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    docs = pipeline.corpus_df(spark, 10, seed=3, skew_every=0)
+    docs.persist().count()
+    golden = _spans_map(docs.select("doc_id", "spans"))
+
+    first = docs.filter(F.col("doc_id") < "doc-3-00000006")
+    first.write.mode("append").parquet(in_dir)
+    q = streaming.stream_extraction(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(300)
+    got1 = _spans_map(spark.read.parquet(out_dir).select("doc_id", "spans"))
+    assert set(got1) == {f"doc-3-{i:08d}" for i in range(6)}
+
+    # second batch of files: only the new documents are processed
+    docs.filter(F.col("doc_id") >= "doc-3-00000006").write.mode("append").parquet(in_dir)
+    q2 = streaming.stream_extraction(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(300)
+
+    out = spark.read.parquet(out_dir)
+    got = _spans_map(out.select("doc_id", "spans"))
+    assert got == golden  # all docs, each exactly once, spans exact
+    assert out.count() == 10
+    # exactly-once: doc 0 was not reprocessed in batch 2
+    batches = {r["doc_id"]: r["batch_id"] for r in out.select("doc_id", "batch_id").collect()}
+    assert batches["doc-3-00000000"] == 0
+
+
+def test_windowed_counts_match_batch(spark, tmp_path):
+    import shutil
+
+    ckpt = str(tmp_path / "ckpt2")
+    ev_dir = tmp_path / "events_in"
+    ev_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", ev_dir / "part-0.parquet")
+    q = streaming.stream_event_counts(
+        spark, str(ev_dir), ckpt, query_name="evt_test"
+    )
+    q.awaitTermination(300)
+    streamed = spark.sql("select * from evt_test")
+
+    batch = streaming.windowed_event_counts(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    a = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b and len(a) > 0
