@@ -1218,6 +1218,177 @@ def knn_top2_per_label(spark, sf_dir):
     )
 
 
+@query(
+    "poly_to_bbox",
+    """
+    SELECT p_partkey,
+           round(least(x1v, x2v, x3v, x4v), 5) AS x0,
+           round(least(y1v, y2v, y3v, y4v), 5) AS top,
+           round(greatest(x1v, x2v, x3v, x4v), 5) AS x1,
+           round(greatest(y1v, y2v, y3v, y4v), 5) AS bottom
+    FROM (
+      SELECT p_partkey,
+             (p_size % 10) / 10.0 AS x1v, (p_partkey % 10) / 10.0 AS y1v,
+             ((p_size + 3) % 10) / 10.0 AS x2v, ((p_partkey + 1) % 10) / 10.0 AS y2v,
+             ((p_size + 5) % 10) / 10.0 AS x3v, ((p_partkey + 4) % 10) / 10.0 AS y3v,
+             ((p_size + 7) % 10) / 10.0 AS x4v, ((p_partkey + 6) % 10) / 10.0 AS y4v
+      FROM part)
+    """,
+)
+def poly_to_bbox(spark, sf_dir):
+    """F9 from_bounding_poly (layout.py:142-164): bbox from 4-vertex poly via
+    vertex min/max."""
+    p = _t(spark, sf_dir, "part")
+    v = p.select(
+        "p_partkey",
+        ((F.col("p_size") % 10) / 10.0).alias("x1v"),
+        ((F.col("p_partkey") % 10) / 10.0).alias("y1v"),
+        (((F.col("p_size") + 3) % 10) / 10.0).alias("x2v"),
+        (((F.col("p_partkey") + 1) % 10) / 10.0).alias("y2v"),
+        (((F.col("p_size") + 5) % 10) / 10.0).alias("x3v"),
+        (((F.col("p_partkey") + 4) % 10) / 10.0).alias("y3v"),
+        (((F.col("p_size") + 7) % 10) / 10.0).alias("x4v"),
+        (((F.col("p_partkey") + 6) % 10) / 10.0).alias("y4v"),
+    )
+    return v.select(
+        "p_partkey",
+        F.round(F.least("x1v", "x2v", "x3v", "x4v"), 5).alias("x0"),
+        F.round(F.least("y1v", "y2v", "y3v", "y4v"), 5).alias("top"),
+        F.round(F.greatest("x1v", "x2v", "x3v", "x4v"), 5).alias("x1"),
+        F.round(F.greatest("y1v", "y2v", "y3v", "y4v"), 5).alias("bottom"),
+    )
+
+
+@query(
+    "two_level_mean",
+    """
+    SELECT user_id, round(CAST(sum(day_mean_d) AS DOUBLE) / count(*), 4) AS mean_of_daily_means
+    FROM (
+      SELECT user_id,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DECIMAL(18,8)) AS day_mean_d
+      FROM (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events)
+      GROUP BY user_id, day)
+    GROUP BY user_id
+    """,
+)
+def two_level_mean(spark, sf_dir):
+    """A5 mean-of-means (average_line_height, utils/layout.py:270-283):
+    two-level groupBy with exact decimal inner means."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            )
+            .cast("decimal(18,8)")
+            .alias("day_mean_d")
+        )
+    )
+    return daily.groupBy("user_id").agg(
+        F.round(F.sum("day_mean_d").cast("double") / F.count("*"), 4).alias(
+            "mean_of_daily_means"
+        )
+    )
+
+
+@query(
+    "ntile_chunking",
+    """
+    SELECT chunk, count(*) AS n, min(event_id) AS first_id FROM (
+      SELECT event_id, ntile(8) OVER (ORDER BY event_id) AS chunk FROM events)
+    GROUP BY chunk
+    """,
+)
+def ntile_chunking(spark, sf_dir):
+    """W8 chunk_iterable (_pdfium.py:71-101): balanced chunks with remainder
+    spread — exactly ntile semantics."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    return (
+        ev.select("event_id", F.ntile(8).over(w).alias("chunk"))
+        .groupBy("chunk")
+        .agg(F.count("*").alias("n"), F.min("event_id").alias("first_id"))
+    )
+
+
+@query(
+    "orientation_mapping",
+    """
+    SELECT CASE (n_nationkey % 4) WHEN 0 THEN 'UP' WHEN 1 THEN 'RIGHT'
+                WHEN 2 THEN 'DOWN' ELSE 'LEFT' END AS direction,
+           count(*) AS n
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def orientation_mapping(spark, sf_dir):
+    """F11/F12 enum mapping (gcp.py:43-63): when-chain over a broadcast dim
+    join."""
+    c = _t(spark, sf_dir, "customer").select("c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+    direction = (
+        F.when(F.col("n_nationkey") % 4 == 0, "UP")
+        .when(F.col("n_nationkey") % 4 == 1, "RIGHT")
+        .when(F.col("n_nationkey") % 4 == 2, "DOWN")
+        .otherwise("LEFT")
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(direction.alias("direction"))
+        .groupBy("direction")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "self_exclusion_twins",
+    """
+    SELECT a.l_orderkey AS l_orderkey, count(*) AS n_twins
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_quantity = b.l_quantity
+         AND a.l_linenumber <> b.l_linenumber
+    GROUP BY a.l_orderkey
+    """,
+)
+def self_exclusion_twins(spark, sf_dir):
+    """SE1 self-exclusion (provenance/search.py:135,158): same-key matches
+    minus the element itself."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_quantity") == F.col("b.l_quantity"))
+            & (F.col("a.l_linenumber") != F.col("b.l_linenumber")),
+        )
+        .groupBy(F.col("a.l_orderkey").alias("l_orderkey"))
+        .agg(F.count("*").alias("n_twins"))
+    )
+
+
+def mime_sniff_stats(spark, sf_dir):
+    """P1 is_pdf mime predicate (utils/util.py:19-30) over the corpus's raw
+    byte column: classify wrapper envelopes without decoding (rows-only)."""
+    from docprompt_spark import pipeline
+
+    docs = pipeline.corpus_df(spark, 32, seed=13, skew_every=0)
+    kindc = (
+        F.when(F.col("pdf").substr(1, 5) == F.lit(b"%PDF-"), "raw")
+        .when(F.col("pdf").substr(1, 2) == F.lit(b"\x1f\x8b"), "gzip")
+        .otherwise("base64")
+    )
+    return docs.select(kindc.alias("envelope")).groupBy("envelope").agg(
+        F.count("*").alias("n")
+    )
+
+
+_REGISTRY["mime_sniff_stats"] = (mime_sniff_stats, None)
+
+
 _AUG_EMB_SQL = """
   SELECT vec_id, emb FROM ({base})
   UNION ALL
