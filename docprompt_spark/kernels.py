@@ -431,6 +431,132 @@ def assemble_page_spans(layout: dict, images: List[dict]) -> List[dict]:
     return spans
 
 
+# ---------------------------------------------------------------------------
+# Provenance refinement (reference provenance/util.py:91-185, D19) —
+# from-scratch: indel-ratio fuzzy matching (rapidfuzz-equivalent definition)
+# and a DAG shortest path with squared-jump weights, no external libs.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_NON_ALNUM = _re.compile(r"[^a-z0-9]+")
+
+
+def default_process(s: str) -> str:
+    """rapidfuzz ``default_process`` equivalent: lowercase, non-alphanumeric
+    → space, trim."""
+    return _NON_ALNUM.sub(" ", s.lower()).strip()
+
+
+def fuzz_ratio(a: str, b: str) -> float:
+    """Normalized indel similarity ×100 (the ``fuzz.ratio`` definition):
+    100 * 2*LCS(a,b) / (len(a)+len(b))."""
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 100.0
+    if la == 0 or lb == 0:
+        return 0.0
+    prev = [0] * (lb + 1)
+    for i in range(1, la + 1):
+        cur = [0] * (lb + 1)
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            if ca == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+            else:
+                cur[j] = cur[j - 1] if cur[j - 1] >= prev[j] else prev[j]
+        prev = cur
+    return 100.0 * (2.0 * prev[lb]) / (la + lb)
+
+
+def _dag_shortest_path(edges: Dict[int, List[int]], start: int, end: int):
+    """Shortest path on an increasing-index DAG with weight (j-i)^2."""
+    import heapq
+
+    dist = {start: 0.0}
+    prev: Dict[int, int] = {}
+    heap = [(0.0, start)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if u == end:
+            path = [end]
+            while path[-1] != start:
+                path.append(prev[path[-1]])
+            return path[::-1]
+        if d > dist.get(u, float("inf")):
+            continue
+        for v in edges.get(u, ()):
+            nd = d + (v - u) ** 2
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                prev[v] = u
+                heapq.heappush(heap, (nd, v))
+    return None
+
+
+def refine_query_to_word_level(
+    words: List[dict], query: str, min_ratio: float = 87.5
+) -> Optional[Tuple[dict, List[dict]]]:
+    """Word-level span for ``query`` (reference refine_block_to_word_level,
+    provenance/util.py:91-185): fuzzy-match tokens to words (>87.5 ratio),
+    build an increasing-index DAG between consecutive-token matches with
+    weight (idx gap)^2, take the shortest first→last path, merge path words
+    (bbox union + space-joined text)."""
+    ws = sorted(words, key=lambda w: (w["top"], w["x0"]))
+    tokens = [t for t in _re.split(r"\s+", query) if t]
+    if not tokens:
+        return None
+    if len(tokens) == 1:
+        fq = default_process(tokens[0])
+        for w in ws:
+            if fuzz_ratio(fq, default_process(w["text"])) > min_ratio:
+                return w, [w]
+        return None
+
+    fuzzed = [default_process(w["text"]) for w in ws]
+    token_blocks: Dict[str, set] = {}
+    for tok in tokens:
+        ft = default_process(tok)
+        token_blocks.setdefault(tok, set())
+        for i, fw in enumerate(fuzzed):
+            if fuzz_ratio(ft, fw) > min_ratio:
+                token_blocks[tok].add(i)
+
+    edges: Dict[int, List[int]] = {}
+    prev_tok = tokens[0]
+    for tok in tokens[1:]:
+        for pb in token_blocks[prev_tok]:
+            for b in sorted(token_blocks[tok]):
+                if b > pb:
+                    edges.setdefault(pb, []).append(b)
+        prev_tok = tok
+
+    firsts, lasts = token_blocks[tokens[0]], token_blocks[tokens[-1]]
+    combos = sorted(
+        [(x, y) for x in firsts for y in lasts if x < y], key=lambda p: abs(p[1] - p[0])
+    )
+    for start, end in combos:
+        path = _dag_shortest_path(edges, start, end)
+        if path is None:
+            continue
+        matched = [ws[i] for i in path]
+        bbox = bbox_combine([(w["x0"], w["top"], w["x1"], w["bottom"]) for w in matched])
+        text = ""
+        for w in matched:
+            text += w["text"]
+            if not w["text"].endswith(" "):
+                text += " "
+        merged = {
+            "text": text,
+            "x0": bbox[0],
+            "top": bbox[1],
+            "x1": bbox[2],
+            "bottom": bbox[3],
+        }
+        return merged, matched
+    return None
+
+
 def assemble_doc_spans(page_results: List[dict]) -> List[dict]:
     """Document span sequence from per-page results.
 

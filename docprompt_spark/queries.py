@@ -1606,6 +1606,68 @@ def provenance_search(spark, sf_dir):
 _REGISTRY["provenance_search"] = (provenance_search, None)
 
 
+def provenance_refined_search(spark, sf_dir):
+    """D19 refine_block_to_word_level: per-doc multi-word queries fuzzy-
+    matched to parsed word boxes, DAG shortest-path refinement → merged
+    word-level span (text + bbox union). Rows-only (pipeline-dependent)."""
+    import pandas as pd
+
+    from docprompt_spark import pipeline
+    from docprompt_spark.corpus import gen_corpus
+    from docprompt_spark.shipping import ensure_py_files
+
+    ensure_py_files(spark)
+    docs_data = gen_corpus(6, seed=17, skew_every=0)
+    qmap = {}
+    for d in docs_data:
+        line = next(s for s in d["spans"] if s["kind"] == "line")
+        toks = [t for t in line["text"].split() if t][:3]
+        if len(toks) >= 2:
+            qmap[d["doc_id"]] = " ".join(toks)
+
+    docs = pipeline.corpus_df(spark, 6, seed=17, skew_every=0).select("doc_id", "pdf")
+
+    def fn(batches):
+        from docprompt_spark import kernels, pdfparse
+
+        for batch in batches:
+            rows = []
+            for doc_id, blob in zip(batch["doc_id"], batch["pdf"]):
+                q = qmap.get(doc_id)
+                if not q:
+                    continue
+                for p in pdfparse.extract_pages(bytes(blob)):
+                    hit = kernels.refine_query_to_word_level(p["words"], q)
+                    if hit is None:
+                        continue
+                    merged, matched = hit
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "page_number": p["page_number"],
+                            "query": q,
+                            "matched_text": merged["text"],
+                            "x0": merged["x0"],
+                            "top": merged["top"],
+                            "x1": merged["x1"],
+                            "bottom": merged["bottom"],
+                            "n_words": len(matched),
+                        }
+                    )
+                    break
+            if rows:
+                yield pd.DataFrame(rows)
+
+    schema = (
+        "doc_id string, page_number int, query string, matched_text string,"
+        " x0 double, top double, x1 double, bottom double, n_words int"
+    )
+    return docs.repartition(8, "doc_id").mapInPandas(fn, schema=schema)
+
+
+_REGISTRY["provenance_refined_search"] = (provenance_refined_search, None)
+
+
 def queries() -> Dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
