@@ -71,11 +71,14 @@ def main() -> None:
     pipeline.run_extraction(spark, docs).selectExpr("sum(size(spans))").collect()
 
     extraction_sec, n_spans = None, 0
+    rep_walls = []
     for _ in range(reps):
         t0 = time.perf_counter()
         result = pipeline.run_extraction(spark, docs)
         n_spans = result.selectExpr("sum(size(spans))").collect()[0][0]
         el = time.perf_counter() - t0
+        rep_walls.append(round(el, 3))
+        print(f"[bench] extraction rep: {el:.3f}s", file=sys.stderr)
         extraction_sec = el if extraction_sec is None else min(extraction_sec, el)
 
     headline = [
@@ -117,6 +120,7 @@ def main() -> None:
             "n_spans": int(n_spans),
             "docs_per_sec": round(n_docs / extraction_sec, 2),
             "pages_per_sec": round(n_pages / extraction_sec, 2),
+            "rep_walls": rep_walls,
         },
     }
     print(json.dumps(out))

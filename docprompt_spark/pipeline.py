@@ -152,7 +152,9 @@ def parse_pages(
 
     spark = buckets_df.sparkSession
     ensure_py_files(spark)
-    nparts = parallelism or spark.sparkContext.defaultParallelism * 2
+    # 4 waves of small tasks: straggler/tail variance dominates this stage at
+    # high core counts (measured: 4x beats 2x and 8x at local[32])
+    nparts = parallelism or spark.sparkContext.defaultParallelism * 4
     pruned = buckets_df.select("doc_id", "pdf", "page_bucket").repartition(
         nparts, "doc_id", "page_bucket"
     )

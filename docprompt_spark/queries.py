@@ -453,26 +453,62 @@ def posting_list_sizes(spark, sf_dir):
 @query(
     "date_extraction",
     """
-    SELECT y, count(*) AS n FROM (
-      SELECT CAST(substr(regexp_extract(s, '(\\d{4}-\\d{2}-\\d{2})', 1), 1, 4) AS INT) AS y
-      FROM (SELECT 'Received on ' || strftime(o_orderdate, '%Y-%m-%d') || ' ok' AS s FROM orders)
-      WHERE regexp_matches(s, '\\d{4}-\\d{2}-\\d{2}'))
-    GROUP BY y
+    SELECT fmt, y, count(*) AS n FROM (
+      SELECT
+        CASE
+          WHEN regexp_matches(s, '\\d{4}-\\d{2}-\\d{2}') THEN 'iso'
+          WHEN regexp_matches(s, '\\d{2}/\\d{2}/\\d{4}') THEN 'us'
+          WHEN regexp_matches(s, '[A-Za-z]{3} \\d{1,2}, \\d{4}') THEN 'mon'
+          WHEN regexp_matches(s, '\\d{4}\\.\\d{2}\\.\\d{2}') THEN 'dot'
+        END AS fmt,
+        CAST(year(coalesce(
+          try_strptime(regexp_extract(s, '(\\d{4}-\\d{2}-\\d{2})', 1), '%Y-%m-%d'),
+          try_strptime(regexp_extract(s, '(\\d{2}/\\d{2}/\\d{4})', 1), '%m/%d/%Y'),
+          try_strptime(regexp_extract(s, '([A-Za-z]{3} \\d{1,2}, \\d{4})', 1), '%b %-d, %Y'),
+          try_strptime(regexp_extract(s, '(\\d{4}\\.\\d{2}\\.\\d{2})', 1), '%Y.%m.%d')
+        )) AS INT) AS y
+      FROM (
+        SELECT 'Received on ' ||
+          CASE CAST(o_orderkey % 4 AS INT)
+            WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+            WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+            WHEN 2 THEN strftime(o_orderdate, '%b %-d, %Y')
+            ELSE strftime(o_orderdate, '%Y.%m.%d') END || ' ok' AS s
+        FROM orders))
+    WHERE y IS NOT NULL GROUP BY fmt, y
     """,
 )
 def date_extraction(spark, sf_dir):
-    """F4 extract_dates_from_text: regex extraction + validation, UDF-free."""
+    """F4 extract_dates_from_text (utils/date_extraction.py: 22 regex
+    patterns + strptime validation): multi-format regex extraction with
+    null-safe parse as the validity check — entirely UDF-free."""
     o = _t(spark, sf_dir, "orders")
-    s = F.concat(F.lit("Received on "), F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit(" ok"))
+    fmt_str = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(F.col("o_orderkey") % 4 == 1, F.date_format("o_orderdate", "MM/dd/yyyy"))
+        .when(F.col("o_orderkey") % 4 == 2, F.date_format("o_orderdate", "MMM d, yyyy"))
+        .otherwise(F.date_format("o_orderdate", "yyyy.MM.dd"))
+    )
+    s = F.concat(F.lit("Received on "), fmt_str, F.lit(" ok"))
+    base = o.select(s.alias("s"))
+    fmt = (
+        F.when(F.col("s").rlike(r"\d{4}-\d{2}-\d{2}"), "iso")
+        .when(F.col("s").rlike(r"\d{2}/\d{2}/\d{4}"), "us")
+        .when(F.col("s").rlike(r"[A-Za-z]{3} \d{1,2}, \d{4}"), "mon")
+        .when(F.col("s").rlike(r"\d{4}\.\d{2}\.\d{2}"), "dot")
+    )
+    # try_to_timestamp: null-safe parse (ANSI mode is on by default in
+    # Spark 4 — plain to_date would throw on the non-matching formats)
+    parsed = F.coalesce(
+        F.expr(r"try_to_timestamp(regexp_extract(s, '(\\d{4}-\\d{2}-\\d{2})', 1), 'yyyy-MM-dd')"),
+        F.expr(r"try_to_timestamp(regexp_extract(s, '(\\d{2}/\\d{2}/\\d{4})', 1), 'MM/dd/yyyy')"),
+        F.expr(r"try_to_timestamp(regexp_extract(s, '([A-Za-z]{3} \\d{1,2}, \\d{4})', 1), 'MMM d, yyyy')"),
+        F.expr(r"try_to_timestamp(regexp_extract(s, '(\\d{4}\\.\\d{2}\\.\\d{2})', 1), 'yyyy.MM.dd')"),
+    )
     return (
-        o.select(s.alias("s"))
-        .filter(F.col("s").rlike(r"\d{4}-\d{2}-\d{2}"))
-        .select(
-            F.substring(F.regexp_extract("s", r"(\d{4}-\d{2}-\d{2})", 1), 1, 4)
-            .cast("int")
-            .alias("y")
-        )
-        .groupBy("y")
+        base.select(fmt.alias("fmt"), F.year(parsed).cast("int").alias("y"))
+        .filter(F.col("y").isNotNull())
+        .groupBy("fmt", "y")
         .agg(F.count("*").alias("n"))
     )
 
