@@ -22,13 +22,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run(cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-    )
+    # Pin the WHOLE process tree (JVM + python workers) to `cpus` CPUs:
+    # an honest N-executor emulation. Unpinned local[8] would cheat — its
+    # JVM shuffle/arrow threads run on the other 24 cores for free.
+    cmd = [
+        "taskset",
+        "-c",
+        f"0-{cpus - 1}",
+        sys.executable,
+        os.path.join(REPO, "bench.py"),
+    ]
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 
@@ -70,12 +74,15 @@ def main() -> None:
         "executors is evidenced as local[8] vs local[32] on identical input — "
         "same cached corpus parquet, same sf0.1 relational tables).",
         "",
-        "Methodology: the host is multi-tenant with minute-scale contention "
-        "windows (a raw 32-process run of the same parse kernels reaches "
-        "~25x single-thread in quiet windows, so the machine itself scales). "
-        "Each number is the min of 5 steady-state reps (after one uncounted "
-        "full warmup run); the reported pair is the best of up to 3 "
-        "attempts. Per-rep walls are in the raw JSON below.",
+        "Methodology: each run is CPU-pinned with `taskset -c 0-(N-1)` so the "
+        "entire process tree (JVM + Python workers) is confined to N cores — "
+        "an honest N-executor emulation (unpinned local[8] would borrow the "
+        "other 24 cores for JVM shuffle/Arrow threads). The host is "
+        "multi-tenant with minute-scale contention windows (a raw 32-process "
+        "run of the same parse kernels reaches ~25x single-thread in quiet "
+        "windows), so each number is the min of steady-state reps after one "
+        "uncounted warmup run, best of up to 2 attempts per parallelism. "
+        "Per-rep walls are in the raw JSON below.",
         "",
         "## Extraction (flagship): corpus → parse → layout → span sequences",
         "",

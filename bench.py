@@ -62,7 +62,13 @@ def main() -> None:
 
     spark = get_spark(master=f"local[{cpus}]", app_name="bench")
 
-    docs = spark.read.parquet(cpath).select("doc_id", "pdf", "n_pages")
+    # balanced cached input (one-time, uncounted): the narrow no-shuffle
+    # parse path inherits this partitioning
+    docs = (
+        spark.read.parquet(cpath)
+        .select("doc_id", "pdf", "n_pages")
+        .repartition(cpus * 2)
+    )
     docs.persist().count()  # input cached: measure compute, not disk
     n_pages = docs.selectExpr("sum(n_pages)").collect()[0][0]
 

@@ -60,7 +60,10 @@ PAGE_SCHEMA = StructType(
         StructField("doc_id", StringType(), False),
         StructField("page_bucket", IntegerType(), False),
         StructField("page_number", IntegerType(), False),
-        StructField("page_text", StringType(), False),
+        # only the LENGTH of the page text is needed downstream (doc-level
+        # offset windows); shipping the text itself would add ~30% exchange
+        # volume for nothing — span texts already carry the content
+        StructField("page_text_len", IntegerType(), False),
         StructField("spans", ArrayType(SPAN_TYPE), False),  # page-local offsets
         StructField("n_words", IntegerType(), False),
         StructField("n_lines", IntegerType(), False),
@@ -124,7 +127,7 @@ def _parse_and_layout(pages_per_bucket: int, on_error: str):
                             "doc_id": doc_id,
                             "page_bucket": int(bucket),
                             "page_number": p["page_number"],
-                            "page_text": layout["page_text"],
+                            "page_text_len": len(layout["page_text"]),
                             "spans": spans,
                             "n_words": sum(len(ln["words"]) for ln in layout["lines"]),
                             "n_lines": len(layout["lines"]),
@@ -140,26 +143,39 @@ def _parse_and_layout(pages_per_bucket: int, on_error: str):
     return fn
 
 
+SKEW_PAGE_THRESHOLD = 4 * DEFAULT_PAGES_PER_BUCKET
+
+
 def parse_pages(
     buckets_df: DataFrame,
     pages_per_bucket: int = DEFAULT_PAGES_PER_BUCKET,
     on_error: str = "fail",
     parallelism: Optional[int] = None,
+    skew_page_threshold: int = SKEW_PAGE_THRESHOLD,
 ) -> DataFrame:
-    """Salted bucket rows → page rows. Repartitions by (doc_id, page_bucket)
-    so skew-tail documents spread across the cluster."""
+    """Salted bucket rows → page rows, with differentiated skew handling.
+
+    Small documents (the overwhelming majority) parse NARROWLY on the input
+    partitioning — zero shuffle; at 100 TB you never want to shuffle raw
+    document bytes. Only skew-tail documents (n_pages > threshold, whose
+    buckets would otherwise serialize inside one input split) are exploded
+    and repartitioned by (doc_id, page_bucket) so a 5000-page book fans out
+    across the cluster instead of pinning one task.
+    """
     from docprompt_spark.shipping import ensure_py_files
 
     spark = buckets_df.sparkSession
     ensure_py_files(spark)
-    # 4 waves of small tasks: straggler/tail variance dominates this stage at
-    # high core counts (measured: 4x beats 2x and 8x at local[32])
+    fn = _parse_and_layout(pages_per_bucket, on_error)
+    cols = ["doc_id", "pdf", "page_bucket"]
+    small = buckets_df.filter(F.col("n_pages") <= skew_page_threshold).select(*cols)
+    big = buckets_df.filter(F.col("n_pages") > skew_page_threshold).select(*cols)
+    # 4 waves of small tasks on the skew path: straggler/tail variance
+    # dominates at high core counts (measured: 4x beats 2x and 8x)
     nparts = parallelism or spark.sparkContext.defaultParallelism * 4
-    pruned = buckets_df.select("doc_id", "pdf", "page_bucket").repartition(
-        nparts, "doc_id", "page_bucket"
-    )
-    return pruned.mapInPandas(
-        _parse_and_layout(pages_per_bucket, on_error), schema=PAGE_SCHEMA
+    big = big.repartition(nparts, "doc_id", "page_bucket")
+    return small.mapInPandas(fn, schema=PAGE_SCHEMA).unionAll(
+        big.mapInPandas(fn, schema=PAGE_SCHEMA)
     )
 
 
@@ -177,7 +193,7 @@ def doc_spans(pages_df: DataFrame) -> DataFrame:
     )
     pages = pages_df.withColumn(
         "page_start",
-        F.coalesce(F.sum(F.length("page_text") + F.lit(1)).over(w), F.lit(0)).cast(
+        F.coalesce(F.sum(F.col("page_text_len") + F.lit(1)).over(w), F.lit(0)).cast(
             "int"
         ),
     )

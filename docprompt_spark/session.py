@@ -41,6 +41,10 @@ def get_spark(
         # scan-side pruning
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # fat binary doc tables: split scans finer so the narrow (no-shuffle)
+        # parse path gets full parallelism from input splits
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         # quieter local runs
         .config("spark.ui.showConsoleProgress", "false")
