@@ -7,15 +7,15 @@ with each run CPU-pinned via `taskset -c 0-(N-1)` so the WHOLE process tree
 (JVM + Python workers) is confined to N cores — the honest emulation of an
 N-core executor allocation.
 
-Measures the pairs in $SCALING_PAIRS (default "2:8,8:32") and writes
+Measures the pairs in $SCALING_PAIRS (default "4:16,8:32") and writes
 BENCH/BASELINE.md with throughput at every level plus per-pair efficiency
 tp(4N) / (4 * tp(N)).
 
 Single-box caveat (documented in the output): in a real cluster, 4N
 executors are 4x independent machines; on one box the 4N run shares the
 machine between 4x as many JVM task threads AND Python workers, so the
-upper pair understates true multi-node scaling. The lower pair (2 -> 8
-cores, both far below machine capacity) is the contention-free signal.
+upper pair understates true multi-node scaling. The lower pair (both
+levels far below machine capacity) is the contention-free signal.
 """
 
 from __future__ import annotations
@@ -46,7 +46,7 @@ def run(cpus: int) -> dict:
 def main() -> None:
     pairs = [
         tuple(int(x) for x in p.split(":"))
-        for p in os.environ.get("SCALING_PAIRS", "2:8,8:32").split(",")
+        for p in os.environ.get("SCALING_PAIRS", "4:16,8:32").split(",")
     ]
     attempts = int(os.environ.get("SCALING_ATTEMPTS", "2"))
     os.environ.setdefault("BENCH_REPS", "4")
