@@ -189,6 +189,43 @@ def normalize_block_edges(
     return out
 
 
+def word_line_clusters_from_line_blocks(
+    words: List[dict],
+    line_blocks: List[dict],
+    min_line_confidence: float = 0.3,
+) -> List[List[dict]]:
+    """Provider-line word clustering (reference utils/layout.py:67-110, J1).
+
+    Line blocks with confidence >= ``min_line_confidence`` (P3 filter,
+    layout.py:81-85; a missing/None confidence counts as trusted) act as
+    anchors; each word goes to the line block with the highest vertical
+    overlap (strict ``>`` so zero overlap never matches — words overlapping
+    no line are dropped, as in the reference). Output clusters keep word
+    input order (the reference does NOT re-sort within a line on this path)
+    and are ordered by the first member word's top edge (layout.py:110).
+
+    Validated char-for-char against the reference's own fixture goldens in
+    tests/test_ref_fixture_parity.py (page 1 == 4786 chars).
+    """
+    filtered = [
+        (idx, lb)
+        for idx, lb in enumerate(line_blocks)
+        if (lb.get("confidence") is None or lb["confidence"] >= min_line_confidence)
+    ]
+    line_to_words: Dict[int, List[dict]] = {}
+    for w in words:
+        best_overlap = 0.0
+        best_idx = None
+        for idx, lb in filtered:
+            overlap = min(w["bottom"], lb["bottom"]) - max(w["top"], lb["top"])
+            if overlap > best_overlap:
+                best_overlap = overlap
+                best_idx = idx
+        if best_idx is not None:
+            line_to_words.setdefault(best_idx, []).append(w)
+    return sorted(line_to_words.values(), key=lambda ws: ws[0]["top"])
+
+
 def cluster_words_into_lines(
     words: List[dict], minimum_y_overlap_threshold: float = 0.5
 ) -> List[List[dict]]:
@@ -253,6 +290,7 @@ def construct_word_line(
 def build_page_layout(
     words: List[dict],
     *,
+    line_blocks: Optional[List[dict]] = None,
     regularize_left_margin: bool = False,
     x_density: float = 0.01,
     do_left_shift: bool = True,
@@ -280,7 +318,16 @@ def build_page_layout(
     if regularize_left_margin:
         words = normalize_block_edges(words)
 
-    line_clusters = cluster_words_into_lines(words)
+    # Provider-lines path (J1, reference layout.py:294-297): when line blocks
+    # are supplied, cluster on max vertical overlap with them instead of the
+    # greedy fallback. Note x_shift / average-line-height still derive from
+    # the full word set (words a cluster drops still count toward x_shift).
+    if line_blocks:
+        line_clusters = word_line_clusters_from_line_blocks(words, line_blocks)
+        if not line_clusters:
+            return {"page_text": "", "lines": [], "blocks": []}
+    else:
+        line_clusters = cluster_words_into_lines(words)
 
     line_heights = [
         _mean([abs(w["bottom"] - w["top"]) for w in lw]) if lw else 0.0
