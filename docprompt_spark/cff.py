@@ -1,0 +1,417 @@
+"""Glyph-name decoding for simple (non-Type0) embedded fonts.
+
+Many real PDFs (notably TeX/dvips/ghostscript output, e.g. the reference's
+tests/fixtures/1.pdf) carry no /ToUnicode and no /Encoding on the font dict;
+the byte-code -> glyph mapping lives only inside the embedded font program.
+Without it, ligatures and TeX-encoded punctuation decode as control bytes
+("\\x02rst" instead of "first").
+
+This module recovers a ``{byte code: unicode str}`` map from:
+
+* CFF font programs (/FontFile3, Subtype Type1C): header -> INDEXes ->
+  Top DICT -> Encoding (code->GID) + charset (GID->SID) + String INDEX
+  (SID->name), per the public CFF spec (Adobe TN #5176).
+* Type1 font programs (/FontFile): the cleartext ``/Encoding`` section's
+  ``dup <code> /<name> put`` entries.
+* PDF /Encoding dictionaries: BaseEncoding + /Differences overrides.
+
+Glyph names map to text via a compact Adobe-Glyph-List subset; ligature
+glyphs expand to their ASCII letters (fi -> "fi") — matching how OCR golden
+fixtures tokenize scanned text, and how most text extractors normalize.
+
+Reference behavior parity: the reference library delegates all of this to
+pdfium (/root/reference/docprompt/_pdfium.py); this is a from-scratch
+reimplementation of the same decoding outcome.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional
+
+# --------------------------------------------------------------------------
+# CFF standard strings, SIDs 0..228 (Adobe TN #5176 Appendix A). SIDs above
+# 228 are small-caps/superior variants never used for running text; subset
+# fonts put anything unusual in the custom String INDEX anyway.
+# --------------------------------------------------------------------------
+
+STANDARD_STRINGS: List[str] = [
+    ".notdef", "space", "exclam", "quotedbl", "numbersign", "dollar",
+    "percent", "ampersand", "quoteright", "parenleft", "parenright",
+    "asterisk", "plus", "comma", "hyphen", "period", "slash", "zero", "one",
+    "two", "three", "four", "five", "six", "seven", "eight", "nine", "colon",
+    "semicolon", "less", "equal", "greater", "question", "at", "A", "B", "C",
+    "D", "E", "F", "G", "H", "I", "J", "K", "L", "M", "N", "O", "P", "Q",
+    "R", "S", "T", "U", "V", "W", "X", "Y", "Z", "bracketleft", "backslash",
+    "bracketright", "asciicircum", "underscore", "quoteleft", "a", "b", "c",
+    "d", "e", "f", "g", "h", "i", "j", "k", "l", "m", "n", "o", "p", "q",
+    "r", "s", "t", "u", "v", "w", "x", "y", "z", "braceleft", "bar",
+    "braceright", "asciitilde", "exclamdown", "cent", "sterling", "fraction",
+    "yen", "florin", "section", "currency", "quotesingle", "quotedblleft",
+    "guillemotleft", "guilsinglleft", "guilsinglright", "fi", "fl", "endash",
+    "dagger", "daggerdbl", "periodcentered", "paragraph", "bullet",
+    "quotesinglbase", "quotedblbase", "quotedblright", "guillemotright",
+    "ellipsis", "perthousand", "questiondown", "grave", "acute",
+    "circumflex", "tilde", "macron", "breve", "dotaccent", "dieresis",
+    "ring", "cedilla", "hungarumlaut", "ogonek", "caron", "emdash", "AE",
+    "ordfeminine", "Lslash", "Oslash", "OE", "ordmasculine", "ae",
+    "dotlessi", "lslash", "oslash", "oe", "germandbls", "onesuperior",
+    "logicalnot", "mu", "trademark", "Eth", "onehalf", "plusminus", "Thorn",
+    "onequarter", "divide", "brokenbar", "degree", "thorn", "threequarters",
+    "twosuperior", "registered", "minus", "eth", "multiply",
+    "threesuperior", "copyright", "Aacute", "Acircumflex", "Adieresis",
+    "Agrave", "Aring", "Atilde", "Ccedilla", "Eacute", "Ecircumflex",
+    "Edieresis", "Egrave", "Iacute", "Icircumflex", "Idieresis", "Igrave",
+    "Ntilde", "Oacute", "Ocircumflex", "Odieresis", "Ograve", "Otilde",
+    "Scaron", "Uacute", "Ucircumflex", "Udieresis", "Ugrave", "Yacute",
+    "Ydieresis", "Zcaron", "aacute", "acircumflex", "adieresis", "agrave",
+    "aring", "atilde", "ccedilla", "eacute", "ecircumflex", "edieresis",
+    "egrave", "iacute", "icircumflex", "idieresis", "igrave", "ntilde",
+    "oacute", "ocircumflex", "odieresis", "ograve", "otilde", "scaron",
+    "uacute", "ucircumflex", "udieresis", "ugrave", "yacute", "ydieresis",
+    "zcaron",
+]
+
+# --------------------------------------------------------------------------
+# Glyph name -> text (Adobe Glyph List subset + ligature expansion)
+# --------------------------------------------------------------------------
+
+_NAME_TO_TEXT: Dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "quoteright": "’", "quoteleft": "‘", "parenleft": "(",
+    "parenright": ")", "asterisk": "*", "plus": "+", "comma": ",",
+    "hyphen": "-", "period": ".", "slash": "/", "zero": "0", "one": "1",
+    "two": "2", "three": "3", "four": "4", "five": "5", "six": "6",
+    "seven": "7", "eight": "8", "nine": "9", "colon": ":", "semicolon": ";",
+    "less": "<", "equal": "=", "greater": ">", "question": "?", "at": "@",
+    "bracketleft": "[", "backslash": "\\", "bracketright": "]",
+    "asciicircum": "^", "underscore": "_", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    # ligatures expanded to letters (golden-OCR style normalization)
+    "ff": "ff", "fi": "fi", "fl": "fl", "ffi": "ffi", "ffl": "ffl",
+    "longs": "s", "st": "st",
+    # dashes & quotes
+    "endash": "–", "emdash": "—",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "guillemotleft": "«", "guillemotright": "»",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "ellipsis": "…", "bullet": "•", "dagger": "†",
+    "daggerdbl": "‡", "periodcentered": "·",
+    "paragraph": "¶", "section": "§", "perthousand": "‰",
+    # currency & math
+    "exclamdown": "¡", "questiondown": "¿", "cent": "¢",
+    "sterling": "£", "yen": "¥", "florin": "ƒ",
+    "currency": "¤", "fraction": "⁄", "degree": "°",
+    "plusminus": "±", "divide": "÷", "multiply": "×",
+    "minus": "−", "logicalnot": "¬", "mu": "µ",
+    "trademark": "™", "registered": "®", "copyright": "©",
+    "onehalf": "½", "onequarter": "¼", "threequarters": "¾",
+    "onesuperior": "¹", "twosuperior": "²",
+    "threesuperior": "³", "brokenbar": "¦",
+    # accents (spacing forms)
+    "grave": "`", "acute": "´", "circumflex": "ˆ",
+    "tilde": "˜", "macron": "¯", "breve": "˘",
+    "dotaccent": "˙", "dieresis": "¨", "ring": "˚",
+    "cedilla": "¸", "hungarumlaut": "˝", "ogonek": "˛",
+    "caron": "ˇ",
+    # letters with diacritics / special letters
+    "AE": "Æ", "ae": "æ", "OE": "Œ", "oe": "œ",
+    "Oslash": "Ø", "oslash": "ø", "Lslash": "Ł",
+    "lslash": "ł", "Eth": "Ð", "eth": "ð",
+    "Thorn": "Þ", "thorn": "þ", "germandbls": "ß",
+    "dotlessi": "ı", "ordfeminine": "ª", "ordmasculine": "º",
+    "Scaron": "Š", "scaron": "š", "Zcaron": "Ž",
+    "zcaron": "ž", "Ydieresis": "Ÿ",
+    "Aacute": "Á", "Acircumflex": "Â", "Adieresis": "Ä",
+    "Agrave": "À", "Aring": "Å", "Atilde": "Ã",
+    "Ccedilla": "Ç", "Eacute": "É", "Ecircumflex": "Ê",
+    "Edieresis": "Ë", "Egrave": "È", "Iacute": "Í",
+    "Icircumflex": "Î", "Idieresis": "Ï", "Igrave": "Ì",
+    "Ntilde": "Ñ", "Oacute": "Ó", "Ocircumflex": "Ô",
+    "Odieresis": "Ö", "Ograve": "Ò", "Otilde": "Õ",
+    "Uacute": "Ú", "Ucircumflex": "Û", "Udieresis": "Ü",
+    "Ugrave": "Ù", "Yacute": "Ý",
+    "aacute": "á", "acircumflex": "â", "adieresis": "ä",
+    "agrave": "à", "aring": "å", "atilde": "ã",
+    "ccedilla": "ç", "eacute": "é", "ecircumflex": "ê",
+    "edieresis": "ë", "egrave": "è", "iacute": "í",
+    "icircumflex": "î", "idieresis": "ï", "igrave": "ì",
+    "ntilde": "ñ", "oacute": "ó", "ocircumflex": "ô",
+    "odieresis": "ö", "ograve": "ò", "otilde": "õ",
+    "uacute": "ú", "ucircumflex": "û", "udieresis": "ü",
+    "ugrave": "ù", "yacute": "ý", "ydieresis": "ÿ",
+}
+# single-character names (a-z, A-Z, etc.) map to themselves
+for _n in STANDARD_STRINGS:
+    if len(_n) == 1:
+        _NAME_TO_TEXT.setdefault(_n, _n)
+
+_UNI_RE = re.compile(r"^uni([0-9A-Fa-f]{4})")
+_U_RE = re.compile(r"^u([0-9A-Fa-f]{4,6})$")
+
+
+def glyph_name_to_text(name: str) -> Optional[str]:
+    """AGL-style resolution: known names, uniXXXX/uXXXX, suffixed variants
+    (``a.sc`` -> ``a``). None when unresolvable."""
+    if name in _NAME_TO_TEXT:
+        return _NAME_TO_TEXT[name]
+    m = _UNI_RE.match(name)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = _U_RE.match(name)
+    if m:
+        cp = int(m.group(1), 16)
+        if cp <= 0x10FFFF:
+            return chr(cp)
+    if "." in name:  # variant suffix: fi.alt, one.oldstyle ...
+        return glyph_name_to_text(name.split(".", 1)[0])
+    return None
+
+
+# WinAnsiEncoding codes 0x80-0x9F that differ from latin-1 (PDF spec Annex D)
+WINANSI_HIGH: Dict[int, str] = {
+    0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„",
+    0x85: "…", 0x86: "†", 0x87: "‡", 0x88: "ˆ",
+    0x89: "‰", 0x8A: "Š", 0x8B: "‹", 0x8C: "Œ",
+    0x8E: "Ž", 0x91: "‘", 0x92: "’", 0x93: "“",
+    0x94: "”", 0x95: "•", 0x96: "–", 0x97: "—",
+    0x98: "˜", 0x99: "™", 0x9A: "š", 0x9B: "›",
+    0x9C: "œ", 0x9E: "ž", 0x9F: "Ÿ",
+}
+
+
+# --------------------------------------------------------------------------
+# CFF parsing (charset + encoding only — no charstring interpretation)
+# --------------------------------------------------------------------------
+
+
+def _read_index(b: bytes, pos: int):
+    count = int.from_bytes(b[pos : pos + 2], "big")
+    pos += 2
+    if count == 0:
+        return [], pos
+    offsz = b[pos]
+    pos += 1
+    offs = [
+        int.from_bytes(b[pos + i * offsz : pos + (i + 1) * offsz], "big")
+        for i in range(count + 1)
+    ]
+    pos += (count + 1) * offsz
+    data_start = pos - 1
+    items = [b[data_start + offs[i] : data_start + offs[i + 1]] for i in range(count)]
+    return items, data_start + offs[count]
+
+
+def _parse_dict(b: bytes) -> Dict[int, list]:
+    out: Dict[int, list] = {}
+    operands: list = []
+    i = 0
+    n = len(b)
+    while i < n:
+        b0 = b[i]
+        if b0 <= 21:
+            op = b0
+            if b0 == 12:
+                op = 1200 + b[i + 1]
+                i += 2
+            else:
+                i += 1
+            out[op] = operands
+            operands = []
+        elif 32 <= b0 <= 246:
+            operands.append(b0 - 139)
+            i += 1
+        elif 247 <= b0 <= 250:
+            operands.append((b0 - 247) * 256 + b[i + 1] + 108)
+            i += 2
+        elif 251 <= b0 <= 254:
+            operands.append(-(b0 - 251) * 256 - b[i + 1] - 108)
+            i += 2
+        elif b0 == 28:
+            operands.append(int.from_bytes(b[i + 1 : i + 3], "big", signed=True))
+            i += 3
+        elif b0 == 29:
+            operands.append(int.from_bytes(b[i + 1 : i + 5], "big", signed=True))
+            i += 5
+        elif b0 == 30:  # real number (BCD nibbles)
+            i += 1
+            s = ""
+            done = False
+            while i < n and not done:
+                byte = b[i]
+                i += 1
+                for nib in (byte >> 4, byte & 15):
+                    if nib <= 9:
+                        s += str(nib)
+                    elif nib == 10:
+                        s += "."
+                    elif nib == 11:
+                        s += "E"
+                    elif nib == 12:
+                        s += "E-"
+                    elif nib == 14:
+                        s += "-"
+                    elif nib == 15:
+                        done = True
+                        break
+            try:
+                operands.append(float(s) if s else 0.0)
+            except ValueError:
+                operands.append(0.0)
+        else:
+            i += 1
+    return out
+
+
+def cff_code_to_name(data: bytes) -> Dict[int, str]:
+    """byte code -> glyph name from a CFF font program. Empty on any
+    structural surprise (CID-keyed fonts, predefined encodings handled via
+    the standard-strings identity where possible)."""
+    try:
+        hdrsz = data[2]
+        pos = hdrsz
+        _names, pos = _read_index(data, pos)
+        topdicts, pos = _read_index(data, pos)
+        strings, pos = _read_index(data, pos)
+        td = _parse_dict(topdicts[0])
+        if 1230 in td:  # ROS -> CID-keyed, no code->name encoding
+            return {}
+        charstrings_off = td.get(17, [None])[0]
+        if charstrings_off is None:
+            return {}
+        charstrings, _ = _read_index(data, charstrings_off)
+        nglyphs = len(charstrings)
+
+        def sid_name(sid: int) -> Optional[str]:
+            if sid < len(STANDARD_STRINGS):
+                return STANDARD_STRINGS[sid]
+            k = sid - 391
+            if 0 <= k < len(strings):
+                return strings[k].decode("latin-1")
+            return None
+
+        # charset: GID -> SID
+        charset_off = td.get(15, [0])[0]
+        sids = [0]
+        if charset_off in (0, 1, 2):  # predefined charsets: SID == GID
+            sids = list(range(nglyphs))
+        else:
+            p = charset_off
+            fmt = data[p]
+            p += 1
+            if fmt == 0:
+                for _ in range(1, nglyphs):
+                    sids.append(int.from_bytes(data[p : p + 2], "big"))
+                    p += 2
+            elif fmt in (1, 2):
+                step = 1 if fmt == 1 else 2
+                while len(sids) < nglyphs:
+                    first = int.from_bytes(data[p : p + 2], "big")
+                    nleft = (
+                        data[p + 2]
+                        if fmt == 1
+                        else int.from_bytes(data[p + 3 : p + 5], "big")
+                    )
+                    p += 2 + (1 if fmt == 1 else 2)
+                    for k in range(nleft + 1):
+                        sids.append(first + k)
+            else:
+                return {}
+
+        # encoding: code -> GID
+        enc_off = td.get(16, [0])[0]
+        code2gid: Dict[int, int] = {}
+        if enc_off in (0, 1):
+            # Standard/Expert encoding: map via glyph NAME -> standard code.
+            # Build name -> code from the standard strings order (codes are
+            # the ASCII-ish standard encoding; identity for SIDs 1..95 maps
+            # name to its latin position).
+            name_to_code = {}
+            for code in range(32, 127):
+                idx = code - 31  # SID of StandardEncoding char at this code
+                if idx < len(STANDARD_STRINGS):
+                    name_to_code[STANDARD_STRINGS[idx]] = code
+            for gid in range(1, nglyphs):
+                nm = sid_name(sids[gid]) if gid < len(sids) else None
+                if nm in name_to_code:
+                    code2gid[name_to_code[nm]] = gid
+        else:
+            p = enc_off
+            fmt = data[p]
+            p += 1
+            base = fmt & 0x7F
+            if base == 0:
+                ncodes = data[p]
+                p += 1
+                for gid in range(1, ncodes + 1):
+                    code2gid[data[p]] = gid
+                    p += 1
+            elif base == 1:
+                nranges = data[p]
+                p += 1
+                gid = 1
+                for _ in range(nranges):
+                    first, nleft = data[p], data[p + 1]
+                    p += 2
+                    for k in range(nleft + 1):
+                        code2gid[first + k] = gid
+                        gid += 1
+            if fmt & 0x80:  # supplements: (code, SID) pairs
+                sid_to_gid = {s: g for g, s in enumerate(sids)}
+                nsups = data[p]
+                p += 1
+                for _ in range(nsups):
+                    code = data[p]
+                    sid = int.from_bytes(data[p + 1 : p + 3], "big")
+                    p += 3
+                    if sid in sid_to_gid:
+                        code2gid[code] = sid_to_gid[sid]
+
+        out: Dict[int, str] = {}
+        for code, gid in code2gid.items():
+            if 0 <= gid < len(sids):
+                nm = sid_name(sids[gid])
+                if nm:
+                    out[code] = nm
+        return out
+    except (IndexError, KeyError, ValueError):
+        return {}
+
+
+# --------------------------------------------------------------------------
+# Type1 (cleartext /Encoding ... dup <code> /<name> put)
+# --------------------------------------------------------------------------
+
+_T1_DUP_RE = re.compile(rb"dup\s+(\d+)\s*/([^\s/]+)\s+put")
+
+
+def type1_code_to_name(data: bytes) -> Dict[int, str]:
+    """byte code -> glyph name from a Type1 font program's cleartext header
+    (everything before ``eexec`` — the /Encoding array lives there)."""
+    head = data.split(b"eexec", 1)[0]
+    out: Dict[int, str] = {}
+    for m in _T1_DUP_RE.finditer(head):
+        try:
+            code = int(m.group(1))
+        except ValueError:
+            continue
+        if 0 <= code <= 255:
+            out[code] = m.group(2).decode("latin-1")
+    return out
+
+
+def build_glyphmap(
+    code_to_name: Dict[int, str], differences: Optional[Dict[int, str]] = None
+) -> Dict[int, str]:
+    """code -> text, from font-program names overlaid with /Differences."""
+    merged = dict(code_to_name)
+    if differences:
+        merged.update(differences)
+    out: Dict[int, str] = {}
+    for code, name in merged.items():
+        txt = glyph_name_to_text(name)
+        if txt is not None:
+            out[code] = txt
+    return out

@@ -29,7 +29,15 @@ import re
 import zlib
 from typing import Any, Dict, List, Optional, Tuple
 
+from docprompt_spark import cff
 from docprompt_spark.kernels import norm_rect_bbox, norm_word_bbox
+
+# Chunks on the same baseline closer than this (in em units of the pending
+# word's effective size) are the same word split for kerning; gaps at or
+# above it are word-separating space. Real space widths run 0.19-0.55 em;
+# kerning adjustments stay within +-0.1 em (measured bimodal on the
+# reference fixture and the synthetic corpus, which uses >= 0.25 em gaps).
+MERGE_GAP_EM = 0.125
 
 # ---------------------------------------------------------------------------
 # Byte-wrapper sniffing (S5)
@@ -462,10 +470,50 @@ class PdfFile:
             arr = self.resolve(fd.get("Widths", [])) or []
             info["widths"] = {first + i: float(self.resolve(w)) for i, w in enumerate(arr)}
             info["dw"] = float(descriptor.get("MissingWidth", 500))
+            info["glyphmap"] = self._simple_font_glyphmap(fd, descriptor)
         info["ascent"] = float(descriptor.get("Ascent", 720))
         info["descent"] = float(descriptor.get("Descent", -180))
         self._font_cache[ref.num] = info
         return info
+
+    def _simple_font_glyphmap(self, fd: dict, descriptor: dict) -> Dict[int, str]:
+        """byte code -> text for simple fonts whose mapping is not latin-1.
+
+        Priority (PDF 32000 §9.6.6): font-program builtin encoding
+        (/FontFile Type1 cleartext or /FontFile3 CFF charset+encoding),
+        overlaid with the font dict's /Encoding /Differences; WinAnsi high
+        codes patched when /Encoding names WinAnsiEncoding. Missing entries
+        fall back to chr(code) at the interpreter."""
+        code_to_name: Dict[int, str] = {}
+        try:
+            if "FontFile3" in descriptor:
+                raw = self.resolve(descriptor["FontFile3"]).data(self.resolve)
+                code_to_name = cff.cff_code_to_name(raw)
+            elif "FontFile" in descriptor:
+                raw = self.resolve(descriptor["FontFile"]).data(self.resolve)
+                code_to_name = cff.type1_code_to_name(raw)
+        except Exception:
+            code_to_name = {}
+        differences: Dict[int, str] = {}
+        enc = self.resolve(fd.get("Encoding"))
+        winansi = False
+        if isinstance(enc, Name):
+            winansi = str(enc) == "WinAnsiEncoding"
+        elif isinstance(enc, dict):
+            winansi = str(enc.get("BaseEncoding", "")) == "WinAnsiEncoding"
+            code = 0
+            for item in self.resolve(enc.get("Differences", [])) or []:
+                item = self.resolve(item)
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                elif isinstance(item, Name):
+                    differences[code] = str(item)
+                    code += 1
+        out = cff.build_glyphmap(code_to_name, differences)
+        if winansi:
+            for c, t in cff.WINANSI_HIGH.items():
+                out.setdefault(c, t)
+        return out
 
     # -- page extraction ----------------------------------------------------
     def extract_page(self, index: int) -> dict:
@@ -617,6 +665,53 @@ def _interpret_content(
         tm = tlm = matrix
         tx = 0.0
 
+    # Pending word carried ACROSS show ops. Real typesetters (TeX via
+    # pstotext, word processors) emit kerned words as several Tj/Td chunks
+    # ("T" Td "opic-Dri" Td "v" Td "en"); the reference's pdfium backend
+    # merges them. We merge a new chunk into the pending word when it sits on
+    # the same baseline and the horizontal gap is below MERGE_GAP_EM
+    # (word-separating gaps are >= ~0.19 em — real space widths — while
+    # kerning gaps are <= ~0.1 em; measured bimodal on the reference fixture).
+    pend: Optional[dict] = None
+
+    def finalize_pend() -> None:
+        nonlocal pend
+        if pend is not None:
+            bbox = norm_word_bbox(
+                pend["x"], pend["y"], pend["w"], pend["size"],
+                pend["asc"], pend["desc"], page_w, page_h,
+            )
+            words.append(
+                {
+                    "text": pend["text"],
+                    "x0": bbox[0], "top": bbox[1],
+                    "x1": bbox[2], "bottom": bbox[3],
+                }
+            )
+            pend = None
+
+    def emit_chunk(chunk: dict, close: bool) -> None:
+        """Merge ``chunk`` into the pending word or flush-and-replace.
+
+        ``close=True`` (explicit space glyph hit) finalizes immediately —
+        a space is a definite word boundary even in condensed fonts whose
+        space width is below the merge threshold.
+        """
+        nonlocal pend
+        if pend is not None:
+            em = pend["size"] * pend["scale"] or 1.0
+            gap = (chunk["x"] - (pend["x"] + pend["w"])) / em
+            if abs(chunk["y"] - pend["y"]) < 1e-9 and -0.5 <= gap < MERGE_GAP_EM:
+                pend["text"] += chunk["text"]
+                pend["w"] = (chunk["x"] + chunk["w"]) - pend["x"]
+            else:
+                finalize_pend()
+                pend = chunk
+        else:
+            pend = chunk
+        if close:
+            finalize_pend()
+
     def show(segments: List[Any]) -> None:
         """One show op; glyph-by-glyph advance in the writer's float-op order
         (pdfwrite.advance_width) so positions match the golden fixtures.
@@ -624,7 +719,8 @@ def _interpret_content(
         Word bboxes: x0 from the device-space pen at word start, width from
         the text-space advance times the horizontal scale — the exact float
         expressions the corpus golden uses (pdfwrite.advance_width +
-        kernels.norm_word_bbox), guaranteeing bit-identical round-trip.
+        kernels.norm_word_bbox), guaranteeing bit-identical round-trip for
+        unmerged words.
         """
         nonlocal tx
         assert font is not None
@@ -633,28 +729,34 @@ def _interpret_content(
         cur_text: List[str] = []
         start_tx = tx
 
-        def flush() -> None:
+        def chunk_out(close: bool) -> None:
             nonlocal cur_text, start_tx
             if cur_text:
                 x_dev = e_x + scale_x * start_tx if start_tx else e_x
                 width = (tx - start_tx) * scale_x
-                bbox = norm_word_bbox(
-                    x_dev, e_y, width, size,
-                    font["ascent"], font["descent"], page_w, page_h,
-                )
-                words.append(
+                emit_chunk(
                     {
                         "text": "".join(cur_text),
-                        "x0": bbox[0], "top": bbox[1],
-                        "x1": bbox[2], "bottom": bbox[3],
-                    }
+                        "x": x_dev, "y": e_y, "w": width,
+                        "size": size, "scale": scale_x,
+                        "asc": font["ascent"], "desc": font["descent"],
+                    },
+                    close,
                 )
+            elif close:
+                finalize_pend()
             cur_text = []
             start_tx = tx
 
         for seg in segments:
             if isinstance(seg, (int, float)):
+                # A large forward TJ adjustment (>= merge threshold) is
+                # word-separating whitespace without a space glyph.
+                if cur_text and (-seg / 1000.0) >= MERGE_GAP_EM:
+                    chunk_out(False)
                 tx += -seg / 1000.0 * size
+                if not cur_text:
+                    start_tx = tx
                 continue
             if font["type0"]:
                 codes = [
@@ -663,10 +765,10 @@ def _interpret_content(
                 chars = [font["cmap"].get(c, "�") for c in codes]
             else:
                 codes = list(seg)
-                chars = [chr(c) for c in codes]
+                chars = [font["glyphmap"].get(c) or chr(c) for c in codes]
             for code, ch in zip(codes, chars):
                 if ch == " ":
-                    flush()
+                    chunk_out(True)
                     tx += font["widths"].get(code, font["dw"]) * size / 1000.0
                     start_tx = tx
                 else:
@@ -674,7 +776,7 @@ def _interpret_content(
                         start_tx = tx
                     cur_text.append(ch)
                     tx += font["widths"].get(code, font["dw"]) * size / 1000.0
-        flush()
+        chunk_out(False)
 
     for tok in tokens:
         if not isinstance(tok, Op):
@@ -763,6 +865,7 @@ def _interpret_content(
         else:
             # unknown operator: discard operands (defensive)
             stack.clear()
+    finalize_pend()
     return words, images
 
 
