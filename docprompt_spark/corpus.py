@@ -172,7 +172,9 @@ def _wrap(pdf: bytes, variant: int) -> bytes:
     return pdf
 
 
-def gen_doc(idx: int, seed: int = 42, skew_every: int = 47) -> dict:
+def gen_doc(
+    idx: int, seed: int = 42, skew_every: int = 47, envelope: str = None
+) -> dict:
     """One deterministic document: pdf bytes + golden span sequence."""
     rng = random.Random(f"doc:{seed}:{idx}")
     doc_id = f"doc-{seed}-{idx:08d}"
@@ -193,7 +195,19 @@ def gen_doc(idx: int, seed: int = 42, skew_every: int = 47) -> dict:
             {"page_number": p + 1, "page_text": layout["page_text"], "spans": spans}
         )
 
-    pdf = write_pdf(pages_w, doc_title=doc_id, compress_streams=idx % 2 == 0)
+    # envelope rotation: stream compression (idx%2), byte wrapping (idx%4),
+    # and PDF 1.5+ xref-stream/ObjStm layout (idx%5==1) so every extraction
+    # query exercises both cross-reference formats
+    if envelope is None:
+        use_xref_stream = idx % 5 == 1
+    else:
+        use_xref_stream = envelope == "xrefstream"
+    pdf = write_pdf(
+        pages_w,
+        doc_title=doc_id,
+        compress_streams=idx % 2 == 0,
+        xref_stream=use_xref_stream,
+    )
     wrapped = _wrap(pdf, idx % 4)
     golden = kernels.assemble_doc_spans(page_results)
     return {
@@ -204,8 +218,13 @@ def gen_doc(idx: int, seed: int = 42, skew_every: int = 47) -> dict:
     }
 
 
-def gen_corpus(n_docs: int, seed: int = 42, skew_every: int = 47) -> List[dict]:
-    return [gen_doc(i, seed=seed, skew_every=skew_every) for i in range(n_docs)]
+def gen_corpus(
+    n_docs: int, seed: int = 42, skew_every: int = 47, envelope: str = None
+) -> List[dict]:
+    return [
+        gen_doc(i, seed=seed, skew_every=skew_every, envelope=envelope)
+        for i in range(n_docs)
+    ]
 
 
 # ---------------------------------------------------------------------------

@@ -89,17 +89,75 @@ class Stream:
         self.dict, self.raw = d, raw
 
     def data(self, resolve) -> bytes:
-        filt = self.dict.get("Filter")
+        filt = resolve(self.dict.get("Filter"))
         raw = self.raw
         if filt is None:
             return raw
         filters = filt if isinstance(filt, list) else [filt]
-        for f in filters:
+        parms = resolve(self.dict.get("DecodeParms", self.dict.get("DP")))
+        parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+        for f, p in zip(filters, parms_list):
             if f == "FlateDecode":
                 raw = zlib.decompress(raw)
+                raw = _apply_predictor(raw, resolve(p) or {}, resolve)
+            elif f == "ASCIIHexDecode":
+                raw = binascii.unhexlify(
+                    re.sub(rb"[^0-9A-Fa-f]", b"", raw.rstrip(b">"))
+                )
             else:
                 raise ValueError(f"unsupported filter {f}")
         return raw
+
+
+def _apply_predictor(data: bytes, parms: dict, resolve) -> bytes:
+    """Undo PNG (10-15) / TIFF (2) predictors (PDF 32000 §7.4.4.4).
+
+    Xref streams are near-universally written with /Predictor 12 (PNG Up);
+    all five PNG row filters are handled."""
+    predictor = int(resolve(parms.get("Predictor", 1)) or 1)
+    if predictor < 2:
+        return data
+    colors = int(resolve(parms.get("Colors", 1)) or 1)
+    bpc = int(resolve(parms.get("BitsPerComponent", 8)) or 8)
+    columns = int(resolve(parms.get("Columns", 1)) or 1)
+    bpp = max(1, colors * bpc // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if predictor == 2:  # TIFF horizontal differencing (8-bit components)
+        out = bytearray(data)
+        for r in range(0, len(out), rowlen):
+            for i in range(r + bpp, min(r + rowlen, len(out))):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    # PNG predictors: each row prefixed with a filter-type byte
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos + 1 <= len(data):
+        ft = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + rowlen])
+        pos += 1 + rowlen
+        if ft == 1:  # Sub
+            for i in range(bpp, len(row)):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
 
 
 class Op(bytes):
@@ -315,6 +373,8 @@ class PdfFile:
         self._cache: Dict[int, Any] = {}
         self._font_cache: Dict[int, dict] = {}
         self.xref: Dict[int, int] = {}
+        self._compressed: Dict[int, Tuple[int, int]] = {}  # num -> (objstm, idx)
+        self._objstm_cache: Dict[int, Dict[int, Any]] = {}
         self.trailer: Dict[str, Any] = {}
         self._parse_xref_chain()
         self._page_refs: Optional[List[Ref]] = None
@@ -337,7 +397,7 @@ class PdfFile:
         lex = _Lexer(self.data, off)
         lex.skip_ws()
         if self.data[lex.pos : lex.pos + 4] != b"xref":
-            raise ValueError("xref streams not supported")
+            return self._parse_xref_stream(off)
         lex.pos += 4
         lex.skip_ws()
         while True:
@@ -362,6 +422,68 @@ class PdfFile:
                     self.xref[num] = obj_off
             lex.skip_ws()
 
+    def _parse_xref_stream(self, off: int) -> int:
+        """Cross-reference STREAM section (PDF 1.5+, spec §7.5.8): a stream
+        object with /Type /XRef, /W field widths, optional /Index subsection
+        ranges; entry type 1 = offset, type 2 = (objstm number, index). The
+        stream dict doubles as the trailer. Returns /Prev or 0."""
+        lex = _Lexer(self.data, off)
+        onum = lex.read_token()
+        lex.read_token()  # gen
+        kw = lex.read_token()
+        if kw != b"obj":
+            raise ValueError(f"expected xref table or xref stream at {off}")
+        d = _parse_object(lex)
+        lex.skip_ws()
+        if self.data[lex.pos : lex.pos + 6] != b"stream":
+            raise ValueError(f"xref stream object {int(onum)} has no stream")
+        lex.pos += 6
+        if self.data[lex.pos : lex.pos + 2] == b"\r\n":
+            lex.pos += 2
+        elif self.data[lex.pos : lex.pos + 1] == b"\n":
+            lex.pos += 1
+        # /Length may be an indirect ref into THIS xref section being built;
+        # writers virtually never do that for xref streams, but resolve
+        # defensively via the raw int when possible.
+        length = self.resolve(d["Length"])
+        stream = Stream(d, self.data[lex.pos : lex.pos + int(length)])
+        payload = stream.data(self.resolve)
+
+        w = [int(self.resolve(v)) for v in self.resolve(d.get("W", [1, 2, 1]))]
+        size = int(self.resolve(d.get("Size", 0)))
+        index = [int(self.resolve(v)) for v in self.resolve(d.get("Index", [0, size]))]
+        entry_len = sum(w)
+        pos = 0
+        for k in range(0, len(index), 2):
+            start, count = index[k], index[k + 1]
+            for i in range(count):
+                entry = payload[pos : pos + entry_len]
+                pos += entry_len
+                if len(entry) < entry_len:
+                    break
+                fields = []
+                fpos = 0
+                for width in w:
+                    fields.append(
+                        int.from_bytes(entry[fpos : fpos + width], "big")
+                        if width
+                        else None
+                    )
+                    fpos += width
+                etype = fields[0] if w[0] else 1  # omitted type defaults to 1
+                num = start + i
+                if num in self.xref or num in self._compressed:
+                    continue
+                if etype == 1:
+                    self.xref[num] = fields[1]
+                elif etype == 2:
+                    self._compressed[num] = (fields[1], fields[2] or 0)
+        for key, v in d.items():
+            if key not in ("W", "Index", "Filter", "DecodeParms", "Length", "Type"):
+                self.trailer.setdefault(key, v)
+        prev = d.get("Prev")
+        return int(self.resolve(prev)) if prev is not None else 0
+
     # -- objects --------------------------------------------------------------
     def resolve(self, obj: Any) -> Any:
         while isinstance(obj, Ref):
@@ -371,6 +493,11 @@ class PdfFile:
     def get_object(self, num: int) -> Any:
         if num in self._cache:
             return self._cache[num]
+        if num in self._compressed:
+            stm_num, idx = self._compressed[num]
+            obj = self._objstm_objects(stm_num).get(num)
+            self._cache[num] = obj
+            return obj
         off = self.xref.get(num)
         if off is None:
             return None
@@ -393,6 +520,30 @@ class PdfFile:
             obj = Stream(obj, raw)
         self._cache[num] = obj
         return obj
+
+    def _objstm_objects(self, stm_num: int) -> Dict[int, Any]:
+        """Parse an object stream (/Type /ObjStm, spec §7.5.7): header of /N
+        (objnum, offset) pairs, then the objects back to back starting at
+        /First. All objects parse in one pass and are memoized."""
+        if stm_num in self._objstm_cache:
+            return self._objstm_cache[stm_num]
+        stm = self.get_object(stm_num)
+        out: Dict[int, Any] = {}
+        if isinstance(stm, Stream):
+            payload = stm.data(self.resolve)
+            n = int(self.resolve(stm.dict.get("N", 0)))
+            first = int(self.resolve(stm.dict.get("First", 0)))
+            lex = _Lexer(payload, 0)
+            pairs = []
+            for _ in range(n):
+                onum = int(lex.read_token())
+                ooff = int(lex.read_token())
+                pairs.append((onum, ooff))
+            for onum, ooff in pairs:
+                olex = _Lexer(payload, first + ooff)
+                out[onum] = _parse_object(olex)
+        self._objstm_cache[stm_num] = out
+        return out
 
     # -- page tree ------------------------------------------------------------
     @property

@@ -97,7 +97,11 @@ class _Builder:
         head = f"<< {dict_entries} /Length {len(data)} >>\nstream\n".encode()
         return self.add(head + data + b"\nendstream")
 
-    def assemble(self, root_num: int, info_num: Optional[int] = None) -> bytes:
+    def assemble(
+        self, root_num: int, info_num: Optional[int] = None, xref_stream: bool = False
+    ) -> bytes:
+        if xref_stream:
+            return self._assemble_xref_stream(root_num, info_num)
         out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
         offsets = [0] * (len(self.objects) + 1)
         for i, body in enumerate(self.objects, start=1):
@@ -116,6 +120,92 @@ class _Builder:
         out += b"trailer\n" + trailer.encode() + b"\n"
         out += b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
         return bytes(out)
+
+    def _assemble_xref_stream(
+        self, root_num: int, info_num: Optional[int] = None
+    ) -> bytes:
+        """PDF 1.5+ envelope: dict-only objects packed into one /ObjStm
+        (type-2 xref entries), cross-reference emitted as a /Type /XRef
+        stream with /W [1 4 2] and PNG-Up /Predictor 12 — the layout modern
+        writers produce (spec §7.5.7-7.5.8). Same document content as the
+        classic assemble(); only the envelope differs."""
+        out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+        n_user = len(self.objects)
+        objstm_num, xref_num = n_user + 1, n_user + 2
+        offsets: Dict[int, int] = {}
+        compressed: List[Tuple[int, bytes]] = []  # (objnum, body)
+        for i, body in enumerate(self.objects, start=1):
+            assert body is not None, f"object {i} never set"
+            if b">>\nstream\n" in body or i == root_num:
+                # streams can't live in an ObjStm; keep the catalog direct
+                # too so naive scanners find it
+                offsets[i] = len(out)
+                out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+            else:
+                compressed.append((i, body))
+        # object stream
+        header = " ".join(f"{num} {off}" for num, off in _objstm_offsets(compressed))
+        payload = header.encode() + b"\n" + b"\n".join(b for _, b in compressed)
+        first = len(header) + 1
+        zdata = zlib.compress(payload, 6)
+        offsets[objstm_num] = len(out)
+        out += (
+            f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(compressed)} "
+            f"/First {first} /Filter /FlateDecode /Length {len(zdata)} "
+            f">>\nstream\n".encode()
+            + zdata
+            + b"\nendstream\nendobj\n"
+        )
+        # xref stream entries: W = [1, 4, 2]
+        size = xref_num + 1
+        xref_off = len(out)
+        offsets[xref_num] = xref_off
+        idx_of = {num: k for k, (num, _) in enumerate(compressed)}
+        rows = bytearray()
+        for num in range(size):
+            if num == 0:
+                row = bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+            elif num in idx_of:
+                row = (
+                    bytes([2])
+                    + objstm_num.to_bytes(4, "big")
+                    + idx_of[num].to_bytes(2, "big")
+                )
+            else:
+                row = bytes([1]) + offsets[num].to_bytes(4, "big") + (0).to_bytes(2, "big")
+            rows += row
+        # PNG Up predictor (type 2) per 7-byte row, then flate
+        rowlen = 7
+        pred = bytearray()
+        prev = bytes(rowlen)
+        for r in range(0, len(rows), rowlen):
+            row = bytes(rows[r : r + rowlen])
+            pred.append(2)
+            pred += bytes((row[i] - prev[i]) & 0xFF for i in range(rowlen))
+            prev = row
+        zrows = zlib.compress(bytes(pred), 6)
+        trailer_extra = f" /Info {info_num} 0 R" if info_num is not None else ""
+        out += (
+            f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
+            f"/Root {root_num} 0 R{trailer_extra} /Filter /FlateDecode "
+            f"/DecodeParms << /Predictor 12 /Columns 7 >> "
+            f"/Length {len(zrows)} >>\nstream\n".encode()
+            + zrows
+            + b"\nendstream\nendobj\n"
+        )
+        out += b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
+        return bytes(out)
+
+
+def _objstm_offsets(compressed: List[Tuple[int, bytes]]) -> List[Tuple[int, int]]:
+    """(objnum, offset-within-ObjStm-payload) pairs; bodies are joined with
+    single newlines after the header line."""
+    pairs = []
+    off = 0
+    for num, body in compressed:
+        pairs.append((num, off))
+        off += len(body) + 1
+    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -161,8 +251,13 @@ def write_pdf(
     doc_title: str = "",
     compress_streams: bool = False,
     kids_per_node: int = 8,
+    xref_stream: bool = False,
 ) -> bytes:
-    """Serialize page dicts (see module comment) into PDF bytes."""
+    """Serialize page dicts (see module comment) into PDF bytes.
+
+    ``xref_stream=True`` emits the PDF 1.5+ envelope (cross-reference
+    stream + object stream) instead of a classic xref table — same content,
+    different envelope; exercises the reader's §7.5.7-7.5.8 path."""
     b = _Builder()
     catalog = b.reserve()
     pages_root = b.reserve()
@@ -285,7 +380,7 @@ def write_pdf(
     )
     b.set(catalog, f"<< /Type /Catalog /Pages {pages_root} 0 R >>".encode())
     info = b.add(f"<< /Title ({esc_literal(doc_title.encode()).decode('latin-1')}) >>".encode())
-    return b.assemble(catalog, info)
+    return b.assemble(catalog, info, xref_stream=xref_stream)
 
 
 def _render_content(page: dict, cid_of: Dict[str, int]) -> bytes:

@@ -292,7 +292,13 @@ def spans_exploded(doc_spans_df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def corpus_df(spark: SparkSession, n_docs: int, seed: int = 42, skew_every: int = 47) -> DataFrame:
+def corpus_df(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    skew_every: int = 47,
+    envelope: str = None,
+) -> DataFrame:
     """Materialize the deterministic corpus as the input_hint-shaped table
     (doc_id, spans) + companion (pdf, n_pages) columns."""
     from docprompt_spark.corpus import gen_corpus
@@ -304,6 +310,6 @@ def corpus_df(spark: SparkSession, n_docs: int, seed: int = 42, skew_every: int 
             d["n_pages"],
             [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]],
         )
-        for d in gen_corpus(n_docs, seed=seed, skew_every=skew_every)
+        for d in gen_corpus(n_docs, seed=seed, skew_every=skew_every, envelope=envelope)
     ]
     return spark.createDataFrame(rows, schema=DOCS_SCHEMA)

@@ -1554,13 +1554,13 @@ def _sql_quote(v) -> str:
     return str(v)
 
 
-def _flagship_oracle_sql() -> str:
-    """Golden spans of the flagship corpus, embedded as a VALUES table —
+def _golden_spans_sql(n_docs: int, seed: int, envelope: str = None) -> str:
+    """Golden spans of a deterministic corpus, embedded as a VALUES table —
     DuckDB-checkable ground truth for the full parse+layout pipeline."""
     from docprompt_spark.corpus import gen_corpus
 
     rows = []
-    for d in gen_corpus(_FLAGSHIP_DOCS, seed=_FLAGSHIP_SEED, skew_every=0):
+    for d in gen_corpus(n_docs, seed=seed, skew_every=0, envelope=envelope):
         for seq, s in enumerate(d["spans"]):
             rows.append(
                 f"({_sql_quote(d['doc_id'])},{seq},{_sql_quote(s['kind'])},"
@@ -1595,6 +1595,33 @@ def extraction_spans_flat(spark, sf_dir):
 
 
 _REGISTRY["extraction_spans_flat"] = (extraction_spans_flat, None)  # oracle added lazily
+
+
+def extraction_xrefstream_spans(spark, sf_dir):
+    """Same parse->layout->spans pipeline, but every document written with
+    the PDF 1.5+ envelope: cross-reference STREAM (/Type /XRef, W-array,
+    PNG-Up predictor) + object stream (/Type /ObjStm) — the format modern
+    writers emit and the reference handles via pdfium. Exercises
+    pdfparse._parse_xref_stream + _objstm_objects end to end; golden spans
+    are envelope-independent."""
+    from docprompt_spark import pipeline
+
+    docs = pipeline.corpus_df(
+        spark, 6, seed=_FLAGSHIP_SEED, skew_every=0, envelope="xrefstream"
+    )
+    result = pipeline.run_extraction(spark, docs.select("doc_id", "pdf", "n_pages"))
+    flat = pipeline.spans_exploded(result)
+    return flat.select(
+        "doc_id",
+        F.col("seq").cast("int").alias("seq"),
+        "kind",
+        "text",
+        "media_ref",
+        F.col("offset").cast("int").alias("offset"),
+    )
+
+
+_REGISTRY["extraction_xrefstream_spans"] = (extraction_xrefstream_spans, None)
 
 
 def extraction_page_stats(spark, sf_dir):
@@ -1710,5 +1737,8 @@ def queries() -> Dict[str, QueryFn]:
 
 def oracle_sql() -> Dict[str, str]:
     out = {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
-    out["extraction_spans_flat"] = _flagship_oracle_sql()
+    out["extraction_spans_flat"] = _golden_spans_sql(_FLAGSHIP_DOCS, _FLAGSHIP_SEED)
+    out["extraction_xrefstream_spans"] = _golden_spans_sql(
+        6, _FLAGSHIP_SEED, envelope="xrefstream"
+    )
     return out
