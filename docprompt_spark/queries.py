@@ -999,33 +999,37 @@ def fuzzy_term_match(spark, sf_dir):
     "margin_regularize_x0",
     """
     WITH boxes AS (
-      SELECT p_partkey, (p_partkey % 50) / 100.0 + (p_size % 3) / 10000.0 AS x0
+      SELECT p_partkey, p_partkey % 64 AS page_id,
+             (p_partkey % 50) / 100.0 + (p_size % 3) / 10000.0 AS x0
       FROM part),
     flagged AS (
-      SELECT p_partkey, x0,
-             CASE WHEN x0 - lag(x0) OVER (ORDER BY x0, p_partkey) <= 0.001
+      SELECT p_partkey, page_id, x0,
+             CASE WHEN x0 - lag(x0) OVER (PARTITION BY page_id ORDER BY x0, p_partkey) <= 0.001
                   THEN 0 ELSE 1 END AS brk
       FROM boxes),
     clustered AS (
-      SELECT p_partkey, x0,
-             CAST(sum(brk) OVER (ORDER BY x0, p_partkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cid
+      SELECT p_partkey, page_id, x0,
+             CAST(sum(brk) OVER (PARTITION BY page_id ORDER BY x0, p_partkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cid
       FROM flagged)
     SELECT p_partkey,
-           round(CASE WHEN count(*) OVER (PARTITION BY cid) >= 4
-                      THEN avg(x0) OVER (PARTITION BY cid) ELSE x0 END, 5) AS x0_reg
+           round(CASE WHEN count(*) OVER (PARTITION BY page_id, cid) >= 4
+                      THEN avg(x0) OVER (PARTITION BY page_id, cid) ELSE x0 END, 5) AS x0_reg
     FROM clustered
     """,
 )
 def margin_regularize_x0(spark, sf_dir):
     """W2 _normalize_block_edges (utils/layout.py:9-64) as a relational
-    pipeline: sort → adjacent-gap flag → cumsum cluster id → conditional
-    cluster-mean update for clusters of ≥ 4."""
+    pipeline, PER PAGE (the reference regularizes within one page): sort →
+    adjacent-gap flag → cumsum cluster id → conditional cluster-mean update
+    for clusters of ≥ 4. All windows partition by page_id — no global sort,
+    scales to any page count."""
     p = _t(spark, sf_dir, "part")
     boxes = p.select(
         "p_partkey",
+        (F.col("p_partkey") % 64).alias("page_id"),
         ((F.col("p_partkey") % 50) / 100.0 + (F.col("p_size") % 3) / 10000.0).alias("x0"),
     )
-    w = Window.orderBy("x0", "p_partkey")
+    w = Window.partitionBy("page_id").orderBy("x0", "p_partkey")
     flagged = boxes.withColumn(
         "brk",
         F.when(F.col("x0") - F.lag("x0").over(w) <= 0.001, 0).otherwise(1),
@@ -1033,7 +1037,7 @@ def margin_regularize_x0(spark, sf_dir):
     clustered = flagged.withColumn(
         "cid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
     )
-    wc = Window.partitionBy("cid")
+    wc = Window.partitionBy("page_id", "cid")
     return clustered.select(
         "p_partkey",
         F.round(
@@ -1055,12 +1059,36 @@ def margin_regularize_x0(spark, sf_dir):
 )
 def size_capped_batching(spark, sf_dir):
     """D5 size-capped batching (splitter.py:80-208 pattern): cumulative byte
-    budget → batch id (drives size-balanced partition assignment)."""
-    docs = _t(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    return docs.select(
-        "doc_id",
-        F.floor((F.sum("n_chars").over(w) - 1) / 20000).cast("long").alias("batch_id"),
+    budget → batch id, as a TWO-PHASE distributed prefix sum. Phase 1:
+    range-partition by doc_id, local cumsum per partition (window partitioned
+    by spark_partition_id). Phase 2: per-partition totals prefix-summed via a
+    triangular self-join (P² rows for P partitions — trivially small) and
+    broadcast back. No global single-partition window at any point."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranged = docs.repartitionByRange(16, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wloc = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("local_cum", F.sum("n_chars").over(wloc))
+    totals = ranged.groupBy("pid").agg(F.sum("n_chars").alias("tot"))
+    a, b = totals.alias("a"), totals.alias("b")
+    offsets = (
+        a.join(b, F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.tot"), F.lit(0)).alias("offset_chars"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            F.floor((F.col("local_cum") + F.col("offset_chars") - 1) / 20000)
+            .cast("long")
+            .alias("batch_id"),
+        )
     )
 
 
@@ -1142,9 +1170,8 @@ _EMB_SQL = "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBL
              (sqrt(list_sum(list_transform(a.emb, x -> x * x))) *
               sqrt(list_sum(list_transform(q.emb, x -> x * x)))) AS sim
       FROM e a, q WHERE a.vec_id <> 0)
-    SELECT vec_id, round(sim, 6) AS sim,
-           row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
-    FROM scored ORDER BY rank LIMIT 10
+    SELECT vec_id, round(sim, 6) AS sim
+    FROM scored ORDER BY sim DESC, vec_id LIMIT 10
     """,
 )
 def ann_bruteforce_cosine_top10(spark, sf_dir):
@@ -1159,11 +1186,12 @@ def ann_bruteforce_cosine_top10(spark, sf_dir):
         .crossJoin(q)
         .select("vec_id", (dot / (norm("emb") * norm("qemb"))).alias("sim"))
     )
-    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    # top-k via orderBy().limit(): Spark plans TakeOrderedAndProject —
+    # per-partition partial top-k + driver merge, no single-partition window
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("vec_id", F.round("sim", 6).alias("sim"), "rank")
+        scored.orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("sim", 6).alias("sim"))
     )
 
 
@@ -1184,9 +1212,8 @@ _BUCKET_SQL = (
              (sqrt(list_sum(list_transform(a.emb, x -> x * x))) *
               sqrt(list_sum(list_transform(q.emb, x -> x * x)))) AS sim
       FROM e a, q WHERE a.vec_id <> 0 AND a.bucket = q.bucket)
-    SELECT vec_id, round(sim, 6) AS sim,
-           row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
-    FROM scored ORDER BY rank LIMIT 5
+    SELECT vec_id, round(sim, 6) AS sim
+    FROM scored ORDER BY sim DESC, vec_id LIMIT 5
     """,
 )
 def ann_lsh_bucketed_top5(spark, sf_dir):
@@ -1213,11 +1240,10 @@ def ann_lsh_bucketed_top5(spark, sf_dir):
         .join(q, F.col("bucket") == F.col("qbucket"))
         .select("vec_id", (dot / (norm("emb") * norm("qemb"))).alias("sim"))
     )
-    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("vec_id", F.round("sim", 6).alias("sim"), "rank")
+        scored.orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id", F.round("sim", 6).alias("sim"))
     )
 
 
@@ -1333,19 +1359,23 @@ def two_level_mean(spark, sf_dir):
 @query(
     "ntile_chunking",
     """
-    SELECT chunk, count(*) AS n, min(event_id) AS first_id FROM (
-      SELECT event_id, ntile(8) OVER (ORDER BY event_id) AS chunk FROM events)
-    GROUP BY chunk
+    SELECT user_id, chunk, count(*) AS n, min(event_id) AS first_id FROM (
+      SELECT user_id, event_id,
+             ntile(8) OVER (PARTITION BY user_id ORDER BY event_id) AS chunk
+      FROM events)
+    GROUP BY user_id, chunk
     """,
 )
 def ntile_chunking(spark, sf_dir):
     """W8 chunk_iterable (_pdfium.py:71-101): balanced chunks with remainder
-    spread — exactly ntile semantics."""
+    spread — exactly ntile semantics, applied PER GROUP (the reference chunks
+    one document's page list; here each user's event stream). Partitioned
+    window — scales with the number of groups."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
     return (
-        ev.select("event_id", F.ntile(8).over(w).alias("chunk"))
-        .groupBy("chunk")
+        ev.select("user_id", "event_id", F.ntile(8).over(w).alias("chunk"))
+        .groupBy("user_id", "chunk")
         .agg(F.count("*").alias("n"), F.min("event_id").alias("first_id"))
     )
 
