@@ -1478,37 +1478,54 @@ _AUG_EMB_SQL = """
     """,
 )
 def embedding_cosine_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup: sign-bit bucketed self-join (scaled copies
-    keep their signs, so bucket recall is exact for true duplicates) +
-    cosine ≥ 0.999 verification. Oracle brute-forces all pairs."""
+    """Embedding-cosine near-dup: MULTI-BAND sign-bit LSH self-join + cosine
+    ≥ 0.999 verification. Two independent 4-bit hyperplane bands (dims 0-3
+    and 4-7); a pair is a candidate when EITHER band bucket matches (OR of
+    bands), so recall no longer hinges on every near-zero component keeping
+    its sign — a near-parallel pair flipping one sign in band 0 still
+    collides in band 1. Candidates dedupe before the exact verify, so the
+    output is identical to brute force on any data where at least one band
+    agrees per true pair. Oracle brute-forces all pairs."""
     e = _emb_double(spark, sf_dir).select("vec_id", "emb")
     dup = e.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 10000).alias("vec_id"),
         F.expr("transform(emb, x -> x * 1.01)").alias("emb"),
     )
     aug = e.unionAll(dup)
-    bucket = (
-        F.when(F.expr("emb[0]") > 0, 1).otherwise(0)
-        + F.when(F.expr("emb[1]") > 0, 2).otherwise(0)
-        + F.when(F.expr("emb[2]") > 0, 4).otherwise(0)
-        + F.when(F.expr("emb[3]") > 0, 8).otherwise(0)
+
+    def signbits(lo):
+        out = F.lit(0)
+        for k in range(4):
+            out = out + F.when(F.expr(f"emb[{lo + k}]") > 0, 1 << k).otherwise(0)
+        return out
+
+    banded = aug.select(
+        "vec_id",
+        "emb",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), signbits(0).alias("bucket")),
+                F.struct(F.lit(1).alias("band"), signbits(4).alias("bucket")),
+            )
+        ).alias("bb"),
+    ).select("vec_id", "emb", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "band", "bucket"
     )
-    ab = aug.select("vec_id", "emb", bucket.alias("bucket"))
-    a = ab.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "bucket"
+    b = banded.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "band", "bucket"
     )
-    b = ab.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "bucket"
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
     )
     dot = F.expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
     norm = lambda c: F.sqrt(
         F.expr(f"aggregate(transform({c}, x -> x * x), 0D, (acc, v) -> acc + v)")
     )
-    pairs = (
-        a.join(b, ["bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim_raw", dot / (norm("emb_a") * norm("emb_b")))
-        .filter(F.col("sim_raw") >= 0.999)
+    pairs = cand.withColumn("sim_raw", dot / (norm("emb_a") * norm("emb_b"))).filter(
+        F.col("sim_raw") >= 0.999
     )
     return pairs.select("vec_a", "vec_b", F.round("sim_raw", 4).alias("sim"))
 
@@ -1761,6 +1778,86 @@ def provenance_refined_search(spark, sf_dir):
 _REGISTRY["provenance_refined_search"] = (provenance_refined_search, None)
 
 
+_FIXTURE_OCR = "/root/reference/tests/fixtures/1_ocr.json"
+
+
+def _fixture_blocks():
+    """Page-1 word/line blocks of the reference's OCR fixture, as plain rows
+    (idx, top, bottom[, confidence])."""
+    import json
+
+    d = json.load(open(_FIXTURE_OCR))["1"]
+    words = [
+        (i, b["bounding_box"]["top"], b["bounding_box"]["bottom"])
+        for i, b in enumerate(d["word_level_blocks"])
+    ]
+    lines = [
+        (
+            i,
+            b["bounding_box"]["top"],
+            b["bounding_box"]["bottom"],
+            b["metadata"]["confidence"],
+        )
+        for i, b in enumerate(d["line_level_blocks"])
+    ]
+    return words, lines
+
+
+def line_block_word_assignment(spark, sf_dir):
+    """J1 word_line_clusters_from_line_blocks (reference utils/layout.py:
+    67-110) + P3 confidence filter (layout.py:81-85), relationally, over the
+    reference's REAL fixture blocks: broadcast the (confidence >= 0.3) line
+    blocks against all words, compute vertical overlap, per-word argmax
+    (strict > 0, lowest line index wins ties — the reference's iteration
+    order), then per-line word counts. The per-word window partitions by
+    w_idx — fully parallel, no global sort; the line side is broadcast."""
+    words, lines = _fixture_blocks()
+    wdf = spark.createDataFrame(words, ["w_idx", "w_top", "w_bottom"])
+    ldf = F.broadcast(
+        spark.createDataFrame(lines, ["l_idx", "l_top", "l_bottom", "conf"]).filter(
+            F.col("conf") >= 0.3
+        )
+    )
+    ov = F.least("w_bottom", "l_bottom") - F.greatest("w_top", "l_top")
+    pairs = wdf.join(ldf, ov > 0).select("w_idx", "l_idx", ov.alias("ov"))
+    w = Window.partitionBy("w_idx").orderBy(F.desc("ov"), F.asc("l_idx"))
+    best = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy("l_idx").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.min("w_idx").cast("int").alias("first_word"),
+    )
+
+
+def _line_block_assignment_oracle_sql() -> str:
+    words, lines = _fixture_blocks()
+    wvals = ",".join(f"({i},{t},{b})" for i, t, b in words)
+    lvals = ",".join(f"({i},{t},{b},{c})" for i, t, b, c in lines)
+    return f"""
+    WITH w AS (SELECT w_idx, CAST(w_top AS DOUBLE) AS w_top,
+                      CAST(w_bottom AS DOUBLE) AS w_bottom
+               FROM (VALUES {wvals}) AS t(w_idx, w_top, w_bottom)),
+    l AS (SELECT l_idx, CAST(l_top AS DOUBLE) AS l_top,
+                 CAST(l_bottom AS DOUBLE) AS l_bottom
+          FROM (VALUES {lvals}) AS t(l_idx, l_top, l_bottom, conf)
+          WHERE conf >= 0.3),
+    pairs AS (
+      SELECT w_idx, l_idx,
+             least(w_bottom, l_bottom) - greatest(w_top, l_top) AS ov
+      FROM w, l
+      WHERE least(w_bottom, l_bottom) - greatest(w_top, l_top) > 0),
+    best AS (
+      SELECT w_idx, l_idx,
+             row_number() OVER (PARTITION BY w_idx ORDER BY ov DESC, l_idx) AS rn
+      FROM pairs)
+    SELECT l_idx, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(min(w_idx) AS INT) AS first_word
+    FROM best WHERE rn = 1 GROUP BY l_idx
+    """
+
+
+_REGISTRY["line_block_word_assignment"] = (line_block_word_assignment, None)
+
+
 def queries() -> Dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
@@ -1768,6 +1865,7 @@ def queries() -> Dict[str, QueryFn]:
 def oracle_sql() -> Dict[str, str]:
     out = {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
     out["extraction_spans_flat"] = _golden_spans_sql(_FLAGSHIP_DOCS, _FLAGSHIP_SEED)
+    out["line_block_word_assignment"] = _line_block_assignment_oracle_sql()
     out["extraction_xrefstream_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, envelope="xrefstream"
     )

@@ -8,8 +8,11 @@ needs on Spark:
 * :func:`stream_extraction` — incremental document ingest: a file-source
   stream over the docs table, extraction per micro-batch via ``foreachBatch``
   (correct because one row = one whole document: the per-doc window/groupBy
-  never spans micro-batches), exactly-once via the streaming checkpoint's
-  offset log + idempotent parquet append.
+  never spans micro-batches). Exactly-once OUTPUT: each micro-batch writes
+  its own ``batch_id=`` partition with dynamic partition overwrite, so a
+  batch re-run after a partial failure replaces its partition instead of
+  appending duplicates (the checkpoint's offset log guarantees the same
+  batch_id sees the same input rows on replay).
 * :func:`windowed_event_counts` — watermark + tumbling-window aggregation
   over an event stream (late-data tolerant), the streaming analog of the
   sessionization operator family (W1).
@@ -51,8 +54,13 @@ def stream_extraction(
                 pages_per_bucket,
             )
         )
-        result.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            output_dir
+        # idempotent replay: overwrite ONLY this batch's partition
+        (
+            result.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
         )
 
     writer = (

@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """spark-submit entry point for the extraction pipeline.
 
+    python jobs/make_package.py   # builds dist/docprompt_spark.zip from HEAD
     spark-submit --master <cluster> \
         --py-files dist/docprompt_spark.zip \
         jobs/extract_job.py \
