@@ -452,63 +452,212 @@ def posting_list_sizes(spark, sf_dir):
 
 @query(
     "date_extraction",
-    """
-    SELECT fmt, y, count(*) AS n FROM (
-      SELECT
-        CASE
-          WHEN regexp_matches(s, '\\d{4}-\\d{2}-\\d{2}') THEN 'iso'
-          WHEN regexp_matches(s, '\\d{2}/\\d{2}/\\d{4}') THEN 'us'
-          WHEN regexp_matches(s, '[A-Za-z]{3} \\d{1,2}, \\d{4}') THEN 'mon'
-          WHEN regexp_matches(s, '\\d{4}\\.\\d{2}\\.\\d{2}') THEN 'dot'
-        END AS fmt,
-        CAST(year(coalesce(
-          try_strptime(regexp_extract(s, '(\\d{4}-\\d{2}-\\d{2})', 1), '%Y-%m-%d'),
-          try_strptime(regexp_extract(s, '(\\d{2}/\\d{2}/\\d{4})', 1), '%m/%d/%Y'),
-          try_strptime(regexp_extract(s, '([A-Za-z]{3} \\d{1,2}, \\d{4})', 1), '%b %-d, %Y'),
-          try_strptime(regexp_extract(s, '(\\d{4}\\.\\d{2}\\.\\d{2})', 1), '%Y.%m.%d')
-        )) AS INT) AS y
-      FROM (
-        SELECT 'Received on ' ||
-          CASE CAST(o_orderkey % 4 AS INT)
+    r"""
+    WITH base AS (
+      SELECT 'Received on ' ||
+        CASE CAST(o_orderkey % 22 AS INT)
             WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
-            WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
-            WHEN 2 THEN strftime(o_orderdate, '%b %-d, %Y')
-            ELSE strftime(o_orderdate, '%Y.%m.%d') END || ' ok' AS s
-        FROM orders))
-    WHERE y IS NOT NULL GROUP BY fmt, y
+            WHEN 1 THEN strftime(o_orderdate, '%y-%m-%d')
+            WHEN 2 THEN strftime(o_orderdate, '%m-%d-%Y')
+            WHEN 3 THEN strftime(o_orderdate, '%m-%d-%y')
+            WHEN 4 THEN strftime(o_orderdate, '%d-%m-%Y')
+            WHEN 5 THEN strftime(o_orderdate, '%d-%m-%y')
+            WHEN 6 THEN strftime(o_orderdate, '%Y/%m/%d')
+            WHEN 7 THEN strftime(o_orderdate, '%y/%m/%d')
+            WHEN 8 THEN strftime(o_orderdate, '%m/%d/%Y')
+            WHEN 9 THEN strftime(o_orderdate, '%m/%d/%y')
+            WHEN 10 THEN strftime(o_orderdate, '%d/%m/%Y')
+            WHEN 11 THEN strftime(o_orderdate, '%d/%m/%y')
+            WHEN 12 THEN strftime(o_orderdate, '%Y.%m.%d')
+            WHEN 13 THEN strftime(o_orderdate, '%y.%m.%d')
+            WHEN 14 THEN strftime(o_orderdate, '%m.%d.%Y')
+            WHEN 15 THEN strftime(o_orderdate, '%m.%d.%y')
+            WHEN 16 THEN strftime(o_orderdate, '%d.%m.%Y')
+            WHEN 17 THEN strftime(o_orderdate, '%d.%m.%y')
+            WHEN 18 THEN monthname(o_orderdate) || ' ' || CAST(day(o_orderdate) AS VARCHAR) || CASE WHEN day(o_orderdate) % 100 IN (11,12,13) THEN 'th' WHEN day(o_orderdate) % 10 = 1 THEN 'st' WHEN day(o_orderdate) % 10 = 2 THEN 'nd' WHEN day(o_orderdate) % 10 = 3 THEN 'rd' ELSE 'th' END || ', ' || CAST(year(o_orderdate) AS VARCHAR)
+            WHEN 19 THEN strftime(o_orderdate, '%B %-d, %Y')
+            WHEN 20 THEN strftime(o_orderdate, '%b') || ' ' || CAST(day(o_orderdate) AS VARCHAR) || CASE WHEN day(o_orderdate) % 100 IN (11,12,13) THEN 'th' WHEN day(o_orderdate) % 10 = 1 THEN 'st' WHEN day(o_orderdate) % 10 = 2 THEN 'nd' WHEN day(o_orderdate) % 10 = 3 THEN 'rd' ELSE 'th' END || ', ' || CAST(year(o_orderdate) AS VARCHAR)
+            ELSE strftime(o_orderdate, '%b %-d, %Y')
+        END || ' ok' AS s
+      FROM orders),
+    matches AS (
+      SELECT 'Ymd-' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%Y-%m-%d')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((19|20)\d\d[-](0?[1-9]|1[012])[-](0?[1-9]|[12][0-9]|3[01]))\b', 1)) AS fd FROM base)
+      UNION ALL
+      SELECT 'ymd-' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%y-%m-%d')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((\d\d)[-](0?[1-9]|1[012])[-](0?[1-9]|[12][0-9]|3[01]))\b', 1)) AS fd FROM base)
+      UNION ALL
+      SELECT 'mdY-' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%m-%d-%Y')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((0?[1-9]|1[012])[-](0?[1-9]|[12][0-9]|3[01])[-](19|20)\d\d)\b', 1)) AS fd FROM base)
+      UNION ALL
+      SELECT 'mdy-' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%m-%d-%y')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((0?[1-9]|1[012])[-](0?[1-9]|[12][0-9]|3[01])[-](\d\d))\b', 1)) AS fd FROM base)
+      UNION ALL
+      SELECT 'dmY-' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%d-%m-%Y')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((0?[1-9]|[12][0-9]|3[01])[-](0?[1-9]|1[012])[-](19|20)\d\d)\b', 1)) AS fd FROM base)
+      UNION ALL
+      SELECT 'dmy-' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%d-%m-%y')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((0?[1-9]|[12][0-9]|3[01])[-](0?[1-9]|1[012])[-](\d\d))\b', 1)) AS fd FROM base)
+      UNION ALL
+      SELECT 'Ymd/' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%Y/%m/%d')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((19|20)\d\d[/](0?[1-9]|1[012])[/](0?[1-9]|[12][0-9]|3[01]))\b', 1)) AS fd FROM base)
+      UNION ALL
+      SELECT 'ymd/' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%y/%m/%d')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((\d\d)[/](0?[1-9]|1[012])[/](0?[1-9]|[12][0-9]|3[01]))\b', 1)) AS fd FROM base)
+      UNION ALL
+      SELECT 'mdY/' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%m/%d/%Y')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((0?[1-9]|1[012])[/](0?[1-9]|[12][0-9]|3[01])[/](19|20)\d\d)\b', 1)) AS fd FROM base)
+      UNION ALL
+      SELECT 'mdy/' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%m/%d/%y')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((0?[1-9]|1[012])[/](0?[1-9]|[12][0-9]|3[01])[/](\d\d))\b', 1)) AS fd FROM base)
+      UNION ALL
+      SELECT 'dmY/' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%d/%m/%Y')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((0?[1-9]|[12][0-9]|3[01])[/](0?[1-9]|1[012])[/](19|20)\d\d)\b', 1)) AS fd FROM base)
+      UNION ALL
+      SELECT 'dmy/' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%d/%m/%y')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((0?[1-9]|[12][0-9]|3[01])[/](0?[1-9]|1[012])[/](\d\d))\b', 1)) AS fd FROM base)
+      UNION ALL
+      SELECT 'Ymd.' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%Y.%m.%d')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((19|20)\d\d[.](0?[1-9]|1[012])[.](0?[1-9]|[12][0-9]|3[01]))\b', 1)) AS fd FROM base)
+      UNION ALL
+      SELECT 'ymd.' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%y.%m.%d')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((\d\d)[.](0?[1-9]|1[012])[.](0?[1-9]|[12][0-9]|3[01]))\b', 1)) AS fd FROM base)
+      UNION ALL
+      SELECT 'mdY.' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%m.%d.%Y')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((0?[1-9]|1[012])[.](0?[1-9]|[12][0-9]|3[01])[.](19|20)\d\d)\b', 1)) AS fd FROM base)
+      UNION ALL
+      SELECT 'mdy.' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%m.%d.%y')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((0?[1-9]|1[012])[.](0?[1-9]|[12][0-9]|3[01])[.](\d\d))\b', 1)) AS fd FROM base)
+      UNION ALL
+      SELECT 'dmY.' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%d.%m.%Y')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((0?[1-9]|[12][0-9]|3[01])[.](0?[1-9]|1[012])[.](19|20)\d\d)\b', 1)) AS fd FROM base)
+      UNION ALL
+      SELECT 'dmy.' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%d.%m.%y')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((0?[1-9]|[12][0-9]|3[01])[.](0?[1-9]|1[012])[.](\d\d))\b', 1)) AS fd FROM base)
+      UNION ALL
+      SELECT 'BdthY' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%B %d, %Y')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((January|February|March|April|May|June|July|August|September|October|November|December)\s{1,6}\d{1,2}(st|nd|rd|th)\s{0,2},\s{1,6}\d{4})\b', 1)) AS fd FROM base)
+      UNION ALL
+      SELECT 'BdY' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%B %d, %Y')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((January|February|March|April|May|June|July|August|September|October|November|December)\s{1,6}\d{1,2}\s{0,2},\s{1,6}\d{4})\b', 1)) AS fd FROM base)
+      UNION ALL
+      SELECT 'bdthY' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%b %d, %Y')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\s{1,6}\d{1,2}(st|nd|rd|th)\s{0,2},\s{1,6}\d{4})\b', 1)) AS fd FROM base)
+      UNION ALL
+      SELECT 'bdY' AS pattern,
+             CAST(year(try_strptime(
+               regexp_replace(trim(regexp_replace(regexp_replace(fd, '(st|nd|rd|th)', '', 'g'), '\s+', ' ', 'g')), '\s{1,},', ',', 'g'),
+               '%b %d, %Y')) AS INT) AS y
+      FROM (SELECT unnest(regexp_extract_all(s, '\b((Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\s{1,6}\d{1,2}\s{0,2},\s{1,6}\d{4})\b', 1)) AS fd FROM base)
+    )
+    SELECT pattern, y, count(*) AS n FROM matches
+    WHERE y IS NOT NULL GROUP BY pattern, y
     """,
 )
 def date_extraction(spark, sf_dir):
-    """F4 extract_dates_from_text (utils/date_extraction.py: 22 regex
-    patterns + strptime validation): multi-format regex extraction with
-    null-safe parse as the validity check — entirely UDF-free."""
+    """F4 extract_dates_from_text — ALL 22 reference patterns
+    (utils/date_extraction.py:7-127; 3 separators x 6 component orders + 4
+    month-name forms incl. ordinal suffixes), implemented in
+    :mod:`docprompt_spark.dates` as pure column expressions and verified
+    against the reference implementation itself in
+    tests/test_date_extraction.py. Input: orders dates rendered through a
+    rotating one-of-22 formatter; ambiguous strings (03-04-2023) count once
+    per matching pattern, exactly like the reference."""
+    from docprompt_spark import dates
+
     o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    day, year_ = F.dayofmonth(d), F.year(d)
+    suffix = (
+        F.when((day % 100).isin(11, 12, 13), "th")
+        .when(day % 10 == 1, "st")
+        .when(day % 10 == 2, "nd")
+        .when(day % 10 == 3, "rd")
+        .otherwise("th")
+    )
+    named = lambda mf: F.concat(
+        F.date_format(d, mf), F.lit(" "), day.cast("string"), suffix,
+        F.lit(", "), year_.cast("string"),
+    )
+    fam = (F.col("o_orderkey") % 22).cast("int")
+    fmt_str = None
+    for i, f in {0: 'yyyy-MM-dd', 1: 'yy-MM-dd', 2: 'MM-dd-yyyy', 3: 'MM-dd-yy', 4: 'dd-MM-yyyy', 5: 'dd-MM-yy', 6: 'yyyy/MM/dd', 7: 'yy/MM/dd', 8: 'MM/dd/yyyy', 9: 'MM/dd/yy', 10: 'dd/MM/yyyy', 11: 'dd/MM/yy', 12: 'yyyy.MM.dd', 13: 'yy.MM.dd', 14: 'MM.dd.yyyy', 15: 'MM.dd.yy', 16: 'dd.MM.yyyy', 17: 'dd.MM.yy'}.items():
+        branch = F.date_format(d, f)
+        fmt_str = F.when(fam == i, branch) if fmt_str is None else fmt_str.when(fam == i, branch)
     fmt_str = (
-        F.when(F.col("o_orderkey") % 4 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
-        .when(F.col("o_orderkey") % 4 == 1, F.date_format("o_orderdate", "MM/dd/yyyy"))
-        .when(F.col("o_orderkey") % 4 == 2, F.date_format("o_orderdate", "MMM d, yyyy"))
-        .otherwise(F.date_format("o_orderdate", "yyyy.MM.dd"))
+        fmt_str.when(fam == 18, named("MMMM"))
+        .when(fam == 19, F.date_format(d, "MMMM d, yyyy"))
+        .when(fam == 20, named("MMM"))
+        .otherwise(F.date_format(d, "MMM d, yyyy"))
     )
-    s = F.concat(F.lit("Received on "), fmt_str, F.lit(" ok"))
-    base = o.select(s.alias("s"))
-    fmt = (
-        F.when(F.col("s").rlike(r"\d{4}-\d{2}-\d{2}"), "iso")
-        .when(F.col("s").rlike(r"\d{2}/\d{2}/\d{4}"), "us")
-        .when(F.col("s").rlike(r"[A-Za-z]{3} \d{1,2}, \d{4}"), "mon")
-        .when(F.col("s").rlike(r"\d{4}\.\d{2}\.\d{2}"), "dot")
-    )
-    # try_to_timestamp: null-safe parse (ANSI mode is on by default in
-    # Spark 4 — plain to_date would throw on the non-matching formats)
-    parsed = F.coalesce(
-        F.expr(r"try_to_timestamp(regexp_extract(s, '(\\d{4}-\\d{2}-\\d{2})', 1), 'yyyy-MM-dd')"),
-        F.expr(r"try_to_timestamp(regexp_extract(s, '(\\d{2}/\\d{2}/\\d{4})', 1), 'MM/dd/yyyy')"),
-        F.expr(r"try_to_timestamp(regexp_extract(s, '([A-Za-z]{3} \\d{1,2}, \\d{4})', 1), 'MMM d, yyyy')"),
-        F.expr(r"try_to_timestamp(regexp_extract(s, '(\\d{4}\\.\\d{2}\\.\\d{2})', 1), 'yyyy.MM.dd')"),
-    )
+    base = o.select(F.concat(F.lit("Received on "), fmt_str, F.lit(" ok")).alias("s"))
+    found = dates.extract_dates(base, "s")
     return (
-        base.select(fmt.alias("fmt"), F.year(parsed).cast("int").alias("y"))
-        .filter(F.col("y").isNotNull())
-        .groupBy("fmt", "y")
+        found.select("pattern", F.year("date").cast("int").alias("y"))
+        .groupBy("pattern", "y")
         .agg(F.count("*").alias("n"))
     )
 
