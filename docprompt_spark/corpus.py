@@ -172,10 +172,10 @@ def _wrap(pdf: bytes, variant: int) -> bytes:
     return pdf
 
 
-def gen_doc(
-    idx: int, seed: int = 42, skew_every: int = 47, envelope: str = None
-) -> dict:
-    """One deterministic document: pdf bytes + golden span sequence."""
+def _gen_doc_pages(idx: int, seed: int, skew_every: int):
+    """Deterministic page set for document ``idx``: (doc_id, [(writer_page,
+    words_gt, images_gt), ...]). Single source of truth for the rng replay —
+    gen_doc and golden_page_layouts both consume it."""
     rng = random.Random(f"doc:{seed}:{idx}")
     doc_id = f"doc-{seed}-{idx:08d}"
     if skew_every and idx > 0 and idx % skew_every == 0:
@@ -183,11 +183,34 @@ def gen_doc(
     else:
         n_pages = rng.randint(1, 3)
     use_f2 = idx % 3 == 0
+    return doc_id, [_gen_page(rng, use_f2, seed) for _ in range(n_pages)]
+
+
+def golden_page_layouts(n_docs: int, seed: int = 42, skew_every: int = 47):
+    """Golden per-page layout dicts (kernels.build_page_layout over the
+    generator's ground-truth words) plus ground-truth images — the oracle
+    source for the TextBlock hierarchy and media tables. Yields
+    (doc_id, page_number, layout, images_gt) where images_gt rows are
+    {media_ref, bbox} (+ the generator's raw byte length via n_bytes)."""
+    for idx in range(n_docs):
+        doc_id, pages = _gen_doc_pages(idx, seed, skew_every)
+        for p, (page_w, words_gt, images_gt) in enumerate(pages):
+            gt = [dict(im) for im in images_gt]
+            for im, w in zip(gt, page_w["images"]):
+                im["n_bytes"] = len(w["data"])
+            yield doc_id, p + 1, kernels.build_page_layout(words_gt), gt
+
+
+def gen_doc(
+    idx: int, seed: int = 42, skew_every: int = 47, envelope: str = None
+) -> dict:
+    """One deterministic document: pdf bytes + golden span sequence."""
+    doc_id, gen_pages = _gen_doc_pages(idx, seed, skew_every)
+    n_pages = len(gen_pages)
 
     pages_w: List[dict] = []
     page_results: List[dict] = []
-    for p in range(n_pages):
-        page, words_gt, images_gt = _gen_page(rng, use_f2, seed)
+    for p, (page, words_gt, images_gt) in enumerate(gen_pages):
         pages_w.append(page)
         layout = kernels.build_page_layout(words_gt)
         spans = kernels.assemble_page_spans(layout, images_gt)

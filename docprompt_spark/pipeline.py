@@ -74,6 +74,42 @@ PAGE_SCHEMA = StructType(
     ]
 )
 
+_BBOX_FIELDS = [
+    StructField("x0", DoubleType()),
+    StructField("top", DoubleType()),
+    StructField("x1", DoubleType()),
+    StructField("bottom", DoubleType()),
+]
+
+# TextBlock hierarchy (SURVEY §1.3: OcrPageResult.word/line/block_level_blocks,
+# reference schema/layout.py TextBlock): per-page arrays of typed blocks with
+# geometry + page-level text spans, the table provenance search consumes
+# (reference provenance/search.py:42-82 builds its index from exactly these).
+_WORD_BLOCK = StructType(
+    [StructField("text", StringType()), StructField("start", IntegerType()),
+     StructField("end", IntegerType())] + _BBOX_FIELDS
+)
+_LINE_BLOCK = StructType(
+    [StructField("text", StringType()), StructField("start", IntegerType()),
+     StructField("end", IntegerType()), StructField("n_words", IntegerType())]
+    + _BBOX_FIELDS
+)
+_BLOCK_BLOCK = StructType(
+    [StructField("start", IntegerType()), StructField("end", IntegerType()),
+     StructField("n_lines", IntegerType())] + _BBOX_FIELDS
+)
+
+BLOCKS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("page_number", IntegerType(), False),
+        StructField("page_text_len", IntegerType(), False),
+        StructField("word_blocks", ArrayType(_WORD_BLOCK), False),
+        StructField("line_blocks", ArrayType(_LINE_BLOCK), False),
+        StructField("block_blocks", ArrayType(_BLOCK_BLOCK), False),
+    ]
+)
+
 DEFAULT_PAGES_PER_BUCKET = 16
 
 
@@ -162,11 +198,19 @@ def parse_pages(
     and repartitioned by (doc_id, page_bucket) so a 5000-page book fans out
     across the cluster instead of pinning one task.
     """
+    fn = _parse_and_layout(pages_per_bucket, on_error)
+    return _route_and_map(
+        buckets_df, fn, PAGE_SCHEMA, parallelism, skew_page_threshold
+    )
+
+
+def _route_and_map(buckets_df, fn, schema, parallelism, skew_page_threshold):
+    """Differentiated skew routing shared by the span and block pipelines:
+    small docs map narrowly (zero shuffle), only skew-tail docs repartition."""
     from docprompt_spark.shipping import ensure_py_files
 
     spark = buckets_df.sparkSession
     ensure_py_files(spark)
-    fn = _parse_and_layout(pages_per_bucket, on_error)
     cols = ["doc_id", "pdf", "page_bucket"]
     small = buckets_df.filter(F.col("n_pages") <= skew_page_threshold).select(*cols)
     big = buckets_df.filter(F.col("n_pages") > skew_page_threshold).select(*cols)
@@ -174,8 +218,97 @@ def parse_pages(
     # dominates at high core counts (measured: 4x beats 2x and 8x)
     nparts = parallelism or spark.sparkContext.defaultParallelism * 4
     big = big.repartition(nparts, "doc_id", "page_bucket")
-    return small.mapInPandas(fn, schema=PAGE_SCHEMA).unionAll(
-        big.mapInPandas(fn, schema=PAGE_SCHEMA)
+    return small.mapInPandas(fn, schema=schema).unionAll(
+        big.mapInPandas(fn, schema=schema)
+    )
+
+
+def _layout_to_block_row(doc_id: str, page_number: int, layout: dict) -> dict:
+    """kernels.build_page_layout output → one BLOCKS_SCHEMA row."""
+    word_blocks, line_blocks, block_blocks = [], [], []
+    for ln in layout["lines"]:
+        bb = ln["bbox"]
+        line_blocks.append(
+            {
+                "text": ln["text"], "start": ln["start"],
+                "end": ln["start"] + len(ln["text"]), "n_words": len(ln["words"]),
+                "x0": bb[0], "top": bb[1], "x1": bb[2], "bottom": bb[3],
+            }
+        )
+        for w in ln["words"]:
+            wb = w["bbox"]
+            word_blocks.append(
+                {
+                    "text": w["text"], "start": w["start"],
+                    "end": w["start"] + len(w["text"]),
+                    "x0": wb[0], "top": wb[1], "x1": wb[2], "bottom": wb[3],
+                }
+            )
+    for b in layout["blocks"]:
+        bb = b["bbox"]
+        block_blocks.append(
+            {
+                "start": b["start"], "end": b["end"], "n_lines": len(b["line_idx"]),
+                "x0": bb[0], "top": bb[1], "x1": bb[2], "bottom": bb[3],
+            }
+        )
+    return {
+        "doc_id": doc_id,
+        "page_number": page_number,
+        "page_text_len": len(layout["page_text"]),
+        "word_blocks": word_blocks,
+        "line_blocks": line_blocks,
+        "block_blocks": block_blocks,
+    }
+
+
+def _parse_to_blocks(pages_per_bucket: int, on_error: str):
+    """mapInPandas kernel emitting the TextBlock hierarchy per page."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from docprompt_spark import kernels, pdfparse
+
+        for pdf_batch in batches:
+            rows = []
+            for doc_id, blob, bucket in zip(
+                pdf_batch["doc_id"], pdf_batch["pdf"], pdf_batch["page_bucket"]
+            ):
+                lo = int(bucket) * pages_per_bucket
+                try:
+                    pages = pdfparse.extract_pages(
+                        bytes(blob), lo, lo + pages_per_bucket
+                    )
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
+                for p in pages:
+                    layout = kernels.build_page_layout(p["words"])
+                    rows.append(
+                        _layout_to_block_row(doc_id, p["page_number"], layout)
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return fn
+
+
+def page_blocks(
+    buckets_df: DataFrame,
+    pages_per_bucket: int = DEFAULT_PAGES_PER_BUCKET,
+    on_error: str = "fail",
+    parallelism: Optional[int] = None,
+    skew_page_threshold: int = SKEW_PAGE_THRESHOLD,
+) -> DataFrame:
+    """The TextBlock hierarchy as a TABLE: per page, arrays of word/line/
+    block-level blocks with normalized bboxes and page-level text spans
+    (start/end char offsets) — the relational form of the reference's
+    OcrPageResult (tasks/ocr/result.py word/line/block_level_blocks), which
+    provenance search consumes (provenance/search.py:42-82). Same
+    differentiated skew routing as parse_pages."""
+    fn = _parse_to_blocks(pages_per_bucket, on_error)
+    return _route_and_map(
+        buckets_df, fn, BLOCKS_SCHEMA, parallelism, skew_page_threshold
     )
 
 

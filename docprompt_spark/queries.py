@@ -1927,6 +1927,115 @@ def provenance_refined_search(spark, sf_dir):
 _REGISTRY["provenance_refined_search"] = (provenance_refined_search, None)
 
 
+def textblock_line_geometry(spark, sf_dir):
+    """TextBlock hierarchy as a table (SURVEY §1.3 / reference
+    OcrPageResult.line_level_blocks): parse the flagship corpus from bytes,
+    emit per-page line blocks with page-level text spans (start/end) and
+    normalized bbox geometry. Oracle: golden layouts recomputed from the
+    generator's ground-truth words, embedded as VALUES."""
+    from docprompt_spark import pipeline
+
+    docs = pipeline.corpus_df(spark, _FLAGSHIP_DOCS, seed=_FLAGSHIP_SEED, skew_every=0)
+    blocks = pipeline.page_blocks(
+        pipeline.salt_page_buckets(docs.select("doc_id", "pdf", "n_pages"))
+    )
+    lines = blocks.select(
+        "doc_id",
+        "page_number",
+        F.posexplode("line_blocks").alias("line_idx", "lb"),
+    )
+    return lines.select(
+        "doc_id",
+        F.col("page_number").cast("int").alias("page_number"),
+        F.col("line_idx").cast("int").alias("line_idx"),
+        F.col("lb.text").alias("text"),
+        F.col("lb.start").cast("int").alias("start_idx"),
+        F.col("lb.end").cast("int").alias("end_idx"),
+        F.col("lb.n_words").cast("int").alias("n_words"),
+        F.round("lb.x0", 5).alias("x0"),
+        F.round("lb.top", 5).alias("top"),
+        F.round("lb.x1", 5).alias("x1"),
+        F.round("lb.bottom", 5).alias("bottom"),
+    )
+
+
+def _textblock_lines_oracle_sql() -> str:
+    from docprompt_spark.corpus import golden_page_layouts
+
+    rows = []
+    for doc_id, page_number, layout, _imgs in golden_page_layouts(
+        _FLAGSHIP_DOCS, seed=_FLAGSHIP_SEED, skew_every=0
+    ):
+        for li, ln in enumerate(layout["lines"]):
+            bb = ln["bbox"]
+            rows.append(
+                f"({_sql_quote(doc_id)},{page_number},{li},{_sql_quote(ln['text'])},"
+                f"{ln['start']},{ln['start'] + len(ln['text'])},{len(ln['words'])},"
+                f"{round(bb[0], 5)},{round(bb[1], 5)},{round(bb[2], 5)},{round(bb[3], 5)})"
+            )
+    values = ",\n".join(rows)
+    return (
+        "SELECT doc_id, CAST(page_number AS INT) AS page_number,"
+        " CAST(line_idx AS INT) AS line_idx, text,"
+        " CAST(start_idx AS INT) AS start_idx, CAST(end_idx AS INT) AS end_idx,"
+        " CAST(n_words AS INT) AS n_words,"
+        " CAST(x0 AS DOUBLE) AS x0, CAST(top AS DOUBLE) AS top,"
+        " CAST(x1 AS DOUBLE) AS x1, CAST(bottom AS DOUBLE) AS bottom"
+        " FROM (VALUES\n" + values + "\n) AS t(doc_id, page_number, line_idx,"
+        ' text, start_idx, end_idx, n_words, x0, top, x1, bottom)'
+    )
+
+
+def textblock_block_rollup(spark, sf_dir):
+    """Block-level blocks (derived segmentation) rolled up per page: counts,
+    line totals, combined bbox union — over the same hierarchy table."""
+    from docprompt_spark import pipeline
+
+    docs = pipeline.corpus_df(spark, _FLAGSHIP_DOCS, seed=_FLAGSHIP_SEED, skew_every=0)
+    blocks = pipeline.page_blocks(
+        pipeline.salt_page_buckets(docs.select("doc_id", "pdf", "n_pages"))
+    )
+    exploded = blocks.select("doc_id", "page_number", F.explode("block_blocks").alias("b"))
+    return exploded.groupBy("doc_id", F.col("page_number").cast("int").alias("page_number")).agg(
+        F.count("*").cast("int").alias("n_blocks"),
+        F.sum("b.n_lines").cast("int").alias("n_lines"),
+        F.round(F.min("b.top"), 5).alias("min_top"),
+        F.round(F.max("b.bottom"), 5).alias("max_bottom"),
+    )
+
+
+def _textblock_blocks_oracle_sql() -> str:
+    from docprompt_spark.corpus import golden_page_layouts
+
+    rows = []
+    for doc_id, page_number, layout, _imgs in golden_page_layouts(
+        _FLAGSHIP_DOCS, seed=_FLAGSHIP_SEED, skew_every=0
+    ):
+        blocks = layout["blocks"]
+        if not blocks:
+            continue
+        n_lines = sum(len(b["line_idx"]) for b in blocks)
+        min_top = round(min(b["bbox"][1] for b in blocks), 5)
+        max_bottom = round(max(b["bbox"][3] for b in blocks), 5)
+        rows.append(
+            f"({_sql_quote(doc_id)},{page_number},{len(blocks)},{n_lines},"
+            f"{min_top},{max_bottom})"
+        )
+    values = ",\n".join(rows)
+    return (
+        "SELECT doc_id, CAST(page_number AS INT) AS page_number,"
+        " CAST(n_blocks AS INT) AS n_blocks, CAST(n_lines AS INT) AS n_lines,"
+        " CAST(min_top AS DOUBLE) AS min_top,"
+        " CAST(max_bottom AS DOUBLE) AS max_bottom"
+        " FROM (VALUES\n" + values + "\n) AS t(doc_id, page_number, n_blocks,"
+        " n_lines, min_top, max_bottom)"
+    )
+
+
+_REGISTRY["textblock_line_geometry"] = (textblock_line_geometry, None)
+_REGISTRY["textblock_block_rollup"] = (textblock_block_rollup, None)
+
+
 _FIXTURE_OCR = "/root/reference/tests/fixtures/1_ocr.json"
 
 
@@ -2011,10 +2120,92 @@ def queries() -> Dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
+def _page_stats_oracle_sql() -> str:
+    """extraction_page_stats golden: per-doc page/word/line/block/media
+    counts from the generator's ground truth (12 docs, seed 7, skew 5)."""
+    from collections import defaultdict
+
+    from docprompt_spark.corpus import golden_page_layouts
+
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for doc_id, _pn, layout, imgs in golden_page_layouts(12, seed=7, skew_every=5):
+        a = agg[doc_id]
+        a[0] += 1
+        a[1] += sum(len(ln["words"]) for ln in layout["lines"])
+        a[2] += len(layout["lines"])
+        a[3] += len(layout["blocks"])
+        a[4] += len(imgs)
+    rows = [
+        f"({_sql_quote(d)},{a[0]},{a[1]},{a[2]},{a[3]},{a[4]})"
+        for d, a in sorted(agg.items())
+    ]
+    return (
+        "SELECT doc_id, CAST(n_pages AS BIGINT) AS n_pages,"
+        " CAST(n_words AS BIGINT) AS n_words, CAST(n_lines AS BIGINT) AS n_lines,"
+        " CAST(n_blocks AS BIGINT) AS n_blocks, CAST(n_media AS BIGINT) AS n_media"
+        " FROM (VALUES " + ",".join(rows) +
+        ") AS t(doc_id, n_pages, n_words, n_lines, n_blocks, n_media)"
+    )
+
+
+def _media_inventory_oracle_sql() -> str:
+    """media_inventory golden from ground-truth images (16 docs, seed 11)."""
+    from collections import defaultdict
+
+    from docprompt_spark.corpus import golden_page_layouts
+
+    per_doc = defaultdict(list)
+    for doc_id, _pn, _layout, imgs in golden_page_layouts(16, seed=11, skew_every=0):
+        per_doc[doc_id].extend(imgs)
+    rows = []
+    for d, imgs in sorted(per_doc.items()):
+        if not imgs:
+            continue
+        refs = {im["media_ref"] for im in imgs}
+        total = sum(im["n_bytes"] for im in imgs)
+        rows.append(f"({_sql_quote(d)},{len(imgs)},{total},{len(refs)})")
+    return (
+        "SELECT doc_id, CAST(n_media AS BIGINT) AS n_media,"
+        " CAST(total_bytes AS BIGINT) AS total_bytes,"
+        " CAST(n_distinct AS BIGINT) AS n_distinct"
+        " FROM (VALUES " + ",".join(rows) +
+        ") AS t(doc_id, n_media, total_bytes, n_distinct)"
+    )
+
+
+def _provenance_search_oracle_sql() -> str:
+    """provenance_search golden: derived in SQL from the flagship golden
+    spans (word spans containing each query term)."""
+    spans = _golden_spans_sql(_FLAGSHIP_DOCS, _FLAGSHIP_SEED)
+    return (
+        "WITH spans AS (" + spans + "),\n"
+        "words AS (SELECT doc_id, text, \"offset\" FROM spans WHERE kind = 'word'),\n"
+        "q AS (SELECT q FROM (VALUES ('an'), ('the'), ('qu')) AS t(q))\n"
+        "SELECT doc_id, q, count(*) AS n_hits,"
+        " CAST(min(\"offset\") AS INT) AS first_offset\n"
+        "FROM words JOIN q ON contains(words.text, q.q) GROUP BY doc_id, q"
+    )
+
+
+def _mime_sniff_oracle_sql() -> str:
+    """mime_sniff_stats golden: the corpus wraps pdf bytes by idx%4
+    (corpus._wrap) — 32 docs -> raw 8, gzip 8, base64 16."""
+    return (
+        "SELECT envelope, CAST(n AS BIGINT) AS n FROM (VALUES"
+        " ('raw', 8), ('gzip', 8), ('base64', 16)) AS t(envelope, n)"
+    )
+
+
 def oracle_sql() -> Dict[str, str]:
     out = {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
     out["extraction_spans_flat"] = _golden_spans_sql(_FLAGSHIP_DOCS, _FLAGSHIP_SEED)
     out["line_block_word_assignment"] = _line_block_assignment_oracle_sql()
+    out["textblock_line_geometry"] = _textblock_lines_oracle_sql()
+    out["textblock_block_rollup"] = _textblock_blocks_oracle_sql()
+    out["extraction_page_stats"] = _page_stats_oracle_sql()
+    out["media_inventory"] = _media_inventory_oracle_sql()
+    out["provenance_search"] = _provenance_search_oracle_sql()
+    out["mime_sniff_stats"] = _mime_sniff_oracle_sql()
     out["extraction_xrefstream_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, envelope="xrefstream"
     )
