@@ -30,7 +30,7 @@ def corpus_path(n_docs: int, seed: int = 42) -> str:
     """Deterministic bench corpus, cached under /tmp (generation excluded
     from timing)."""
     # v2: corpus now rotates in the xref-stream/ObjStm envelope (idx%5==1)
-    path = f"/tmp/docprompt_bench_corpus/v2_seed{seed}_n{n_docs}"
+    path = f"/tmp/docprompt_bench_corpus/v3_seed{seed}_n{n_docs}"
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         from docprompt_spark.corpus import write_corpus_parquet

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import base64
 import gzip
+import zlib
 import hashlib
 import math
 import random
@@ -103,14 +104,32 @@ def _gen_page(rng: random.Random, use_f2: bool, seed: int) -> Tuple[dict, List[d
         if y < MIN_Y:
             break
         if para > 0 and rng.random() < 0.35:
-            # inline figure between paragraphs -> media span
+            # inline figure between paragraphs -> media span. The payload is
+            # a REAL raster: 8-bit grayscale gradient+noise samples sized
+            # exactly /Width x /Height, stored raw or FlateDecode-compressed
+            # (rotating) — genuinely decodable by the multimodal pipeline.
             h = rng.choice([48.0, 64.0, 96.0])
             w = rng.choice([96.0, 128.0, 160.0])
             y -= h
             ix = _snap16(MARGIN_X + rng.random() * 280.0)
-            data = bytes(rng.getrandbits(8) for _ in range(rng.randint(40, 160)))
+            px_w = rng.choice([16, 24, 32])
+            px_h = rng.choice([8, 12, 16])
+            base = rng.randrange(256)
+            samples = bytes(
+                (base + 7 * x_ + 13 * y_ + rng.randrange(32)) % 256
+                for y_ in range(px_h)
+                for x_ in range(px_w)
+            )
+            if rng.random() < 0.5:
+                data, filt = samples, None
+            else:
+                data, filt = zlib.compress(samples, 6), "FlateDecode"
             images_w.append(
-                {"data": data, "width": int(w), "height": int(h), "x": ix, "y": y, "w": w, "h": h}
+                {
+                    "data": data, "filter": filt, "samples": samples,
+                    "width": px_w, "height": px_h,
+                    "x": ix, "y": y, "w": w, "h": h,
+                }
             )
             images_gt.append(
                 {
@@ -198,6 +217,9 @@ def golden_page_layouts(n_docs: int, seed: int = 42, skew_every: int = 47):
             gt = [dict(im) for im in images_gt]
             for im, w in zip(gt, page_w["images"]):
                 im["n_bytes"] = len(w["data"])
+                im["samples"] = w["samples"]
+                im["px_w"] = w["width"]
+                im["px_h"] = w["height"]
             yield doc_id, p + 1, kernels.build_page_layout(words_gt), gt
 
 

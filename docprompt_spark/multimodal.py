@@ -12,11 +12,12 @@ extracted from the corpus PDFs' image XObjects (content-addressed:
 extraction pipeline — joinable on ``media_ref``).
 
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` kernels. The image/audio codec libraries are NOT in this
-container, so the codec step is STUBBED with a clearly-marked deterministic
-fake (`_fake_decode`) behind an import-try; the Spark-side plumbing — schema,
-partitioning, UDF signature, batch shape — is real and tested. Swap
-`_fake_decode` for PIL/libav when available.
+``mapInPandas`` kernels. The decode step is REAL for lossless codecs —
+raw/Flate grayscale samples (how actual PDFs store lossless images) and full
+PNG via :mod:`docprompt_spark.png` (zlib+numpy, no external libs). Only
+DCT (JPEG) / JPX decoding, which genuinely needs codec libraries absent from
+this container, falls back to a clearly-marked deterministic stub
+(`_fake_decode`) behind an import-try.
 """
 
 from __future__ import annotations
@@ -44,12 +45,31 @@ MEDIA_SCHEMA = StructType(
         StructField("page_number", IntegerType(), False),
         StructField("media_ref", StringType(), False),
         StructField("media_kind", StringType(), False),
+        StructField("codec", StringType(), False),
         StructField("payload", BinaryType(), False),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
         StructField("n_bytes", IntegerType(), False),
     ]
 )
+
+
+def _codec_of(xo_dict, resolve) -> str:
+    """Classify the XObject's encoding for the decode stage."""
+    filt = resolve(xo_dict.get("Filter"))
+    filts = [str(f) for f in (filt if isinstance(filt, list) else [filt] if filt else [])]
+    cs = str(resolve(xo_dict.get("ColorSpace", "")))
+    bpc = int(resolve(xo_dict.get("BitsPerComponent", 0)) or 0)
+    if "DCTDecode" in filts:
+        return "dct"
+    if "JPXDecode" in filts:
+        return "jpx"
+    gray8 = cs == "DeviceGray" and bpc == 8
+    if not filts:
+        return "gray8" if gray8 else "raw-unknown"
+    if filts == ["FlateDecode"]:
+        return "flate-gray8" if gray8 else "flate-unknown"
+    return "unknown"
 
 
 def media_table(docs_df: DataFrame, pages_per_bucket: int = 16) -> DataFrame:
@@ -92,6 +112,7 @@ def media_table(docs_df: DataFrame, pages_per_bucket: int = 16) -> DataFrame:
                                 "page_number": i + 1,
                                 "media_ref": hashlib.md5(payload).hexdigest(),
                                 "media_kind": "image",
+                                "codec": _codec_of(xo.dict, pf.resolve),
                                 "payload": payload,
                                 "width": int(pf.resolve(xo.dict.get("Width", 0))),
                                 "height": int(pf.resolve(xo.dict.get("Height", 0))),
@@ -108,7 +129,7 @@ def media_table(docs_df: DataFrame, pages_per_bucket: int = 16) -> DataFrame:
 # Codec stub
 # ---------------------------------------------------------------------------
 
-try:  # real codecs are not in this container; gate behind import-try
+try:  # JPEG/JPX need external codecs, not in this container
     from PIL import Image  # noqa: F401
 
     _HAVE_PIL = True
@@ -117,12 +138,9 @@ except ImportError:
 
 
 def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB codec: deterministic fake 'pixels' derived from the raw bytes.
-
-    Real deployment: replace with PIL/turbojpeg decode. The fake keeps every
-    downstream kernel (features, resize, frame-sample) fully exercisable and
-    deterministic.
-    """
+    """STUB codec for formats needing external libraries (JPEG/JPX):
+    deterministic fake 'pixels' derived from the raw bytes. Real deployment:
+    swap for PIL/turbojpeg. Lossless paths below are REAL."""
     w = max(int(width), 1)
     h = max(int(height), 1)
     arr = np.frombuffer(payload, dtype=np.uint8)
@@ -130,17 +148,43 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.tile(arr, max(reps, 1))[: w * h].reshape(h, w)
 
 
-def decode_or_stub(
-    payload: bytes, width: int, height: int, use_real_codec: bool = False
-) -> np.ndarray:
-    if use_real_codec:
-        # The real path is intentionally unimplemented in this sandbox (no
-        # codec libraries baked in); the plumbing around it is real.
-        raise NotImplementedError(
-            "real codec path not available in this environment"
-            + ("" if _HAVE_PIL else " (PIL not installed)")
+def decode_image(payload: bytes, width: int, height: int, codec: str) -> np.ndarray:
+    """REAL decode for lossless codecs (no external libs needed):
+
+    * gray8        — raw 8-bit grayscale samples, exactly width*height
+    * flate-gray8  — the same behind zlib (how real PDFs store lossless
+                     images: /Filter /FlateDecode /ColorSpace /DeviceGray)
+    * png          — full PNG via :mod:`docprompt_spark.png`
+
+    DCT (JPEG) / JPX genuinely require codec libraries — they raise
+    NotImplementedError here and callers fall back to the documented stub.
+    """
+    import zlib
+
+    from docprompt_spark import png as _png
+
+    if codec == "gray8":
+        return np.frombuffer(payload, dtype=np.uint8)[: width * height].reshape(
+            height, width
         )
-    return _fake_decode(payload, width, height)
+    if codec == "flate-gray8":
+        raw = zlib.decompress(payload)
+        return np.frombuffer(raw, dtype=np.uint8)[: width * height].reshape(
+            height, width
+        )
+    if codec == "png":
+        return _png.decode(payload)
+    raise NotImplementedError(f"codec {codec!r} needs an external library")
+
+
+def decode_or_stub(
+    payload: bytes, width: int, height: int, codec: str = "unknown"
+) -> np.ndarray:
+    """Real decode when the codec allows it; deterministic stub otherwise."""
+    try:
+        return decode_image(payload, width, height, codec)
+    except NotImplementedError:
+        return _fake_decode(payload, width, height)
 
 
 # ---------------------------------------------------------------------------
@@ -163,10 +207,11 @@ def image_features(media_df: DataFrame) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = []
-            for ref, payload, w, h in zip(
-                batch["media_ref"], batch["payload"], batch["width"], batch["height"]
+            for ref, payload, w, h, codec in zip(
+                batch["media_ref"], batch["payload"], batch["width"],
+                batch["height"], batch["codec"],
             ):
-                px = decode_or_stub(bytes(payload), w, h).astype(np.float64)
+                px = decode_or_stub(bytes(payload), w, h, codec).astype(np.float64)
                 gx = np.abs(np.diff(px, axis=1)).mean() if px.shape[1] > 1 else 0.0
                 out.append(
                     {
@@ -179,9 +224,9 @@ def image_features(media_df: DataFrame) -> DataFrame:
             if out:
                 yield pd.DataFrame(out)
 
-    return media_df.select("media_ref", "payload", "width", "height").mapInPandas(
-        fn, schema=FEATURE_SCHEMA
-    )
+    return media_df.select(
+        "media_ref", "payload", "width", "height", "codec"
+    ).mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
 RESIZE_SCHEMA = StructType(
@@ -201,10 +246,11 @@ def resize_thumbnails(media_df: DataFrame, out_w: int = 8, out_h: int = 8) -> Da
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = []
-            for ref, payload, w, h in zip(
-                batch["media_ref"], batch["payload"], batch["width"], batch["height"]
+            for ref, payload, w, h, codec in zip(
+                batch["media_ref"], batch["payload"], batch["width"],
+                batch["height"], batch["codec"],
             ):
-                px = decode_or_stub(bytes(payload), w, h).astype(np.float64)
+                px = decode_or_stub(bytes(payload), w, h, codec).astype(np.float64)
                 ys = np.linspace(0, px.shape[0], out_h + 1).astype(int)
                 xs = np.linspace(0, px.shape[1], out_w + 1).astype(int)
                 thumb = [
@@ -219,9 +265,9 @@ def resize_thumbnails(media_df: DataFrame, out_w: int = 8, out_h: int = 8) -> Da
             if out:
                 yield pd.DataFrame(out)
 
-    return media_df.select("media_ref", "payload", "width", "height").mapInPandas(
-        fn, schema=RESIZE_SCHEMA
-    )
+    return media_df.select(
+        "media_ref", "payload", "width", "height", "codec"
+    ).mapInPandas(fn, schema=RESIZE_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(

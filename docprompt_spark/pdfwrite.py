@@ -328,15 +328,16 @@ def write_pdf(
         content_num = b.add_stream("", content, compress=compress_streams)
         xobj_entries = []
         for i, im in enumerate(page["images"]):
-            im_num = b.add_stream(
-                (
-                    f"/Type /XObject /Subtype /Image /Width {im['width']}"
-                    f" /Height {im['height']} /ColorSpace /DeviceGray"
-                    " /BitsPerComponent 8"
-                ),
-                im["data"],
-                compress=False,  # media_ref = md5(raw stream bytes)
+            entries = (
+                f"/Type /XObject /Subtype /Image /Width {im['width']}"
+                f" /Height {im['height']} /ColorSpace /DeviceGray"
+                " /BitsPerComponent 8"
             )
+            if im.get("filter"):
+                # payload arrives pre-encoded; declare without re-encoding so
+                # media_ref = md5(raw stream bytes) holds on both sides
+                entries += f" /Filter /{im['filter']}"
+            im_num = b.add_stream(entries, im["data"], compress=False)
             xobj_entries.append(f"/Im{i} {im_num} 0 R")
         fonts = f"/F1 {f1} 0 R"
         if f2 is not None:

@@ -1747,25 +1747,209 @@ def media_inventory(spark, sf_dir):
 
 
 def media_image_features(spark, sf_dir):
-    """Decode(stub) → intensity/edge features per image."""
+    """REAL pixel decode (raw/Flate gray8 — docprompt_spark.multimodal.
+    decode_image) → per-image intensity/edge features, rounded for the
+    cross-engine hash. Oracle: the same features computed from the
+    generator's ground-truth samples."""
     from docprompt_spark import multimodal
 
-    return multimodal.image_features(_corpus_media(spark))
+    feats = multimodal.image_features(_corpus_media(spark))
+    return feats.select(
+        "media_ref",
+        F.round("mean_intensity", 5).alias("mean_intensity"),
+        F.round("std_intensity", 5).alias("std_intensity"),
+        F.round("edge_density", 5).alias("edge_density"),
+    )
 
 
 def media_thumbnails(spark, sf_dir):
-    """Decode(stub) → 8x8 box-downsampled thumbnails."""
+    """REAL pixel decode → 8x8 box-downsampled thumbnails, exploded to one
+    row per cell (scalar columns hash robustly cross-engine)."""
     from docprompt_spark import multimodal
 
     df = multimodal.resize_thumbnails(_corpus_media(spark))
-    return df.select("media_ref", "out_w", "out_h", F.size("thumb").alias("thumb_len"))
+    return df.select(
+        "media_ref", F.posexplode("thumb").alias("cell_idx", "value")
+    ).select("media_ref", "cell_idx", F.round("value", 5).alias("value"))
 
 
 def media_frame_samples(spark, sf_dir):
-    """Frame-sampling fan-out stub (1 media row → N frame rows)."""
+    """Frame-sampling fan-out (1 media row → N frame rows); frame hashes are
+    content-derived, so the generator ground truth oracles them exactly."""
     from docprompt_spark import multimodal
 
     return multimodal.frame_sample(_corpus_media(spark))
+
+
+def _r5(x: float) -> float:
+    """Round half-UP at 5 decimals on the double's shortest repr — exactly
+    what Spark's F.round(col, 5) does (BigDecimal HALF_UP); Python's builtin
+    round is half-even and disagrees on exact halves (169.515625)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.00001"), ROUND_HALF_UP))
+
+
+def _golden_media(n_docs=16, seed=11):
+    """(media_ref, payload, samples, px_w, px_h) ground truth for the media
+    query corpus — one entry per distinct media_ref."""
+    from docprompt_spark.corpus import golden_page_layouts
+
+    seen = {}
+    for _doc, _pn, _layout, imgs in golden_page_layouts(n_docs, seed=seed, skew_every=0):
+        for im in imgs:
+            seen.setdefault(im["media_ref"], im)
+    return seen
+
+
+def _media_features_oracle_sql() -> str:
+    import numpy as np
+
+    rows = []
+    for ref, im in sorted(_golden_media().items()):
+        px = (
+            np.frombuffer(im["samples"], dtype=np.uint8)
+            .reshape(im["px_h"], im["px_w"])
+            .astype(np.float64)
+        )
+        gx = float(np.abs(np.diff(px, axis=1)).mean()) if px.shape[1] > 1 else 0.0
+        rows.append(
+            f"({_sql_quote(ref)},{_r5(px.mean())},{_r5(px.std())},{_r5(gx)})"
+        )
+    return (
+        "SELECT media_ref, CAST(mean_intensity AS DOUBLE) AS mean_intensity,"
+        " CAST(std_intensity AS DOUBLE) AS std_intensity,"
+        " CAST(edge_density AS DOUBLE) AS edge_density FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(media_ref, mean_intensity, std_intensity, edge_density)"
+    )
+
+
+def _media_thumbnails_oracle_sql(out_w=8, out_h=8) -> str:
+    import numpy as np
+
+    rows = []
+    for ref, im in sorted(_golden_media().items()):
+        px = (
+            np.frombuffer(im["samples"], dtype=np.uint8)
+            .reshape(im["px_h"], im["px_w"])
+            .astype(np.float64)
+        )
+        ys = np.linspace(0, px.shape[0], out_h + 1).astype(int)
+        xs = np.linspace(0, px.shape[1], out_w + 1).astype(int)
+        k = 0
+        for i in range(out_h):
+            for j in range(out_w):
+                v = float(
+                    px[
+                        ys[i] : max(ys[i + 1], ys[i] + 1),
+                        xs[j] : max(xs[j + 1], xs[j] + 1),
+                    ].mean()
+                )
+                rows.append(f"({_sql_quote(ref)},{k},{_r5(v)})")
+                k += 1
+    return (
+        "SELECT media_ref, CAST(cell_idx AS INT) AS cell_idx,"
+        " CAST(value AS DOUBLE) AS value FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(media_ref, cell_idx, value)"
+    )
+
+
+def _media_frames_oracle_sql(every_n_bytes=64, max_frames=4) -> str:
+    import hashlib as _hl
+
+    import zlib as _z
+
+    rows = []
+    for ref, im in sorted(_golden_media().items()):
+        # frame sampling runs on the raw stream payload: raw samples, or the
+        # flate-compressed form when the writer declared /FlateDecode
+        # (n_bytes records the written length, distinguishing the two)
+        data = im["samples"]
+        if im["n_bytes"] != len(im["samples"]):
+            data = _z.compress(im["samples"], 6)
+        n_frames = min(max(len(data) // every_n_bytes, 1), max_frames)
+        for k in range(n_frames):
+            frame = data[k * every_n_bytes : (k + 1) * every_n_bytes]
+            rows.append(
+                f"({_sql_quote(ref)},{k},'{_hl.md5(frame).hexdigest()}',{len(frame)})"
+            )
+    return (
+        "SELECT media_ref, CAST(frame_idx AS INT) AS frame_idx, frame_hash,"
+        " CAST(frame_bytes AS INT) AS frame_bytes FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(media_ref, frame_idx, frame_hash, frame_bytes)"
+    )
+
+
+def media_png_export(spark, sf_dir):
+    """REAL artifact output: decode each lossless image and re-encode as an
+    actual PNG (docprompt_spark.png — zlib+numpy, spec-level from scratch);
+    emits content hash + size so the oracle can assert byte-exact encodes."""
+    import hashlib as _hl
+
+    from docprompt_spark import multimodal
+    from docprompt_spark import png as _png
+
+    media = _corpus_media(spark)
+
+    def fn(batches):
+        import pandas as pd
+
+        for batch in batches:
+            out = []
+            for ref, payload, w, h, codec in zip(
+                batch["media_ref"], batch["payload"], batch["width"],
+                batch["height"], batch["codec"],
+            ):
+                try:
+                    px = multimodal.decode_image(bytes(payload), w, h, codec)
+                except NotImplementedError:
+                    continue
+                data = _png.encode(px)
+                out.append(
+                    {
+                        "media_ref": ref,
+                        "png_md5": _hl.md5(data).hexdigest(),
+                        "png_bytes": len(data),
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("media_ref", StringType(), False),
+            StructField("png_md5", StringType(), False),
+            StructField("png_bytes", IntegerType(), False),
+        ]
+    )
+    return media.select(
+        "media_ref", "payload", "width", "height", "codec"
+    ).mapInPandas(fn, schema=schema)
+
+
+def _media_png_oracle_sql() -> str:
+    import hashlib as _hl
+
+    import numpy as np
+
+    from docprompt_spark import png as _png
+
+    rows = []
+    for ref, im in sorted(_golden_media().items()):
+        px = np.frombuffer(im["samples"], dtype=np.uint8).reshape(
+            im["px_h"], im["px_w"]
+        )
+        data = _png.encode(px)
+        rows.append(f"({_sql_quote(ref)},'{_hl.md5(data).hexdigest()}',{len(data)})")
+    return (
+        "SELECT media_ref, png_md5, CAST(png_bytes AS INT) AS png_bytes"
+        " FROM (VALUES " + ",".join(rows) + ") AS t(media_ref, png_md5, png_bytes)"
+    )
 
 
 for _n, _f in [
@@ -1773,6 +1957,7 @@ for _n, _f in [
     ("media_image_features", media_image_features),
     ("media_thumbnails", media_thumbnails),
     ("media_frame_samples", media_frame_samples),
+    ("media_png_export", media_png_export),
 ]:
     _REGISTRY[_n] = (_f, None)
 
@@ -2250,6 +2435,10 @@ def oracle_sql() -> Dict[str, str]:
     out["media_inventory"] = _media_inventory_oracle_sql()
     out["provenance_search"] = _provenance_search_oracle_sql()
     out["mime_sniff_stats"] = _mime_sniff_oracle_sql()
+    out["media_image_features"] = _media_features_oracle_sql()
+    out["media_thumbnails"] = _media_thumbnails_oracle_sql()
+    out["media_frame_samples"] = _media_frames_oracle_sql()
+    out["media_png_export"] = _media_png_oracle_sql()
     out["extraction_xrefstream_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, envelope="xrefstream"
     )

@@ -72,6 +72,24 @@ def test_frame_sample_fanout(media):
     assert bad == 0
 
 
-def test_real_codec_path_is_marked_unimplemented():
+def test_lossless_codecs_decode_real_pixels():
+    """gray8 / flate-gray8 / png decode REAL pixels; dct raises (external
+    codec genuinely required) and decode_or_stub falls back to the stub."""
+    import zlib
+
+    import numpy as np
+
+    from docprompt_spark import png
+
+    samples = bytes(range(24))
+    arr = np.frombuffer(samples, dtype=np.uint8).reshape(4, 6)
+    assert (multimodal.decode_image(samples, 6, 4, "gray8") == arr).all()
+    assert (
+        multimodal.decode_image(zlib.compress(samples), 6, 4, "flate-gray8") == arr
+    ).all()
+    assert (multimodal.decode_image(png.encode(arr), 6, 4, "png") == arr).all()
     with pytest.raises(NotImplementedError):
-        multimodal.decode_or_stub(b"xx", 2, 2, use_real_codec=True)
+        multimodal.decode_image(b"\xff\xd8jpeg", 2, 2, "dct")
+    # stub fallback is deterministic and shape-correct
+    fake = multimodal.decode_or_stub(b"\xff\xd8jpeg", 2, 2, "dct")
+    assert fake.shape == (2, 2)
