@@ -256,6 +256,14 @@ class _Lexer:
     def _read_literal_string(self) -> bytes:
         d = self.data
         self.pos += 1
+        # fast path: no escapes / nesting before the closing paren (the
+        # overwhelmingly common case in real content streams)
+        j = d.find(b")", self.pos)
+        if j != -1:
+            seg = d[self.pos : j]
+            if b"\\" not in seg and b"(" not in seg:
+                self.pos = j + 1
+                return LitString(seg)
         depth = 1
         out = bytearray()
         while self.pos < len(d):
@@ -877,6 +885,8 @@ def _interpret_content(
         assert font is not None
         e_x, e_y = tm[4], tm[5]
         scale_x = tm[0]
+        widths_get = font["widths"].get
+        dw = font["dw"]
         cur_text: List[str] = []
         start_tx = tx
 
@@ -916,17 +926,21 @@ def _interpret_content(
                 chars = [font["cmap"].get(c, "�") for c in codes]
             else:
                 codes = list(seg)
-                chars = [font["glyphmap"].get(c) or chr(c) for c in codes]
+                gm = font["glyphmap"]
+                if gm:
+                    chars = [gm.get(c) or chr(c) for c in codes]
+                else:  # common case: latin-1-safe font, no remapping
+                    chars = [chr(c) for c in codes]
             for code, ch in zip(codes, chars):
                 if ch == " ":
                     chunk_out(True)
-                    tx += font["widths"].get(code, font["dw"]) * size / 1000.0
+                    tx += widths_get(code, dw) * size / 1000.0
                     start_tx = tx
                 else:
                     if not cur_text:
                         start_tx = tx
                     cur_text.append(ch)
-                    tx += font["widths"].get(code, font["dw"]) * size / 1000.0
+                    tx += widths_get(code, dw) * size / 1000.0
         chunk_out(False)
 
     for tok in tokens:

@@ -1781,6 +1781,157 @@ def media_frame_samples(spark, sf_dir):
     return multimodal.frame_sample(_corpus_media(spark))
 
 
+_HTML_DOCS = 12
+_HTML_SEED = 42
+
+
+def _html_corpus_df(spark):
+    from docprompt_spark.html_corpus import gen_html_corpus
+
+    rows = [(d["doc_id"], d["html"]) for d in gen_html_corpus(_HTML_DOCS, seed=_HTML_SEED)]
+    return spark.createDataFrame(rows, ["doc_id", "html"])
+
+
+def html_main_content(spark, sf_dir):
+    """HTML boilerplate strip + DOM heuristics (the north rule's HTML half;
+    docprompt_spark.html_extract): from-scratch tokenizer, Readability-style
+    structural pruning, Boilerpipe-style word/link-density classification,
+    span emission (kind, text, media_ref, offset). Runs Arrow-batched in
+    mapInPandas; oracle = the corpus generator's STRUCTURAL golden spans
+    (asserted against the extractor at generation time)."""
+    import pandas as pd
+
+    from docprompt_spark.shipping import ensure_py_files
+
+    ensure_py_files(spark)
+    docs = _html_corpus_df(spark).repartition(8, "doc_id")
+
+    def fn(batches):
+        from docprompt_spark.html_extract import extract_main_content
+
+        for batch in batches:
+            rows = []
+            for doc_id, html_src in zip(batch["doc_id"], batch["html"]):
+                for seq, s in enumerate(extract_main_content(html_src)):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "seq": seq,
+                            "kind": s["kind"],
+                            "text": s["text"],
+                            "media_ref": s["media_ref"],
+                            "offset": s["offset"],
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("seq", IntegerType(), False),
+            StructField("kind", StringType(), False),
+            StructField("text", StringType(), True),
+            StructField("media_ref", StringType(), True),
+            StructField("offset", IntegerType(), False),
+        ]
+    )
+    return docs.mapInPandas(fn, schema=schema)
+
+
+def _html_main_oracle_sql() -> str:
+    from docprompt_spark.html_corpus import gen_html_corpus
+
+    rows = []
+    for d in gen_html_corpus(_HTML_DOCS, seed=_HTML_SEED):
+        for seq, s in enumerate(d["spans"]):
+            rows.append(
+                f"({_sql_quote(d['doc_id'])},{seq},{_sql_quote(s['kind'])},"
+                f"{_sql_quote(s['text'])},{_sql_quote(s['media_ref'])},{s['offset']})"
+            )
+    return (
+        'SELECT doc_id, CAST(seq AS INT) AS seq, kind, text, media_ref,'
+        ' CAST("offset" AS INT) AS "offset" FROM (VALUES\n'
+        + ",\n".join(rows)
+        + '\n) AS t(doc_id, seq, kind, text, media_ref, "offset")'
+    )
+
+
+def html_boilerplate_stats(spark, sf_dir):
+    """Per-document boilerplate statistics (content vs dropped blocks, word
+    totals, media counts) over the HTML corpus; oracle = structural ground
+    truth from the generator."""
+    import pandas as pd
+
+    from docprompt_spark.shipping import ensure_py_files
+
+    ensure_py_files(spark)
+    docs = _html_corpus_df(spark).repartition(8, "doc_id")
+
+    def fn(batches):
+        from docprompt_spark.html_extract import boilerplate_stats
+
+        for batch in batches:
+            rows = []
+            for doc_id, html_src in zip(batch["doc_id"], batch["html"]):
+                st = boilerplate_stats(html_src)
+                st["doc_id"] = doc_id
+                rows.append(st)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("n_blocks", IntegerType(), False),
+            StructField("n_content_blocks", IntegerType(), False),
+            StructField("n_boilerplate_blocks", IntegerType(), False),
+            StructField("content_words", IntegerType(), False),
+            StructField("boilerplate_words", IntegerType(), False),
+            StructField("n_media", IntegerType(), False),
+            StructField("doc_id", StringType(), False),
+        ]
+    )
+    return docs.mapInPandas(fn, schema=schema).select(
+        "doc_id", "n_blocks", "n_content_blocks", "n_boilerplate_blocks",
+        "content_words", "n_media",
+    )
+
+
+def _html_stats_oracle_sql() -> str:
+    from docprompt_spark.html_corpus import gen_html_corpus
+
+    rows = []
+    for d in gen_html_corpus(_HTML_DOCS, seed=_HTML_SEED):
+        st = d["stats"]
+        rows.append(
+            f"({_sql_quote(d['doc_id'])},{st['n_blocks']},{st['n_content_blocks']},"
+            f"{st['n_boilerplate_blocks']},{st['content_words']},{st['n_media']})"
+        )
+    return (
+        "SELECT doc_id, CAST(n_blocks AS INT) AS n_blocks,"
+        " CAST(n_content_blocks AS INT) AS n_content_blocks,"
+        " CAST(n_boilerplate_blocks AS INT) AS n_boilerplate_blocks,"
+        " CAST(content_words AS INT) AS content_words,"
+        " CAST(n_media AS INT) AS n_media FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(doc_id, n_blocks, n_content_blocks, n_boilerplate_blocks,"
+        " content_words, n_media)"
+    )
+
+
+_REGISTRY["html_main_content"] = (html_main_content, None)
+_REGISTRY["html_boilerplate_stats"] = (html_boilerplate_stats, None)
+
+
 def _r5(x: float) -> float:
     """Round half-UP at 5 decimals on the double's shortest repr — exactly
     what Spark's F.round(col, 5) does (BigDecimal HALF_UP); Python's builtin
@@ -2439,6 +2590,8 @@ def oracle_sql() -> Dict[str, str]:
     out["media_thumbnails"] = _media_thumbnails_oracle_sql()
     out["media_frame_samples"] = _media_frames_oracle_sql()
     out["media_png_export"] = _media_png_oracle_sql()
+    out["html_main_content"] = _html_main_oracle_sql()
+    out["html_boilerplate_stats"] = _html_stats_oracle_sql()
     out["extraction_xrefstream_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, envelope="xrefstream"
     )
