@@ -29,8 +29,9 @@ def _sf_from_dir(sf_dir: str) -> float:
 def corpus_path(n_docs: int, seed: int = 42) -> str:
     """Deterministic bench corpus, cached under /tmp (generation excluded
     from timing)."""
-    # v2: corpus now rotates in the xref-stream/ObjStm envelope (idx%5==1)
-    path = f"/tmp/docprompt_bench_corpus/v3_seed{seed}_n{n_docs}"
+    # v4: corpus rotates xref-stream envelopes (idx%5==1) and raw/Flate/DCT
+    # image codecs; bump the prefix whenever gen_doc output bytes change
+    path = f"/tmp/docprompt_bench_corpus/v4_seed{seed}_n{n_docs}"
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         from docprompt_spark.corpus import write_corpus_parquet

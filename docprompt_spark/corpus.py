@@ -120,13 +120,24 @@ def _gen_page(rng: random.Random, use_f2: bool, seed: int) -> Tuple[dict, List[d
                 for y_ in range(px_h)
                 for x_ in range(px_w)
             )
-            if rng.random() < 0.5:
-                data, filt = samples, None
+            r = rng.random()
+            if r < 0.4:
+                data, filt, samples_gt = samples, None, samples
+            elif r < 0.7:
+                data, filt, samples_gt = zlib.compress(samples, 6), "FlateDecode", samples
             else:
-                data, filt = zlib.compress(samples, 6), "FlateDecode"
+                # baseline JPEG (DCTDecode): lossy, so the pixel ground truth
+                # is the decode of the encode (deterministic fixed-table math)
+                from docprompt_spark import jpeg as _jpeg
+                import numpy as _np
+
+                arr = _np.frombuffer(samples, dtype=_np.uint8).reshape(px_h, px_w)
+                data = _jpeg.encode(arr, quality=90)
+                filt = "DCTDecode"
+                samples_gt = _jpeg.decode(data).tobytes()
             images_w.append(
                 {
-                    "data": data, "filter": filt, "samples": samples,
+                    "data": data, "filter": filt, "samples": samples_gt,
                     "width": px_w, "height": px_h,
                     "x": ix, "y": y, "w": w, "h": h,
                 }
@@ -217,6 +228,7 @@ def golden_page_layouts(n_docs: int, seed: int = 42, skew_every: int = 47):
             gt = [dict(im) for im in images_gt]
             for im, w in zip(gt, page_w["images"]):
                 im["n_bytes"] = len(w["data"])
+                im["payload"] = w["data"]
                 im["samples"] = w["samples"]
                 im["px_w"] = w["width"]
                 im["px_h"] = w["height"]

@@ -1,0 +1,367 @@
+"""Baseline JPEG (DCT) codec for grayscale images — from scratch.
+
+Removes the last codec stub in the multimodal pipeline: PDF images with
+/Filter /DCTDecode ("dct") can now be really decoded, with no external
+libraries — numpy does the 8x8 DCT math, everything else is the public
+ITU-T T.81 baseline process:
+
+* :func:`encode` — uint8 (h,w) -> JFIF bytes: level shift, 8x8 forward
+  DCT-II (orthonormal matrix form), quantization with the Annex-K luminance
+  table scaled by ``quality``, zigzag, DC differences + AC run-length,
+  the Annex-K standard Huffman tables, 0xFF byte stuffing.
+* :func:`decode` — SOI/DQT/SOF0/DHT/SOS/DRI marker parse, Huffman + RLE
+  decode, dequantize, inverse DCT, clamp. Baseline sequential, single
+  component (grayscale); progressive/subsampled color raise ValueError.
+
+Determinism: both directions are pure integer/float numpy ops with fixed
+tables — encode(x) and decode(encode(x)) are bit-stable across hosts, so
+oracle queries can recompute expected pixels driver-side.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Tables (ITU-T T.81 Annex K — public spec data)
+# --------------------------------------------------------------------------
+
+STD_LUMA_QUANT = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+# DC luminance: BITS (codes per length 1..16) + HUFFVAL
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+# AC luminance
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+# orthonormal DCT-II matrix
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos(np.pi * (2 * _n + 1) * _k / 16.0) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+
+def _build_codes(bits: List[int], vals: List[int]) -> Dict[int, Tuple[int, int]]:
+    """symbol -> (code, length) per the canonical JPEG code assignment."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_decoder(bits: List[int], vals: List[int]) -> Dict[Tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    enc = _build_codes(bits, vals)
+    return {(ln, c): sym for sym, (c, ln) in enc.items()}
+
+
+_DC_ENC = _build_codes(DC_BITS, DC_VALS)
+_AC_ENC = _build_codes(AC_BITS, AC_VALS)
+
+
+def _quant_table(quality: int) -> np.ndarray:
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (STD_LUMA_QUANT * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+def _magnitude(v: int) -> Tuple[int, int]:
+    """(category, code bits) for a DC diff / AC coefficient value."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    code = v if v > 0 else v + (1 << cat) - 1
+    return cat, code
+
+
+def encode(arr: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 grayscale (h, w) -> baseline JFIF bytes."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("grayscale (h, w) arrays only")
+    h, w = arr.shape
+    q = _quant_table(quality)
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(arr, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, padded.shape[0], 8):
+        for bx in range(0, padded.shape[1], 8):
+            block = padded[by : by + 8, bx : bx + 8]
+            coef = _C @ block @ _C.T
+            quant = np.round(coef / q).astype(np.int64)
+            zz = quant.flatten()[_ZIGZAG]
+            # DC
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            cat, code = _magnitude(diff)
+            hc, hl = _DC_ENC[cat]
+            bw.write(hc, hl)
+            if cat:
+                bw.write(code, cat)
+            # AC with run-length + ZRL + EOB
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for i in range(1, 64):
+                v = int(zz[i])
+                if v == 0:
+                    if i > last_nz:
+                        hc, hl = _AC_ENC[0x00]  # EOB
+                        bw.write(hc, hl)
+                        break
+                    run += 1
+                    if run == 16:
+                        hc, hl = _AC_ENC[0xF0]  # ZRL
+                        bw.write(hc, hl)
+                        run = 0
+                    continue
+                cat, code = _magnitude(v)
+                hc, hl = _AC_ENC[(run << 4) | cat]
+                bw.write(hc, hl)
+                bw.write(code, cat)
+                run = 0
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes(int(v) for v in q.flatten()[_ZIGZAG]))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+        + b"",
+    ) + seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24 and self.pos < len(self.data):
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    # marker (EOI / RSTn): feed 1-bits for trailing pad
+                    self.pos -= 1
+                    byte = 0xFF if nxt != 0xD9 else 0
+                    self.acc = (self.acc << 8) | 0
+                    self.nbits += 8
+                    continue
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                return 0
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _decode_huff(br: _BitReader, table: Dict[Tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad Huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> uint8 grayscale (h, w)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtables: Dict[int, np.ndarray] = {}
+    dc_tables: Dict[int, Dict] = {}
+    ac_tables: Dict[int, Dict] = {}
+    h = w = None
+    comp_q = 0
+    comp_dc = comp_ac = 0
+    scan_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = struct.unpack(">H", data[pos : pos + 2])[0]
+        if marker == 0xFFD9:
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xFFDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 15
+                p += 1
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_ZIGZAG] = np.frombuffer(payload[p : p + 64], dtype=np.uint8)
+                qtables[tq] = tbl.reshape(8, 8)
+                p += 64
+        elif marker in (0xFFC0, 0xFFC1):
+            precision, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
+            if precision != 8:
+                raise ValueError("only 8-bit precision")
+            if ncomp != 1:
+                raise ValueError("only single-component (grayscale) JPEG")
+            sampling = payload[7]
+            if sampling != 0x11:
+                raise ValueError("subsampling unsupported")
+            comp_q = payload[8]
+        elif marker in (0xFFC2, 0xFFC3):
+            raise ValueError("progressive JPEG unsupported")
+        elif marker == 0xFFC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 15
+                p += 1
+                bits = list(payload[p : p + 16])
+                p += 16
+                nval = sum(bits)
+                vals = list(payload[p : p + nval])
+                p += nval
+                table = _build_decoder(bits, vals)
+                (dc_tables if tc == 0 else ac_tables)[th] = table
+        elif marker == 0xFFDA:
+            comp_dc = payload[2] >> 4
+            comp_ac = payload[2] & 15
+            scan_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if h is None or scan_start is None:
+        raise ValueError("missing SOF/SOS")
+
+    q = qtables[comp_q]
+    dct, act = dc_tables[comp_dc], ac_tables[comp_ac]
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    out = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+    br = _BitReader(data[scan_start:])
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw_):
+            zz = np.zeros(64, dtype=np.int64)
+            cat = _decode_huff(br, dct)
+            diff = _extend(br.read_bits(cat), cat) if cat else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = _decode_huff(br, act)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                run, cat = sym >> 4, sym & 15
+                i += run
+                if i > 63:
+                    break
+                zz[i] = _extend(br.read_bits(cat), cat)
+                i += 1
+            block = np.zeros(64, dtype=np.int64)
+            block[_ZIGZAG] = zz
+            coef = block.reshape(8, 8) * q
+            pix = _C.T @ coef @ _C + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)

@@ -129,7 +129,7 @@ def media_table(docs_df: DataFrame, pages_per_bucket: int = 16) -> DataFrame:
 # Codec stub
 # ---------------------------------------------------------------------------
 
-try:  # JPEG/JPX need external codecs, not in this container
+try:  # JPX needs an external codec, not in this container
     from PIL import Image  # noqa: F401
 
     _HAVE_PIL = True
@@ -138,7 +138,7 @@ except ImportError:
 
 
 def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB codec for formats needing external libraries (JPEG/JPX):
+    """STUB codec for formats needing external libraries (JPX only now):
     deterministic fake 'pixels' derived from the raw bytes. Real deployment:
     swap for PIL/turbojpeg. Lossless paths below are REAL."""
     w = max(int(width), 1)
@@ -149,15 +149,17 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes, width: int, height: int, codec: str) -> np.ndarray:
-    """REAL decode for lossless codecs (no external libs needed):
+    """REAL decode, no external libs needed:
 
     * gray8        — raw 8-bit grayscale samples, exactly width*height
     * flate-gray8  — the same behind zlib (how real PDFs store lossless
                      images: /Filter /FlateDecode /ColorSpace /DeviceGray)
     * png          — full PNG via :mod:`docprompt_spark.png`
+    * dct          — baseline grayscale JPEG via :mod:`docprompt_spark.jpeg`
+                     (from-scratch Huffman + IDCT per ITU-T T.81)
 
-    DCT (JPEG) / JPX genuinely require codec libraries — they raise
-    NotImplementedError here and callers fall back to the documented stub.
+    Only JPX (JPEG 2000) still requires an external codec — it raises
+    NotImplementedError and callers fall back to the documented stub.
     """
     import zlib
 
@@ -174,16 +176,22 @@ def decode_image(payload: bytes, width: int, height: int, codec: str) -> np.ndar
         )
     if codec == "png":
         return _png.decode(payload)
+    if codec == "dct":
+        from docprompt_spark import jpeg as _jpeg
+
+        return _jpeg.decode(bytes(payload))
     raise NotImplementedError(f"codec {codec!r} needs an external library")
 
 
 def decode_or_stub(
     payload: bytes, width: int, height: int, codec: str = "unknown"
 ) -> np.ndarray:
-    """Real decode when the codec allows it; deterministic stub otherwise."""
+    """Real decode when the codec allows it; deterministic stub for codecs
+    needing external libraries (JPX) and for corrupt payloads — feature
+    jobs degrade per-image instead of failing the task."""
     try:
         return decode_image(payload, width, height, codec)
-    except NotImplementedError:
+    except (NotImplementedError, ValueError):
         return _fake_decode(payload, width, height)
 
 

@@ -2010,16 +2010,11 @@ def _media_thumbnails_oracle_sql(out_w=8, out_h=8) -> str:
 def _media_frames_oracle_sql(every_n_bytes=64, max_frames=4) -> str:
     import hashlib as _hl
 
-    import zlib as _z
-
     rows = []
     for ref, im in sorted(_golden_media().items()):
-        # frame sampling runs on the raw stream payload: raw samples, or the
-        # flate-compressed form when the writer declared /FlateDecode
-        # (n_bytes records the written length, distinguishing the two)
-        data = im["samples"]
-        if im["n_bytes"] != len(im["samples"]):
-            data = _z.compress(im["samples"], 6)
+        # frame sampling runs on the raw stream payload (raw / flate / jpeg
+        # bytes as written) — carried verbatim in the golden
+        data = im["payload"]
         n_frames = min(max(len(data) // every_n_bytes, 1), max_frames)
         for k in range(n_frames):
             frame = data[k * every_n_bytes : (k + 1) * every_n_bytes]

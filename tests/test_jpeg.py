@@ -1,0 +1,68 @@
+"""Baseline JPEG codec (docprompt_spark.jpeg) — ITU-T T.81 from scratch."""
+
+import numpy as np
+import pytest
+
+from docprompt_spark import jpeg
+
+
+def test_flat_image_roundtrips_exactly():
+    arr = np.full((16, 24), 77, np.uint8)
+    assert (jpeg.decode(jpeg.encode(arr, 95)) == arr).all()
+
+
+def test_gradient_high_quality_near_lossless():
+    arr = np.clip(np.add.outer(np.arange(24) * 3, np.arange(40) * 2), 0, 255).astype(
+        np.uint8
+    )
+    dec = jpeg.decode(jpeg.encode(arr, quality=90))
+    assert dec.shape == arr.shape
+    assert int(np.abs(dec.astype(int) - arr.astype(int)).max()) <= 2
+
+
+def test_lossy_but_bounded_on_noise():
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 256, (17, 23), dtype=np.uint8)
+    dec = jpeg.decode(jpeg.encode(arr, 85))
+    assert dec.shape == arr.shape
+    err = np.abs(dec.astype(int) - arr.astype(int))
+    assert float(err.mean()) < 24.0  # random noise is worst-case for DCT
+
+
+def test_non_multiple_of_8_dims():
+    rng = np.random.RandomState(9)
+    arr = (rng.randint(0, 32, (13, 9)) * 8).astype(np.uint8)
+    dec = jpeg.decode(jpeg.encode(arr, 90))
+    assert dec.shape == (13, 9)
+
+
+def test_deterministic_encode():
+    arr = np.clip(np.add.outer(np.arange(16), np.arange(16)) * 7, 0, 255).astype(
+        np.uint8
+    )
+    assert jpeg.encode(arr, 85) == jpeg.encode(arr, 85)
+
+
+def test_quality_controls_size():
+    rng = np.random.RandomState(1)
+    arr = rng.randint(0, 256, (32, 32), dtype=np.uint8)
+    assert len(jpeg.encode(arr, 30)) < len(jpeg.encode(arr, 95))
+
+
+def test_rejects_non_jpeg_and_unsupported():
+    with pytest.raises(ValueError):
+        jpeg.decode(b"\x89PNG not jpeg")
+    with pytest.raises(ValueError):
+        jpeg.encode(np.zeros((4, 4, 3), np.uint8))  # color unsupported
+
+
+def test_multimodal_dct_path_is_real_now():
+    from docprompt_spark import multimodal
+
+    arr = np.clip(np.add.outer(np.arange(16) * 5, np.arange(24) * 3), 0, 255).astype(
+        np.uint8
+    )
+    payload = jpeg.encode(arr, 90)
+    dec = multimodal.decode_image(payload, 24, 16, "dct")
+    assert dec.shape == (16, 24)
+    assert int(np.abs(dec.astype(int) - arr.astype(int)).max()) <= 2

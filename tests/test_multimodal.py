@@ -88,8 +88,13 @@ def test_lossless_codecs_decode_real_pixels():
         multimodal.decode_image(zlib.compress(samples), 6, 4, "flate-gray8") == arr
     ).all()
     assert (multimodal.decode_image(png.encode(arr), 6, 4, "png") == arr).all()
+    # dct is REAL now (docprompt_spark.jpeg); jpx still needs external libs
+    from docprompt_spark import jpeg
+
+    jarr = multimodal.decode_image(jpeg.encode(arr, 95), 6, 4, "dct")
+    assert jarr.shape == (4, 6)
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8jpeg", 2, 2, "dct")
-    # stub fallback is deterministic and shape-correct
-    fake = multimodal.decode_or_stub(b"\xff\xd8jpeg", 2, 2, "dct")
+        multimodal.decode_image(b"anything", 2, 2, "jpx")
+    # corrupt payloads fall back to the deterministic stub, not a crash
+    fake = multimodal.decode_or_stub(b"\xff\xd8truncated", 2, 2, "dct")
     assert fake.shape == (2, 2)

@@ -106,3 +106,38 @@ def test_gen_doc_envelope_rotation_spans_invariant():
     rotated = gen_doc(1, seed=42)  # default rotation picks xrefstream for idx 1
     assert a["spans"] == b["spans"]
     assert rotated["pdf"] != a["pdf"]
+
+
+def test_stream_predictor_decoders_match_png_reference():
+    """_apply_predictor must invert every PNG row filter; cross-check it
+    against the PNG codec's own encoder output (same filter definitions)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from docprompt_spark import png
+    from docprompt_spark.pdfparse import _apply_predictor
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, (12, 7), dtype=np.uint8)
+    for ft in range(5):
+        data = png.encode(arr, ft)
+        # extract the raw filtered bytes from the IDAT chunk
+        pos = 8
+        (ihdr_len,) = struct.unpack(">I", data[pos : pos + 4])
+        idat_off = pos + 12 + ihdr_len
+        (idat_len,) = struct.unpack(">I", data[idat_off : idat_off + 4])
+        filtered = zlib.decompress(data[idat_off + 8 : idat_off + 8 + idat_len])
+        parms = {"Predictor": 10 + ft, "Columns": 7, "Colors": 1,
+                 "BitsPerComponent": 8}
+        out = _apply_predictor(filtered, parms, lambda x: x)
+        assert out == arr.tobytes(), f"filter {ft}"
+
+
+def test_tiff_predictor():
+    from docprompt_spark.pdfparse import _apply_predictor
+
+    row = bytes([10, 5, 5, 246, 0])  # deltas decoding to 10,15,20,10,10
+    out = _apply_predictor(row, {"Predictor": 2, "Columns": 5}, lambda x: x)
+    assert list(out) == [10, 15, 20, 10, 10]
