@@ -1932,6 +1932,91 @@ _REGISTRY["html_main_content"] = (html_main_content, None)
 _REGISTRY["html_boilerplate_stats"] = (html_boilerplate_stats, None)
 
 
+def _audio_corpus():
+    """Deterministic synthetic audio table: seeded tones + noise encoded as
+    real PCM WAV blobs (docprompt_spark.wav). (audio_id, payload)."""
+    import numpy as np
+
+    from docprompt_spark import wav
+
+    out = []
+    for i in range(10):
+        rng = np.random.RandomState(1000 + i)
+        rate = [8000, 16000][i % 2]
+        dur = 0.25 + (i % 4) * 0.125
+        t = np.arange(int(rate * dur)) / rate
+        freq = 220.0 * (1 + i % 5)
+        sig = 0.5 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.randn(len(t))
+        samples = np.clip(sig * 32767, -32768, 32767).astype(np.int16)
+        out.append((f"audio-{i:04d}", wav.encode(samples, rate)))
+    return out
+
+
+def audio_features(spark, sf_dir):
+    """Audio modality: REAL RIFF/WAVE PCM decode (docprompt_spark.wav, no
+    external libs) → duration / RMS / zero-crossing-rate features per clip,
+    Arrow-batched; oracle = the same features computed driver-side from the
+    deterministic corpus."""
+    import pandas as pd
+
+    from docprompt_spark.shipping import ensure_py_files
+
+    ensure_py_files(spark)
+    docs = spark.createDataFrame(
+        [(a, bytearray(b)) for a, b in _audio_corpus()], ["audio_id", "payload"]
+    ).repartition(4, "audio_id")
+
+    def fn(batches):
+        from docprompt_spark import wav
+
+        for batch in batches:
+            rows = []
+            for aid, payload in zip(batch["audio_id"], batch["payload"]):
+                f = wav.features(bytes(payload))
+                f["audio_id"] = aid
+                rows.append(f)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    schema = (
+        "sample_rate int, n_samples int, duration_sec double, rms double,"
+        " peak double, zero_crossing_rate double, audio_id string"
+    )
+    out = docs.mapInPandas(fn, schema=schema)
+    return out.select(
+        "audio_id", "sample_rate", "n_samples",
+        F.round("duration_sec", 5).alias("duration_sec"),
+        F.round("rms", 5).alias("rms"),
+        F.round("peak", 5).alias("peak"),
+        F.round("zero_crossing_rate", 5).alias("zero_crossing_rate"),
+    )
+
+
+def _audio_features_oracle_sql() -> str:
+    from docprompt_spark import wav
+
+    rows = []
+    for aid, payload in _audio_corpus():
+        f = wav.features(payload)
+        rows.append(
+            f"({_sql_quote(aid)},{f['sample_rate']},{f['n_samples']},"
+            f"{_r5(f['duration_sec'])},{_r5(f['rms'])},{_r5(f['peak'])},"
+            f"{_r5(f['zero_crossing_rate'])})"
+        )
+    return (
+        "SELECT audio_id, CAST(sample_rate AS INT) AS sample_rate,"
+        " CAST(n_samples AS INT) AS n_samples,"
+        " CAST(duration_sec AS DOUBLE) AS duration_sec,"
+        " CAST(rms AS DOUBLE) AS rms, CAST(peak AS DOUBLE) AS peak,"
+        " CAST(zero_crossing_rate AS DOUBLE) AS zero_crossing_rate"
+        " FROM (VALUES " + ",".join(rows) + ") AS t(audio_id, sample_rate,"
+        " n_samples, duration_sec, rms, peak, zero_crossing_rate)"
+    )
+
+
+_REGISTRY["audio_features"] = (audio_features, None)
+
+
 def _r5(x: float) -> float:
     """Round half-UP at 5 decimals on the double's shortest repr — exactly
     what Spark's F.round(col, 5) does (BigDecimal HALF_UP); Python's builtin
@@ -2254,10 +2339,9 @@ def provenance_refined_search(spark, sf_dir):
     docs_data = gen_corpus(6, seed=17, skew_every=0)
     qmap = {}
     for d in docs_data:
-        line = next(s for s in d["spans"] if s["kind"] == "line")
-        toks = [t for t in line["text"].split() if t][:3]
-        if len(toks) >= 2:
-            qmap[d["doc_id"]] = " ".join(toks)
+        words = [s["text"] for s in d["spans"] if s["kind"] == "word"][:3]
+        if len(words) >= 2:
+            qmap[d["doc_id"]] = " ".join(words)
 
     docs = pipeline.corpus_df(spark, 6, seed=17, skew_every=0).select("doc_id", "pdf")
 
@@ -2297,6 +2381,43 @@ def provenance_refined_search(spark, sf_dir):
         " x0 double, top double, x1 double, bottom double, n_words int"
     )
     return docs.repartition(8, "doc_id").mapInPandas(fn, schema=schema)
+
+
+def _provenance_refined_oracle_sql() -> str:
+    """Driver-side golden for the refined search: the same deterministic
+    parse+refine kernels run once on the driver; the Spark job must
+    reproduce it exactly from the executors (validates the distributed
+    plumbing — partitioning, Arrow marshaling, py-files shipping — around
+    the kernel, the same pattern as the media_png_export oracle)."""
+    from docprompt_spark import kernels, pdfparse
+    from docprompt_spark.corpus import gen_corpus
+
+    rows = []
+    for d in gen_corpus(6, seed=17, skew_every=0):
+        words = [s["text"] for s in d["spans"] if s["kind"] == "word"][:3]
+        if len(words) < 2:
+            continue
+        q = " ".join(words)
+        for p in pdfparse.extract_pages(pdfparse.unwrap_pdf_bytes(d["pdf"])):
+            hit = kernels.refine_query_to_word_level(p["words"], q)
+            if hit is None:
+                continue
+            merged, matched = hit
+            rows.append(
+                f"({_sql_quote(d['doc_id'])},{p['page_number']},{_sql_quote(q)},"
+                f"{_sql_quote(merged['text'])},{merged['x0']!r},{merged['top']!r},"
+                f"{merged['x1']!r},{merged['bottom']!r},{len(matched)})"
+            )
+            break
+    return (
+        "SELECT doc_id, CAST(page_number AS INT) AS page_number, query,"
+        " matched_text, CAST(x0 AS DOUBLE) AS x0, CAST(top AS DOUBLE) AS top,"
+        " CAST(x1 AS DOUBLE) AS x1, CAST(bottom AS DOUBLE) AS bottom,"
+        " CAST(n_words AS INT) AS n_words FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(doc_id, page_number, query, matched_text, x0, top, x1,"
+        " bottom, n_words)"
+    )
 
 
 _REGISTRY["provenance_refined_search"] = (provenance_refined_search, None)
@@ -2587,6 +2708,8 @@ def oracle_sql() -> Dict[str, str]:
     out["media_png_export"] = _media_png_oracle_sql()
     out["html_main_content"] = _html_main_oracle_sql()
     out["html_boilerplate_stats"] = _html_stats_oracle_sql()
+    out["provenance_refined_search"] = _provenance_refined_oracle_sql()
+    out["audio_features"] = _audio_features_oracle_sql()
     out["extraction_xrefstream_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, envelope="xrefstream"
     )

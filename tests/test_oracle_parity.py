@@ -85,16 +85,15 @@ def test_query_matches_oracle(spark, duck, name):
     _assert_frames_equal(spark_pdf, duck_pdf, name)
 
 
-def test_rows_only_queries_run(spark):
+def test_every_query_has_an_oracle():
+    """Round-2 close: the rows-only set is EMPTY — every registry query has
+    a DuckDB-checkable oracle. Guard against regressions."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     rows_only = [n for n in qs if n not in oracles]
-    assert rows_only  # extraction_page_stats at minimum
-    for n in rows_only:
-        df = qs[n](spark, SF_DIR)
-        assert df.count() >= 0
+    assert rows_only == [], rows_only
 
 
 def test_entry_smoke(spark):
