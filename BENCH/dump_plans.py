@@ -47,7 +47,14 @@ def main() -> None:
         "q5_supplier_volume_by_nation",
         "minhash_lsh_neardup_pairs",
         "ann_lsh_bucketed_top5",
+        "ann_bruteforce_cosine_top10",
         "sessionize_events",
+        "margin_regularize_x0",
+        "size_capped_batching",
+        "line_block_word_assignment",
+        "date_extraction",
+        "textblock_line_geometry",
+        "html_main_content",
     ]:
         sections.append((name, formatted(reg[name][0](spark, sf))))
 
