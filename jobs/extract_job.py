@@ -24,6 +24,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
+    ap.add_argument(
+        "--output-format",
+        choices=["parquet", "table"],
+        default="parquet",
+        help="'table' writes an Iceberg-style snapshot table "
+        "(docprompt_spark.table): append-only data files + manifest with "
+        "per-file doc_id bounds, so re-runs commit new snapshots instead of "
+        "clobbering output",
+    )
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--pages-per-bucket", type=int, default=16)
@@ -56,7 +65,17 @@ def main() -> None:
     )
     if args.explain:
         result.explain("formatted")
-    result.write.mode("overwrite").parquet(args.output)
+    if args.output_format == "table":
+        from docprompt_spark import table
+
+        sid = table.write_table(
+            result, args.output, stat_cols=["doc_id"], mode="append"
+            if table.current_snapshot_id(args.output) is not None
+            else "overwrite",
+        )
+        print(f"committed snapshot {sid} at {args.output}")
+    else:
+        result.write.mode("overwrite").parquet(args.output)
     spark.stop()
 
 

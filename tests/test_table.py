@@ -1,0 +1,80 @@
+"""Iceberg-style snapshot tables (docprompt_spark.table)."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from docprompt_spark import table
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "t1")
+    df = spark.range(100).withColumn("k", F.col("id") % 10)
+    sid = table.write_table(df.repartition(4), p, stat_cols=["id"])
+    assert sid == 0
+    got = table.read_table(spark, p)
+    assert got.count() == 100
+    assert set(got.columns) == {"id", "k"}
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    p = str(tmp_path / "t2")
+    table.write_table(spark.range(0, 50), p, stat_cols=["id"])
+    sid1 = table.write_table(spark.range(50, 80), p, stat_cols=["id"], mode="append")
+    assert table.read_table(spark, p).count() == 80
+    # time travel to snapshot 0
+    assert table.read_table(spark, p, snapshot_id=0).count() == 50
+    log = table.snapshots(p)
+    assert [s["snapshot_id"] for s in log] == [0, 1]
+    assert log[1]["parent_id"] == 0 and log[1]["operation"] == "append"
+    assert sid1 == 1
+
+
+def test_overwrite_keeps_old_snapshot_readable(spark, tmp_path):
+    p = str(tmp_path / "t3")
+    table.write_table(spark.range(10), p, stat_cols=["id"])
+    table.write_table(spark.range(100, 103), p, stat_cols=["id"], mode="overwrite")
+    assert table.read_table(spark, p).count() == 3
+    assert table.read_table(spark, p, snapshot_id=0).count() == 10
+
+
+def test_manifest_pruning_skips_files(spark, tmp_path):
+    """Range-partitioned writes give disjoint id bounds per file; a point
+    predicate must reduce the file listing via manifest stats alone."""
+    p = str(tmp_path / "t4")
+    df = spark.range(1000).repartitionByRange(8, "id")
+    table.write_table(df, p, stat_cols=["id"])
+
+    full = table.read_table(spark, p)
+    pruned = table.read_table(spark, p, prune={"id": 7})
+    n_full = len(full.inputFiles())
+    n_pruned = len(pruned.inputFiles())
+    assert n_full == 8
+    assert n_pruned == 1
+    # pruning is an optimization, not a filter: the matching row is intact
+    assert pruned.filter(F.col("id") == 7).count() == 1
+
+    # range predicate
+    r = table.read_table(spark, p, prune={"id": (100, 220)})
+    assert 1 <= len(r.inputFiles()) <= 3
+    assert r.filter((F.col("id") >= 100) & (F.col("id") <= 220)).count() == 121
+
+
+def test_empty_prune_result_yields_empty_frame(spark, tmp_path):
+    p = str(tmp_path / "t5")
+    table.write_table(spark.range(10), p, stat_cols=["id"])
+    out = table.read_table(spark, p, prune={"id": 10_000})
+    assert out.count() == 0
+    assert "id" in out.columns
+
+
+def test_atomic_hint_survives_torn_snapshot(spark, tmp_path):
+    """A half-written snapshot file must not corrupt the table: the hint
+    still points at the last committed snapshot."""
+    p = str(tmp_path / "t6")
+    table.write_table(spark.range(5), p, stat_cols=["id"])
+    # simulate a torn write: stray .tmp snapshot that never got renamed
+    with open(os.path.join(p, "metadata", "snap-000999.json.tmp"), "w") as f:
+        f.write('{"half": ')
+    assert table.current_snapshot_id(p) == 0
+    assert table.read_table(spark, p).count() == 5
