@@ -181,12 +181,17 @@ def segment_blocks(doc: str) -> List[_Block]:
             tag = tag_close.lower()
             if tag == "a" and link_depth:
                 link_depth -= 1
-            # unwind the stack to the matching open (tolerates misnesting)
+            # unwind the stack to the matching open (tolerates misnesting);
+            # restore BOTH drop_depth and link_depth for unwound tags, or an
+            # unclosed <a> permanently inflates link_chars for every later
+            # block and flips real content to boilerplate
             for k in range(len(stack) - 1, -1, -1):
                 if stack[k][0] == tag:
                     for _t, was_drop in stack[k:]:
                         if was_drop:
                             drop_depth = max(0, drop_depth - 1)
+                        if _t == "a" and _t != tag and link_depth:
+                            link_depth -= 1
                     del stack[k:]
                     break
             if tag in BLOCK_TAGS:

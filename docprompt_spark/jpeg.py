@@ -146,8 +146,12 @@ def _magnitude(v: int) -> Tuple[int, int]:
     return cat, code
 
 
-def encode(arr: np.ndarray, quality: int = 85) -> bytes:
-    """uint8 grayscale (h, w) -> baseline JFIF bytes."""
+def encode(arr: np.ndarray, quality: int = 85, restart_interval: int = 0) -> bytes:
+    """uint8 grayscale (h, w) -> baseline JFIF bytes.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (byte-aligned, DC prediction reset) — the layout
+    scanner output commonly uses; the decoder round-trips it exactly."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim != 2:
         raise ValueError("grayscale (h, w) arrays only")
@@ -158,8 +162,16 @@ def encode(arr: np.ndarray, quality: int = 85) -> bytes:
 
     bw = _BitWriter()
     prev_dc = 0
+    mcu = 0
+    rst = 0
     for by in range(0, padded.shape[0], 8):
         for bx in range(0, padded.shape[1], 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                prev_dc = 0
+            mcu += 1
             block = padded[by : by + 8, bx : bx + 8]
             coef = _C @ block @ _C.T
             quant = np.round(coef / q).astype(np.int64)
@@ -206,8 +218,13 @@ def encode(arr: np.ndarray, quality: int = 85) -> bytes:
         + b"",
     ) + seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
     sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
-        b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+        b"\xff\xd8" + dqt + sof + dri + dht + sos + bytes(bw.out) + b"\xff\xd9"
     )
 
 
@@ -227,12 +244,10 @@ class _BitReader:
                 if nxt == 0x00:
                     self.pos += 1  # stuffed
                 else:
-                    # marker (EOI / RSTn): feed 1-bits for trailing pad
+                    # at a marker (EOI / RSTn): stop feeding; a well-formed
+                    # scan never reads past it (read_bit pads 0 if it does)
                     self.pos -= 1
-                    byte = 0xFF if nxt != 0xD9 else 0
-                    self.acc = (self.acc << 8) | 0
-                    self.nbits += 8
-                    continue
+                    break
             self.acc = (self.acc << 8) | byte
             self.nbits += 8
 
@@ -249,6 +264,24 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def skip_rst(self) -> None:
+        """Byte-align and consume the next RSTn marker (T.81 §E.2.4).
+
+        Everything still buffered is pre-marker pad (entropy bytes never
+        contain a bare FF Dn — stuffing writes FF 00), so the buffer is
+        simply discarded and the scan resumes after the marker."""
+        self.acc = 0
+        self.nbits = 0
+        while self.pos + 1 < len(self.data):
+            if (
+                self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+            ):
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected RSTn marker in entropy stream")
 
 
 def _decode_huff(br: _BitReader, table: Dict[Tuple[int, int], int]) -> int:
@@ -278,6 +311,7 @@ def decode(data: bytes) -> np.ndarray:
     h = w = None
     comp_q = 0
     comp_dc = comp_ac = 0
+    restart_interval = 0
     scan_start = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -323,6 +357,8 @@ def decode(data: bytes) -> np.ndarray:
                 p += nval
                 table = _build_decoder(bits, vals)
                 (dc_tables if tc == 0 else ac_tables)[th] = table
+        elif marker == 0xFFDD:
+            (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xFFDA:
             comp_dc = payload[2] >> 4
             comp_ac = payload[2] & 15
@@ -340,6 +376,10 @@ def decode(data: bytes) -> np.ndarray:
     prev_dc = 0
     for by in range(bh):
         for bx in range(bw_):
+            mcu = by * bw_ + bx
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.skip_rst()
+                prev_dc = 0
             zz = np.zeros(64, dtype=np.int64)
             cat = _decode_huff(br, dct)
             diff = _extend(br.read_bits(cat), cat) if cat else 0

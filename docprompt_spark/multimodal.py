@@ -191,7 +191,11 @@ def decode_or_stub(
     jobs degrade per-image instead of failing the task."""
     try:
         return decode_image(payload, width, height, codec)
-    except (NotImplementedError, ValueError):
+    except Exception:
+        # NotImplementedError (JPX stub) and any corrupt-payload failure
+        # (zlib.error, IndexError/KeyError/struct.error from truncated
+        # PNG/JPEG streams, ValueError) — degrade per-image, never fail
+        # the whole Spark task.
         return _fake_decode(payload, width, height)
 
 

@@ -27,6 +27,7 @@ isolation for resume, stats-based pruning) are identical.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import uuid
@@ -74,8 +75,26 @@ def _file_stats(fpath: str, stat_cols: List[str]) -> Dict[str, Any]:
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
         if lo is not None:
-            bounds[col] = [lo, hi]
+            lo, hi = _json_safe(lo), _json_safe(hi)
+            if lo is not None and hi is not None:
+                bounds[col] = [lo, hi]
     return {"rows": n_rows, "bounds": bounds}
+
+
+def _json_safe(v: Any) -> Any:
+    """Coerce a parquet row-group statistic to a JSON-encodable value.
+
+    pyarrow returns datetime.date/datetime/bytes for date/timestamp/binary
+    stat columns; json.dump would raise TypeError mid-commit. Dates and
+    timestamps keep their ordering as isoformat strings; binary stats are
+    dropped (returns None) rather than guessing an encoding."""
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return None
+    return str(v)
 
 
 def write_table(

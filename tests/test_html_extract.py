@@ -106,3 +106,24 @@ def test_misnested_and_unclosed_tags_tolerated():
     )
     spans = extract_main_content(page)
     assert len(spans) == 2
+
+
+def test_unclosed_anchor_does_not_poison_later_blocks():
+    """An <a> never closed before its block ends must not inflate
+    link_density for every later block (ADVICE r2: link_depth leak).
+    The div close unwinds the dangling <a>; the following paragraphs
+    contain no links at all and must classify as content."""
+    page = (
+        '<body><div><a href="/x">dangling link text'  # no </a>
+        "</div>"
+        "<p>first long paragraph with definitely more than sixteen words in it "
+        "to pass the numwords classifier threshold for main content today</p>"
+        "<p>second paragraph also comfortably long enough with many more than "
+        "sixteen words present in total for the boilerpipe decision rule</p>"
+    )
+    blocks = segment_blocks(page)
+    paras = [b for b in blocks if b.text.startswith(("first", "second"))]
+    assert len(paras) == 2
+    assert all(b.link_chars == 0 for b in paras)
+    spans = extract_main_content(page)
+    assert [s["text"][:6] for s in spans] == ["first ", "second"]

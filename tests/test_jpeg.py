@@ -66,3 +66,25 @@ def test_multimodal_dct_path_is_real_now():
     dec = multimodal.decode_image(payload, 24, 16, "dct")
     assert dec.shape == (16, 24)
     assert int(np.abs(dec.astype(int) - arr.astype(int)).max()) <= 2
+
+
+def test_restart_interval_roundtrips_identically():
+    """DRI/RSTn streams (scanner-style output) decode to the SAME pixels as
+    the restart-free encoding: identical quantized coefficients, only the
+    DC prediction resets differ (ADVICE r2: silently-corrupt before)."""
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, (24, 40), dtype=np.uint8)  # 3x5 = 15 MCUs
+    plain = jpeg.encode(arr, 85)
+    for ri in (1, 2, 4, 7):
+        with_rst = jpeg.encode(arr, 85, restart_interval=ri)
+        assert b"\xff\xdd" in with_rst and with_rst != plain
+        assert (jpeg.decode(with_rst) == jpeg.decode(plain)).all()
+
+
+def test_restart_marker_cycle_wraps_past_d7():
+    arr = np.clip(np.add.outer(np.arange(16) * 5, np.arange(96)), 0, 255).astype(
+        np.uint8
+    )  # 2x12 = 24 MCUs, ri=2 -> 11 RST markers, cycles D0..D7 and wraps
+    enc = jpeg.encode(arr, 90, restart_interval=2)
+    assert enc.count(b"\xff\xd0") >= 2  # wrapped at least once
+    assert (jpeg.decode(enc) == jpeg.decode(jpeg.encode(arr, 90))).all()

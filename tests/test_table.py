@@ -78,3 +78,24 @@ def test_atomic_hint_survives_torn_snapshot(spark, tmp_path):
         f.write('{"half": ')
     assert table.current_snapshot_id(p) == 0
     assert table.read_table(spark, p).count() == 5
+
+
+def test_date_and_binary_stat_cols_are_json_safe(spark, tmp_path):
+    """Date/timestamp stats serialize as isoformat strings; binary stat
+    columns are skipped instead of crashing json.dump (ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    df = spark.range(3).select(
+        F.col("id"),
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+        F.encode(F.col("id").cast("string"), "utf-8").alias("b"),
+    )
+    sid = table.write_table(df.coalesce(1), p, stat_cols=["id", "d", "b"])
+    snap = table._load_snapshot(p, sid)
+    fentries = [f for f in snap["files"] if f["rows"] > 0]
+    assert len(fentries) == 1
+    bounds = fentries[0]["bounds"]
+    assert bounds["d"] == ["2024-01-01", "2024-01-03"]
+    assert "b" not in bounds  # binary stats dropped, not crashed
+    assert table.read_table(spark, p).count() == 3
