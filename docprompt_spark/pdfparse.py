@@ -675,7 +675,7 @@ class PdfFile:
         return out
 
     # -- page extraction ----------------------------------------------------
-    def extract_page(self, index: int) -> dict:
+    def extract_page(self, index: int, with_image_data: bool = False) -> dict:
         """Words + images for 0-based page ``index`` (normalized bboxes)."""
         page = self.resolve(self.page_refs[index])
         media = self._inherited(page, "MediaBox")
@@ -702,6 +702,7 @@ class PdfFile:
             resolve=self.resolve,
             page_w=pw,
             page_h=ph,
+            with_image_data=with_image_data,
         )
         return {"width": pw, "height": ph, "words": words, "images": images}
 
@@ -805,7 +806,8 @@ _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
 
 def _interpret_content(
-    data: bytes, *, fonts: dict, xobjects: dict, resolve, page_w: float, page_h: float
+    data: bytes, *, fonts: dict, xobjects: dict, resolve, page_w: float,
+    page_h: float, with_image_data: bool = False
 ) -> Tuple[List[dict], List[dict]]:
     tokens = _tokenize_content(data)
     stack: List[Any] = []
@@ -1020,12 +1022,21 @@ def _interpret_content(
                 if xo.dict.get("Subtype") == "Image":
                     a, d, e, f = ctm[0], ctm[3], ctm[4], ctm[5]
                     bbox = norm_rect_bbox(e, f, a, d, page_w, page_h)
-                    images.append(
-                        {
-                            "media_ref": hashlib.md5(xo.raw).hexdigest(),
-                            "bbox": bbox,
-                        }
-                    )
+                    img = {
+                        "media_ref": hashlib.md5(xo.raw).hexdigest(),
+                        "bbox": bbox,
+                    }
+                    if with_image_data:
+                        # rasterization path (D7): the renderer needs the
+                        # raw payload + codec + pixel dims; the span path
+                        # never carries bytes past this kernel
+                        from docprompt_spark.multimodal import _codec_of
+
+                        img["payload"] = xo.raw
+                        img["px_w"] = int(resolve(xo.dict.get("Width", 0)) or 0)
+                        img["px_h"] = int(resolve(xo.dict.get("Height", 0)) or 0)
+                        img["codec"] = _codec_of(xo.dict, resolve)
+                    images.append(img)
             stack.clear()
         else:
             # unknown operator: discard operands (defensive)
@@ -1039,7 +1050,10 @@ def _interpret_content(
 # ---------------------------------------------------------------------------
 
 
-def extract_pages(data: bytes, lo: int = 0, hi: Optional[int] = None) -> List[dict]:
+def extract_pages(
+    data: bytes, lo: int = 0, hi: Optional[int] = None,
+    with_image_data: bool = False,
+) -> List[dict]:
     """Parse pages [lo, hi) (0-based) and return per-page dicts:
     {page_number (1-based), width, height, words, images}."""
     pf = PdfFile(data)
@@ -1047,7 +1061,7 @@ def extract_pages(data: bytes, lo: int = 0, hi: Optional[int] = None) -> List[di
     hi = n if hi is None else min(hi, n)
     out = []
     for i in range(lo, hi):
-        page = pf.extract_page(i)
+        page = pf.extract_page(i, with_image_data=with_image_data)
         page["page_number"] = i + 1
         out.append(page)
     return out

@@ -2244,12 +2244,109 @@ def _media_png_oracle_sql() -> str:
     )
 
 
+def media_page_rasters(spark, sf_dir):
+    """D7 page rasterization (reference _pdfium.py:126-135, rasterized via
+    Document.rasterize_page at scale=dpi/72): full page — glyph-cell text +
+    composited embedded images over REAL decoded pixels — rendered to a
+    deterministic gray8 raster inside the salted parse mapInPandas; only
+    digests leave the kernel. Oracle: the same renderer over the
+    generator's ground-truth layouts."""
+    from docprompt_spark import pipeline, rasterize
+
+    docs = pipeline.corpus_df(spark, 16, seed=11, skew_every=0)
+    return rasterize.page_raster_table(
+        docs.select("doc_id", "pdf", "n_pages")
+    ).select("doc_id", "page_number", "w_px", "h_px", "raster_md5", "n_images")
+
+
+def media_masked_rasters(spark, sf_dir):
+    """D12 mask_image_from_bboxes (reference rasterize.py:232-266,
+    utils/masking/image.py:10-29): every word bbox filled over the page
+    raster — trivially oracle-able deterministic pixels."""
+    from docprompt_spark import pipeline, rasterize
+
+    docs = pipeline.corpus_df(spark, 16, seed=11, skew_every=0)
+    return rasterize.page_raster_table(
+        docs.select("doc_id", "pdf", "n_pages")
+    ).select("doc_id", "page_number", "masked_md5", "n_masked")
+
+
+def _golden_raster_rows(n_docs=16, seed=11):
+    """Ground-truth raster digests: the shared renderer over the
+    generator's golden layouts + decoded image samples (never the parser)."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from docprompt_spark import rasterize
+    from docprompt_spark.corpus import golden_page_layouts
+
+    rows = []
+    for doc_id, pn, layout, imgs in golden_page_layouts(
+        n_docs, seed=seed, skew_every=0
+    ):
+        images = [
+            {
+                "bbox": im["bbox"],
+                "pixels": np.frombuffer(im["samples"], np.uint8).reshape(
+                    im["px_h"], im["px_w"]
+                ),
+            }
+            for im in imgs
+        ]
+        wds = rasterize.layout_words(layout)
+        canvas = rasterize.render_page(wds, images)
+        masked = rasterize.mask_bboxes(canvas, [w["bbox"] for w in wds])
+        rows.append(
+            (
+                doc_id,
+                pn,
+                canvas.shape[1],
+                canvas.shape[0],
+                _hl.md5(canvas.tobytes()).hexdigest(),
+                len(images),
+                _hl.md5(masked.tobytes()).hexdigest(),
+                len(wds),
+            )
+        )
+    return rows
+
+
+def _page_rasters_oracle_sql() -> str:
+    rows = [
+        f"({_sql_quote(d)},{pn},{w},{h},'{rm}',{ni})"
+        for d, pn, w, h, rm, ni, _mm, _nm in _golden_raster_rows()
+    ]
+    return (
+        "SELECT doc_id, CAST(page_number AS INT) AS page_number,"
+        " CAST(w_px AS INT) AS w_px, CAST(h_px AS INT) AS h_px,"
+        " raster_md5, CAST(n_images AS INT) AS n_images"
+        " FROM (VALUES " + ",".join(rows) +
+        ") AS t(doc_id, page_number, w_px, h_px, raster_md5, n_images)"
+    )
+
+
+def _masked_rasters_oracle_sql() -> str:
+    rows = [
+        f"({_sql_quote(d)},{pn},'{mm}',{nm})"
+        for d, pn, _w, _h, _rm, _ni, mm, nm in _golden_raster_rows()
+    ]
+    return (
+        "SELECT doc_id, CAST(page_number AS INT) AS page_number,"
+        " masked_md5, CAST(n_masked AS INT) AS n_masked"
+        " FROM (VALUES " + ",".join(rows) +
+        ") AS t(doc_id, page_number, masked_md5, n_masked)"
+    )
+
+
 for _n, _f in [
     ("media_inventory", media_inventory),
     ("media_image_features", media_image_features),
     ("media_thumbnails", media_thumbnails),
     ("media_frame_samples", media_frame_samples),
     ("media_png_export", media_png_export),
+    ("media_page_rasters", media_page_rasters),
+    ("media_masked_rasters", media_masked_rasters),
 ]:
     _REGISTRY[_n] = (_f, None)
 
@@ -2774,4 +2871,6 @@ def oracle_sql() -> Dict[str, str]:
     out["extraction_xrefstream_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, envelope="xrefstream"
     )
+    out["media_page_rasters"] = _page_rasters_oracle_sql()
+    out["media_masked_rasters"] = _masked_rasters_oracle_sql()
     return {n: out[n] for n in _ordered_names() if n in out}

@@ -1,0 +1,229 @@
+"""Deterministic page rasterization (reference D7) + bbox masking (D12).
+
+The reference renders pages through pdfium — ``_pdfium.py:126-135``
+(``page.render(**kwargs).to_pil()``), surfaced as
+``Document.rasterize_page`` / the rasterize pipeline
+(``schema/pipeline/rasterizer.py``), and masks rasters with PIL rectangle
+fills (``rasterize.py:232-266`` ``mask_image_from_bboxes``,
+``utils/masking/image.py:10-29``).
+
+This engine ships no font rasterizer (glyph outlines are out of scope), so
+text renders as deterministic *glyph cells*: each character of a word fills
+its horizontal share of the word bbox at an intensity derived from the
+codepoint. Embedded images composite at their placement rects via
+nearest-neighbor scaling of the REAL decoded pixels
+(:func:`docprompt_spark.multimodal.decode_image` — raw/Flate/PNG/baseline
+JPEG, all from-scratch codecs). Integer math throughout: a page renders to
+the same md5 on any host, which is what makes the raster table
+oracle-checkable.
+
+Scale posture: rendering happens INSIDE the salted parse ``mapInPandas``
+(one pass over the raw document bytes, exactly like the reference's
+pdfium render and our span extraction) — pixels are reduced to md5/stat
+columns in-kernel, so no raster bytes ever enter a shuffle. At 100 TB the
+page-raster table is therefore a narrow map over the same size-balanced
+buckets as the text parse.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DEFAULT_DPI = 36  # 612x792pt page -> 306x396 px; deterministic + cheap
+
+
+def rect_px(
+    bbox: Sequence[float], width_px: int, height_px: int
+) -> Tuple[int, int, int, int]:
+    """Normalized (x0, top, x1, bottom) -> clamped integer pixel rect.
+
+    Origin floors and extent ceils (a rect covering any fraction of a pixel
+    paints it), mirroring the reference's ``int(bbox.x0 * width)`` paste
+    origin (utils/masking/image.py:25-27). Shared by render + mask so both
+    sides of every oracle use identical geometry.
+    """
+    x0 = max(0, min(width_px, int(math.floor(bbox[0] * width_px))))
+    y0 = max(0, min(height_px, int(math.floor(bbox[1] * height_px))))
+    x1 = max(x0, min(width_px, int(math.ceil(bbox[2] * width_px))))
+    y1 = max(y0, min(height_px, int(math.ceil(bbox[3] * height_px))))
+    return x0, y0, x1, y1
+
+
+def _glyph_intensity(ch: str) -> int:
+    """Deterministic per-codepoint gray level (dark-ish, never white)."""
+    return 32 + (ord(ch) * 7) % 160
+
+
+def _paint_image(canvas: np.ndarray, pixels: np.ndarray, rect) -> None:
+    """Nearest-neighbor composite of ``pixels`` into ``rect`` (integer
+    index math — no float resampling, fully deterministic)."""
+    x0, y0, x1, y1 = rect
+    w, h = x1 - x0, y1 - y0
+    if w <= 0 or h <= 0 or pixels.size == 0:
+        return
+    src_h, src_w = pixels.shape
+    yi = (np.arange(h) * src_h) // h
+    xi = (np.arange(w) * src_w) // w
+    canvas[y0:y1, x0:x1] = pixels[np.ix_(yi, xi)]
+
+
+def _paint_word(canvas: np.ndarray, text: str, rect) -> None:
+    """Glyph-cell text rendering: the word bbox splits into one cell per
+    character, each filled at the codepoint's intensity."""
+    x0, y0, x1, y1 = rect
+    w = x1 - x0
+    n = len(text)
+    if w <= 0 or y1 <= y0 or n == 0:
+        return
+    for i, ch in enumerate(text):
+        cx0 = x0 + (i * w) // n
+        cx1 = x0 + ((i + 1) * w) // n
+        if cx1 > cx0:
+            canvas[y0:y1, cx0:cx1] = _glyph_intensity(ch)
+
+
+def render_page(
+    words: List[dict],
+    images: List[dict],
+    page_w: float = 612.0,
+    page_h: float = 792.0,
+    dpi: int = DEFAULT_DPI,
+) -> np.ndarray:
+    """Render one page to a gray8 raster at ``scale = dpi / 72`` (the
+    reference's pdfium scale contract, schema/document.py rasterize path).
+
+    ``words``: layout word dicts ``{text, bbox}`` (normalized bboxes, the
+    shape :func:`kernels.build_page_layout` emits per line).
+    ``images``: ``{bbox, pixels: np.ndarray}`` placement entries.
+    Paint order is images-under-text, matching the corpus content streams
+    (images are drawn by earlier ``Do`` ops).
+    """
+    width_px = max(1, int(round(page_w * dpi / 72.0)))
+    height_px = max(1, int(round(page_h * dpi / 72.0)))
+    canvas = np.full((height_px, width_px), 255, dtype=np.uint8)
+    for im in images:
+        _paint_image(canvas, im["pixels"], rect_px(im["bbox"], width_px, height_px))
+    for wd in words:
+        _paint_word(canvas, wd["text"], rect_px(wd["bbox"], width_px, height_px))
+    return canvas
+
+
+def mask_bboxes(
+    canvas: np.ndarray, bboxes: List[Sequence[float]], value: int = 0
+) -> np.ndarray:
+    """Copy of ``canvas`` with every normalized bbox filled with ``value``
+    — the reference's ``mask_image_from_bboxes`` (rasterize.py:232-266)
+    with a gray level instead of a PIL color name."""
+    out = canvas.copy()
+    height_px, width_px = out.shape
+    for bbox in bboxes:
+        x0, y0, x1, y1 = rect_px(bbox, width_px, height_px)
+        out[y0:y1, x0:x1] = value
+    return out
+
+
+def layout_words(layout: dict) -> List[dict]:
+    """Flatten a ``build_page_layout`` result to its word dicts."""
+    return [w for ln in layout["lines"] for w in ln["words"]]
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+RASTER_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("page_number", IntegerType(), False),
+        StructField("w_px", IntegerType(), False),
+        StructField("h_px", IntegerType(), False),
+        StructField("raster_md5", StringType(), False),
+        StructField("n_images", IntegerType(), False),
+        StructField("masked_md5", StringType(), False),
+        StructField("n_masked", IntegerType(), False),
+    ]
+)
+
+
+def _render_kernel(pages_per_bucket: int, dpi: int):
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from docprompt_spark import kernels, multimodal, pdfparse
+
+        for batch in batches:
+            rows = []
+            for doc_id, blob, bucket in zip(
+                batch["doc_id"], batch["pdf"], batch["page_bucket"]
+            ):
+                lo = int(bucket) * pages_per_bucket
+                pages = pdfparse.extract_pages(
+                    bytes(blob), lo, lo + pages_per_bucket, with_image_data=True
+                )
+                for p in pages:
+                    imgs = []
+                    for im in p["images"]:
+                        try:
+                            px = multimodal.decode_image(
+                                bytes(im["payload"]), im["px_w"], im["px_h"],
+                                im["codec"],
+                            )
+                        except Exception:
+                            continue  # undecodable: skip, don't fail the task
+                        imgs.append({"bbox": im["bbox"], "pixels": px})
+                    layout = kernels.build_page_layout(p["words"])
+                    wds = layout_words(layout)
+                    canvas = render_page(
+                        wds, imgs, p["width"], p["height"], dpi=dpi
+                    )
+                    masked = mask_bboxes(canvas, [w["bbox"] for w in wds])
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "page_number": p["page_number"],
+                            "w_px": canvas.shape[1],
+                            "h_px": canvas.shape[0],
+                            "raster_md5": hashlib.md5(canvas.tobytes()).hexdigest(),
+                            "n_images": len(imgs),
+                            "masked_md5": hashlib.md5(masked.tobytes()).hexdigest(),
+                            "n_masked": len(wds),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return fn
+
+
+def page_raster_table(
+    docs_df: DataFrame,
+    dpi: int = DEFAULT_DPI,
+    pages_per_bucket: int = 16,
+    parallelism: Optional[int] = None,
+) -> DataFrame:
+    """(doc_id, pdf, n_pages) -> per-page raster digests, rendered in the
+    same salted/size-balanced ``mapInPandas`` shape as the text parse
+    (pipeline.parse_pages): narrow for small docs, repartitioned for the
+    skew tail. One pass over the bytes; only digests leave the kernel."""
+    from docprompt_spark import pipeline
+
+    buckets = pipeline.salt_page_buckets(docs_df, pages_per_bucket)
+    return pipeline._route_and_map(
+        buckets,
+        _render_kernel(pages_per_bucket, dpi),
+        RASTER_SCHEMA,
+        parallelism,
+        pipeline.SKEW_PAGE_THRESHOLD,
+    )
