@@ -2483,6 +2483,119 @@ def provenance_search(spark, sf_dir):
 _REGISTRY["provenance_search"] = (provenance_search, None)
 
 
+def _norm_tok(col):
+    """Tantivy-ish token normalization (lowercase, strip punctuation; keep
+    unicode letters/digits) — identical regex on the DuckDB side."""
+    return F.regexp_replace(F.lower(col), r"[^\p{L}\p{N}]+", "")
+
+
+def _phrase_queries(n_docs=None, seed=None):
+    """Deterministic multi-word phrases drawn from the golden corpus word
+    stream (so hits are guaranteed) plus one never-matching phrase."""
+    from docprompt_spark.corpus import gen_corpus
+
+    n_docs = n_docs or _FLAGSHIP_DOCS
+    seed = seed or _FLAGSHIP_SEED
+    phrases = []
+    for i, d in enumerate(gen_corpus(n_docs, seed=seed, skew_every=0)):
+        words = [s["text"] for s in d["spans"] if s["kind"] == "word"]
+        if i % 2 == 0 and len(words) >= 7:
+            phrases.append(" ".join(words[5:7]))  # 2-word phrase
+        elif len(words) >= 12:
+            phrases.append(" ".join(words[9:12]))  # 3-word phrase
+    phrases.append("zzzNOTINCORPUS qqqNOTINCORPUS")
+    # dedup, stable order
+    seen, out = set(), []
+    for p in phrases:
+        if p not in seen:
+            seen.add(p)
+            out.append(p)
+    return out
+
+
+def provenance_phrase_search(spark, sf_dir):
+    """D20 PHRASE search (reference provenance/search.py:96-106 builds
+    tantivy ``content:"..."`` phrase queries; tests/test_search.py:44-55
+    asserts the multi-word "MMAX2 system" hit): multi-word queries matched
+    against CONSECUTIVE word spans, as an inverted-index formulation —
+    explode phrases to (q, pos, tok), broadcast-join on token, then a
+    position-alignment groupBy: a start index where all k positions line
+    up is a phrase hit. One broadcast join + one partitioned aggregation;
+    no per-doc Python, scales to any corpus/phrase-set size."""
+    from docprompt_spark import pipeline
+
+    docs = pipeline.corpus_df(spark, _FLAGSHIP_DOCS, seed=_FLAGSHIP_SEED, skew_every=0)
+    result = pipeline.run_extraction(spark, docs.select("doc_id", "pdf", "n_pages"))
+    words = (
+        pipeline.spans_exploded(result)
+        .filter(F.col("kind") == "word")
+        .withColumn(
+            "widx",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("offset")
+            )
+            - 1,
+        )
+        .select("doc_id", "widx", "offset", _norm_tok(F.col("text")).alias("tok"))
+    )
+    prows = []
+    for p in _phrase_queries():
+        toks = p.split(" ")
+        for pos, t in enumerate(toks):
+            prows.append((p, pos, len(toks), t))
+    phrase_df = spark.createDataFrame(prows, ["q", "pos", "klen", "ptok"]).withColumn(
+        "ptok", _norm_tok(F.col("ptok"))
+    )
+    cand = words.join(
+        F.broadcast(phrase_df), F.col("tok") == F.col("ptok")
+    ).withColumn("start_idx", F.col("widx") - F.col("pos"))
+    aligned = (
+        cand.groupBy("doc_id", "q", "klen", "start_idx")
+        .agg(
+            F.countDistinct("pos").alias("npos"),
+            F.min("offset").alias("start_offset"),
+        )
+        .filter(F.col("npos") == F.col("klen"))
+    )
+    return aligned.groupBy("doc_id", "q").agg(
+        F.count("*").alias("n_hits"),
+        F.min("start_offset").cast("int").alias("first_offset"),
+    )
+
+
+def _phrase_search_oracle_sql() -> str:
+    """Same inverted-index phrase alignment in DuckDB over the golden
+    spans VALUES table."""
+    spans = _golden_spans_sql(_FLAGSHIP_DOCS, _FLAGSHIP_SEED)
+    prows = []
+    for p in _phrase_queries():
+        toks = p.split(" ")
+        for pos, t in enumerate(toks):
+            prows.append(f"({_sql_quote(p)},{pos},{len(toks)},{_sql_quote(t)})")
+    return (
+        "WITH spans AS (" + spans + "),\n"
+        "words AS (SELECT doc_id, \"offset\",\n"
+        "  row_number() OVER (PARTITION BY doc_id ORDER BY \"offset\") - 1 AS widx,\n"
+        "  regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', '', 'g') AS tok\n"
+        "  FROM spans WHERE kind = 'word'),\n"
+        "q AS (SELECT q, pos, klen,\n"
+        "  regexp_replace(lower(ptok), '[^\\p{L}\\p{N}]+', '', 'g') AS ptok\n"
+        "  FROM (VALUES " + ",".join(prows) + ") AS t(q, pos, klen, ptok)),\n"
+        "cand AS (SELECT w.doc_id, q.q, q.klen, w.widx - q.pos AS start_idx,\n"
+        "  q.pos, w.\"offset\" FROM words w JOIN q ON w.tok = q.ptok),\n"
+        "aligned AS (SELECT doc_id, q, start_idx,\n"
+        "  count(DISTINCT pos) AS npos, any_value(klen) AS klen,\n"
+        "  min(\"offset\") AS start_offset\n"
+        "  FROM cand GROUP BY doc_id, q, start_idx)\n"
+        "SELECT doc_id, q, count(*) AS n_hits,\n"
+        "  CAST(min(start_offset) AS INT) AS first_offset\n"
+        "FROM aligned WHERE npos = klen GROUP BY doc_id, q"
+    )
+
+
+_REGISTRY["provenance_phrase_search"] = (provenance_phrase_search, None)
+
+
 def provenance_refined_search(spark, sf_dir):
     """D19 refine_block_to_word_level: per-doc multi-word queries fuzzy-
     matched to parsed word boxes, DAG shortest-path refinement → merged
@@ -2873,4 +2986,5 @@ def oracle_sql() -> Dict[str, str]:
     )
     out["media_page_rasters"] = _page_rasters_oracle_sql()
     out["media_masked_rasters"] = _masked_rasters_oracle_sql()
+    out["provenance_phrase_search"] = _phrase_search_oracle_sql()
     return {n: out[n] for n in _ordered_names() if n in out}
