@@ -121,10 +121,14 @@ def _gen_page(rng: random.Random, use_f2: bool, seed: int) -> Tuple[dict, List[d
                 for x_ in range(px_w)
             )
             r = rng.random()
-            if r < 0.4:
+            if r < 0.3:
                 data, filt, samples_gt = samples, None, samples
-            elif r < 0.7:
+            elif r < 0.55:
                 data, filt, samples_gt = zlib.compress(samples, 6), "FlateDecode", samples
+            elif r < 0.75:
+                from docprompt_spark import lzw as _lzw
+
+                data, filt, samples_gt = _lzw.encode(samples), "LZWDecode", samples
             else:
                 # baseline JPEG (DCTDecode): lossy, so the pixel ground truth
                 # is the decode of the encode (deterministic fixed-table math)
@@ -252,17 +256,20 @@ def gen_doc(
             {"page_number": p + 1, "page_text": layout["page_text"], "spans": spans}
         )
 
-    # envelope rotation: stream compression (idx%2), byte wrapping (idx%4),
-    # and PDF 1.5+ xref-stream/ObjStm layout (idx%5==1) so every extraction
-    # query exercises both cross-reference formats
+    # envelope rotation: stream compression (idx%4: Flate / raw / LZW / raw),
+    # byte wrapping (idx%4), and PDF 1.5+ xref-stream/ObjStm layout
+    # (idx%5==1) so every extraction query exercises both cross-reference
+    # formats and all three content-stream filters
     if envelope is None:
         use_xref_stream = idx % 5 == 1
+        comp = ["flate", False, "lzw", False][idx % 4]
     else:
         use_xref_stream = envelope == "xrefstream"
+        comp = "lzw" if envelope == "lzw" else (envelope == "xrefstream" and idx % 2 == 0)
     pdf = write_pdf(
         pages_w,
         doc_title=doc_id,
-        compress_streams=idx % 2 == 0,
+        compress_streams=comp,
         xref_stream=use_xref_stream,
     )
     wrapped = _wrap(pdf, idx % 4)

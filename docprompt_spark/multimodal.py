@@ -69,6 +69,10 @@ def _codec_of(xo_dict, resolve) -> str:
         return "gray8" if gray8 else "raw-unknown"
     if filts == ["FlateDecode"]:
         return "flate-gray8" if gray8 else "flate-unknown"
+    if filts == ["LZWDecode"]:
+        return "lzw-gray8" if gray8 else "lzw-unknown"
+    if "CCITTFaxDecode" in filts:
+        return "ccitt-g4"
     return "unknown"
 
 
@@ -171,6 +175,13 @@ def decode_image(payload: bytes, width: int, height: int, codec: str) -> np.ndar
         )
     if codec == "flate-gray8":
         raw = zlib.decompress(payload)
+        return np.frombuffer(raw, dtype=np.uint8)[: width * height].reshape(
+            height, width
+        )
+    if codec == "lzw-gray8":
+        from docprompt_spark import lzw as _lzw
+
+        raw = _lzw.decode(bytes(payload))
         return np.frombuffer(raw, dtype=np.uint8)[: width * height].reshape(
             height, width
         )

@@ -100,6 +100,14 @@ class Stream:
             if f == "FlateDecode":
                 raw = zlib.decompress(raw)
                 raw = _apply_predictor(raw, resolve(p) or {}, resolve)
+            elif f == "LZWDecode":
+                from docprompt_spark import lzw
+
+                pd_ = resolve(p) or {}
+                raw = lzw.decode(
+                    raw, int(resolve(pd_.get("EarlyChange", 1)) or 1)
+                )
+                raw = _apply_predictor(raw, pd_, resolve)
             elif f == "ASCIIHexDecode":
                 raw = binascii.unhexlify(
                     re.sub(rb"[^0-9A-Fa-f]", b"", raw.rstrip(b">"))

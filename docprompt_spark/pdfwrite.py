@@ -90,8 +90,14 @@ class _Builder:
     def add(self, body: bytes) -> int:
         return self.set(self.reserve(), body)
 
-    def add_stream(self, dict_entries: str, data: bytes, compress: bool = False) -> int:
-        if compress:
+    def add_stream(self, dict_entries: str, data: bytes, compress=False) -> int:
+        """``compress``: False, True/'flate', or 'lzw' (PDF §7.4.4.2)."""
+        if compress == "lzw":
+            from docprompt_spark import lzw
+
+            data = lzw.encode(data)
+            dict_entries += " /Filter /LZWDecode"
+        elif compress:
             data = zlib.compress(data, 6)
             dict_entries += " /Filter /FlateDecode"
         head = f"<< {dict_entries} /Length {len(data)} >>\nstream\n".encode()

@@ -2438,6 +2438,32 @@ def extraction_xrefstream_spans(spark, sf_dir):
 _REGISTRY["extraction_xrefstream_spans"] = (extraction_xrefstream_spans, None)
 
 
+def extraction_lzw_spans(spark, sf_dir):
+    """Same parse->layout->spans pipeline with every content stream
+    LZW-compressed (/LZWDecode, PDF §7.4.4.2) — the legacy/scanned-corpus
+    filter the reference reads through pdfium, implemented from scratch in
+    docprompt_spark.lzw (variable-width 9-12 bit codes, EarlyChange=1).
+    Golden spans are filter-independent."""
+    from docprompt_spark import pipeline
+
+    docs = pipeline.corpus_df(
+        spark, 6, seed=_FLAGSHIP_SEED, skew_every=0, envelope="lzw"
+    )
+    result = pipeline.run_extraction(spark, docs.select("doc_id", "pdf", "n_pages"))
+    flat = pipeline.spans_exploded(result)
+    return flat.select(
+        "doc_id",
+        F.col("seq").cast("int").alias("seq"),
+        "kind",
+        "text",
+        "media_ref",
+        F.col("offset").cast("int").alias("offset"),
+    )
+
+
+_REGISTRY["extraction_lzw_spans"] = (extraction_lzw_spans, None)
+
+
 def extraction_page_stats(spark, sf_dir):
     """Per-document page/word/line/block/media counts from the parse stage
     (rows-only check: stateful pipeline, not SQL-expressible)."""
@@ -2987,4 +3013,7 @@ def oracle_sql() -> Dict[str, str]:
     out["media_page_rasters"] = _page_rasters_oracle_sql()
     out["media_masked_rasters"] = _masked_rasters_oracle_sql()
     out["provenance_phrase_search"] = _phrase_search_oracle_sql()
+    out["extraction_lzw_spans"] = _golden_spans_sql(
+        6, _FLAGSHIP_SEED, envelope="lzw"
+    )
     return {n: out[n] for n in _ordered_names() if n in out}
