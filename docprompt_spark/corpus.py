@@ -260,17 +260,24 @@ def gen_doc(
     # byte wrapping (idx%4), and PDF 1.5+ xref-stream/ObjStm layout
     # (idx%5==1) so every extraction query exercises both cross-reference
     # formats and all three content-stream filters
+    enc_mode = None
     if envelope is None:
         use_xref_stream = idx % 5 == 1
         comp = ["flate", False, "lzw", False][idx % 4]
     else:
         use_xref_stream = envelope == "xrefstream"
         comp = "lzw" if envelope == "lzw" else (envelope == "xrefstream" and idx % 2 == 0)
+        if envelope == "encrypted":
+            # Standard security handler, all three modes rotated (classic
+            # xref envelope; kept out of the default rotation so the bench
+            # corpus measures parse throughput, not pure-python AES)
+            enc_mode = ["aes-128", "rc4-128", "rc4-40"][idx % 3]
     pdf = write_pdf(
         pages_w,
         doc_title=doc_id,
         compress_streams=comp,
         xref_stream=use_xref_stream,
+        encrypt=enc_mode,
     )
     wrapped = _wrap(pdf, idx % 4)
     golden = kernels.assemble_doc_spans(page_results)

@@ -384,7 +384,7 @@ def _parse_from_token(lex: _Lexer, tok: Any) -> Any:
 
 
 class PdfFile:
-    def __init__(self, data: bytes) -> None:
+    def __init__(self, data: bytes, password: bytes = b"") -> None:
         self.data = unwrap_pdf_bytes(data)
         self._cache: Dict[int, Any] = {}
         self._font_cache: Dict[int, dict] = {}
@@ -392,8 +392,40 @@ class PdfFile:
         self._compressed: Dict[int, Tuple[int, int]] = {}  # num -> (objstm, idx)
         self._objstm_cache: Dict[int, Dict[int, Any]] = {}
         self.trailer: Dict[str, Any] = {}
+        self._crypt = None
         self._parse_xref_chain()
         self._page_refs: Optional[List[Ref]] = None
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is not None:
+            # the /Encrypt dict loads while _crypt is still None, so its own
+            # /O /U strings stay raw (per spec they are not encrypted) and
+            # its cache entry is never re-walked
+            from docprompt_spark import crypt
+
+            enc = self.resolve(enc_ref)
+            ids = self.resolve(self.trailer.get("ID")) or []
+            id0 = bytes(ids[0]) if ids else b""
+            self._crypt = crypt.StdSecurityHandler.from_encrypt_dict(
+                enc, id0, self.resolve, password
+            )
+
+    def _decrypt_obj(self, obj: Any, num: int, gen: int) -> Any:
+        """Post-load decryption walk (§7.6.2): stream payloads and every
+        string in the object, keyed by the CONTAINING object's num/gen."""
+        if isinstance(obj, Stream):
+            return Stream(
+                self._decrypt_obj(obj.dict, num, gen),
+                self._crypt.decrypt(obj.raw, num, gen),
+            )
+        if isinstance(obj, LitString):
+            return LitString(self._crypt.decrypt(bytes(obj), num, gen))
+        if isinstance(obj, HexString):
+            return HexString(self._crypt.decrypt(bytes(obj), num, gen))
+        if isinstance(obj, dict):
+            return {k: self._decrypt_obj(v, num, gen) for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [self._decrypt_obj(v, num, gen) for v in obj]
+        return obj
 
     # -- xref ---------------------------------------------------------------
     def _parse_xref_chain(self) -> None:
@@ -534,6 +566,8 @@ class PdfFile:
             length = self.resolve(obj["Length"])
             raw = self.data[lex.pos : lex.pos + int(length)]
             obj = Stream(obj, raw)
+        if self._crypt is not None:
+            obj = self._decrypt_obj(obj, num, int(gen))
         self._cache[num] = obj
         return obj
 

@@ -74,10 +74,14 @@ def esc_literal(data: bytes) -> bytes:
 
 
 class _Builder:
-    """Accumulates numbered objects, then assembles body + xref + trailer."""
+    """Accumulates numbered objects, then assembles body + xref + trailer.
+
+    When ``encryptor`` is set (a ``crypt.StdSecurityHandler``), stream
+    payloads encrypt per object AFTER filter encoding (PDF §7.6.2 order)."""
 
     def __init__(self) -> None:
         self.objects: List[Optional[bytes]] = []
+        self.encryptor = None
 
     def reserve(self) -> int:
         self.objects.append(None)
@@ -100,13 +104,22 @@ class _Builder:
         elif compress:
             data = zlib.compress(data, 6)
             dict_entries += " /Filter /FlateDecode"
+        num = self.reserve()
+        if self.encryptor is not None:
+            data = self.encryptor.encrypt(data, num)
         head = f"<< {dict_entries} /Length {len(data)} >>\nstream\n".encode()
-        return self.add(head + data + b"\nendstream")
+        return self.set(num, head + data + b"\nendstream")
 
     def assemble(
-        self, root_num: int, info_num: Optional[int] = None, xref_stream: bool = False
+        self, root_num: int, info_num: Optional[int] = None,
+        xref_stream: bool = False, encrypt_num: Optional[int] = None,
+        file_id: Optional[bytes] = None,
     ) -> bytes:
         if xref_stream:
+            if encrypt_num is not None:
+                raise ValueError(
+                    "encryption is supported for the classic-xref envelope"
+                )
             return self._assemble_xref_stream(root_num, info_num)
         out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
         offsets = [0] * (len(self.objects) + 1)
@@ -122,6 +135,9 @@ class _Builder:
         trailer = f"<< /Size {len(self.objects) + 1} /Root {root_num} 0 R"
         if info_num is not None:
             trailer += f" /Info {info_num} 0 R"
+        if encrypt_num is not None:
+            hexid = file_id.hex().upper()
+            trailer += f" /Encrypt {encrypt_num} 0 R /ID [<{hexid}> <{hexid}>]"
         trailer += " >>"
         out += b"trailer\n" + trailer.encode() + b"\n"
         out += b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
@@ -258,13 +274,28 @@ def write_pdf(
     compress_streams: bool = False,
     kids_per_node: int = 8,
     xref_stream: bool = False,
+    encrypt: Optional[str] = None,
 ) -> bytes:
     """Serialize page dicts (see module comment) into PDF bytes.
 
     ``xref_stream=True`` emits the PDF 1.5+ envelope (cross-reference
     stream + object stream) instead of a classic xref table — same content,
-    different envelope; exercises the reader's §7.5.7-7.5.8 path."""
+    different envelope; exercises the reader's §7.5.7-7.5.8 path.
+
+    ``encrypt``: ``'rc4-40' | 'rc4-128' | 'aes-128'`` — Standard security
+    handler, empty user password (classic-xref envelope only; the file ID
+    and AES IVs derive from the title so output stays byte-deterministic)."""
     b = _Builder()
+    handler = None
+    file_id = None
+    if encrypt:
+        from docprompt_spark import crypt
+
+        file_id = __import__("hashlib").md5(
+            b"fileid:" + doc_title.encode()
+        ).digest()
+        handler = crypt.StdSecurityHandler.create(encrypt, file_id)
+        b.encryptor = handler
     catalog = b.reserve()
     pages_root = b.reserve()
 
@@ -309,14 +340,23 @@ def write_pdf(
             ).encode()
         )
         w_array = " ".join(str(char_width_pm(ch)) for ch in charset)
-        cidfont = b.add(
+        cidfont = b.reserve()
+        # /Registry and /Ordering are STRINGS: like every string outside a
+        # stream they encrypt with the containing object's key (§7.6.2)
+        reg, order = b"Adobe", b"Identity"
+        if handler is not None:
+            reg = handler.encrypt(reg, cidfont)
+            order = handler.encrypt(order, cidfont)
+        b.set(
+            cidfont,
             (
                 "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /DSCID"
-                " /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+                f" /CIDSystemInfo << /Registry ({esc_literal(reg).decode('latin-1')})"
+                f" /Ordering ({esc_literal(order).decode('latin-1')})"
                 " /Supplement 0 >>"
                 f" /FontDescriptor {f2_desc} 0 R /DW 500 /W [0 [{w_array}]]"
                 " /CIDToGIDMap /Identity >>"
-            ).encode()
+            ).encode(),
         )
         tounicode = b.add_stream("", _tounicode_cmap(charset), compress=compress_streams)
         f2 = b.add(
@@ -386,8 +426,21 @@ def write_pdf(
         ).encode(),
     )
     b.set(catalog, f"<< /Type /Catalog /Pages {pages_root} 0 R >>".encode())
-    info = b.add(f"<< /Title ({esc_literal(doc_title.encode()).decode('latin-1')}) >>".encode())
-    return b.assemble(catalog, info, xref_stream=xref_stream)
+    info = b.reserve()
+    title = doc_title.encode()
+    if handler is not None:
+        title = handler.encrypt(title, info)
+    b.set(
+        info,
+        f"<< /Title ({esc_literal(title).decode('latin-1')}) >>".encode(),
+    )
+    if handler is None:
+        return b.assemble(catalog, info, xref_stream=xref_stream)
+    enc_num = b.add(handler.encrypt_dict_body().encode())
+    return b.assemble(
+        catalog, info, xref_stream=xref_stream,
+        encrypt_num=enc_num, file_id=file_id,
+    )
 
 
 def _render_content(page: dict, cid_of: Dict[str, int]) -> bytes:

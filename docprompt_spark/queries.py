@@ -2464,6 +2464,33 @@ def extraction_lzw_spans(spark, sf_dir):
 _REGISTRY["extraction_lzw_spans"] = (extraction_lzw_spans, None)
 
 
+def extraction_encrypted_spans(spark, sf_dir):
+    """Same pipeline over ENCRYPTED documents (PDF §7.6 Standard security
+    handler — the reference opens these via pdfium's password support,
+    schema/document.py:64): corpus rotates AES-128 (/V4 /AESV2), RC4-128
+    (/V2 /R3) and RC4-40 (/V1 /R2), empty user password. From-scratch RC4 +
+    FIPS-197 AES in docprompt_spark.crypt (KAT- and cross-checked). Golden
+    spans are encryption-independent."""
+    from docprompt_spark import pipeline
+
+    docs = pipeline.corpus_df(
+        spark, 6, seed=_FLAGSHIP_SEED, skew_every=0, envelope="encrypted"
+    )
+    result = pipeline.run_extraction(spark, docs.select("doc_id", "pdf", "n_pages"))
+    flat = pipeline.spans_exploded(result)
+    return flat.select(
+        "doc_id",
+        F.col("seq").cast("int").alias("seq"),
+        "kind",
+        "text",
+        "media_ref",
+        F.col("offset").cast("int").alias("offset"),
+    )
+
+
+_REGISTRY["extraction_encrypted_spans"] = (extraction_encrypted_spans, None)
+
+
 def extraction_page_stats(spark, sf_dir):
     """Per-document page/word/line/block/media counts from the parse stage
     (rows-only check: stateful pipeline, not SQL-expressible)."""
@@ -3015,5 +3042,8 @@ def oracle_sql() -> Dict[str, str]:
     out["provenance_phrase_search"] = _phrase_search_oracle_sql()
     out["extraction_lzw_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, envelope="lzw"
+    )
+    out["extraction_encrypted_spans"] = _golden_spans_sql(
+        6, _FLAGSHIP_SEED, envelope="encrypted"
     )
     return {n: out[n] for n in _ordered_names() if n in out}
