@@ -31,7 +31,7 @@ def corpus_path(n_docs: int, seed: int = 42) -> str:
     from timing)."""
     # v4: corpus rotates xref-stream envelopes (idx%5==1) and raw/Flate/DCT
     # image codecs; bump the prefix whenever gen_doc output bytes change
-    path = f"/tmp/docprompt_bench_corpus/v5_seed{seed}_n{n_docs}"
+    path = f"/tmp/docprompt_bench_corpus/v6_seed{seed}_n{n_docs}"
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         from docprompt_spark.corpus import write_corpus_parquet

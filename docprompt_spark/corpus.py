@@ -89,8 +89,14 @@ def _vocab(seed: int) -> Tuple[List[str], List[str]]:
     return _VOCAB_CACHE[seed]
 
 
-def _gen_page(rng: random.Random, use_f2: bool, seed: int) -> Tuple[dict, List[dict], List[dict]]:
-    """Returns (writer_page, ground-truth words, ground-truth images)."""
+def _gen_page(
+    rng: random.Random, use_f2: bool, seed: int, img_codec: str = None
+) -> Tuple[dict, List[dict], List[dict]]:
+    """Returns (writer_page, ground-truth words, ground-truth images).
+
+    ``img_codec`` forces every image's encoding ('raw'/'flate'/'lzw'/'dct'/
+    'ccitt') — the rng draw still happens so forced corpora keep identical
+    geometry/text to the default rotation."""
     ascii_words, uni_words = _vocab(seed)
     text_ops: List[dict] = []
     images_w: List[dict] = []
@@ -121,14 +127,41 @@ def _gen_page(rng: random.Random, use_f2: bool, seed: int) -> Tuple[dict, List[d
                 for x_ in range(px_w)
             )
             r = rng.random()
-            if r < 0.3:
+            if img_codec is not None:
+                choice = img_codec
+            elif r < 0.25:
+                choice = "raw"
+            elif r < 0.45:
+                choice = "flate"
+            elif r < 0.6:
+                choice = "lzw"
+            elif r < 0.8:
+                choice = "dct"
+            else:
+                choice = "ccitt"
+            bpc, parms = 8, None
+            if choice == "raw":
                 data, filt, samples_gt = samples, None, samples
-            elif r < 0.55:
+            elif choice == "flate":
                 data, filt, samples_gt = zlib.compress(samples, 6), "FlateDecode", samples
-            elif r < 0.75:
+            elif choice == "lzw":
                 from docprompt_spark import lzw as _lzw
 
                 data, filt, samples_gt = _lzw.encode(samples), "LZWDecode", samples
+            elif choice == "ccitt":
+                # G4 bilevel (the scanned-document path): ground truth is
+                # the thresholded raster expanded back to gray8
+                from docprompt_spark import ccitt as _ccitt
+                import numpy as _np
+
+                arr = _np.frombuffer(samples, dtype=_np.uint8).reshape(px_h, px_w)
+                data = _ccitt.encode_gray8(arr)
+                filt = "CCITTFaxDecode"
+                samples_gt = _ccitt.decode_to_gray8(data, px_w, px_h).tobytes()
+                bpc = 1
+                parms = (
+                    f"<< /K -1 /Columns {px_w} /Rows {px_h} /BlackIs1 true >>"
+                )
             else:
                 # baseline JPEG (DCTDecode): lossy, so the pixel ground truth
                 # is the decode of the encode (deterministic fixed-table math)
@@ -142,7 +175,8 @@ def _gen_page(rng: random.Random, use_f2: bool, seed: int) -> Tuple[dict, List[d
             images_w.append(
                 {
                     "data": data, "filter": filt, "samples": samples_gt,
-                    "width": px_w, "height": px_h,
+                    "width": px_w, "height": px_h, "bpc": bpc,
+                    "decode_parms": parms,
                     "x": ix, "y": y, "w": w, "h": h,
                 }
             )
@@ -206,7 +240,7 @@ def _wrap(pdf: bytes, variant: int) -> bytes:
     return pdf
 
 
-def _gen_doc_pages(idx: int, seed: int, skew_every: int):
+def _gen_doc_pages(idx: int, seed: int, skew_every: int, img_codec: str = None):
     """Deterministic page set for document ``idx``: (doc_id, [(writer_page,
     words_gt, images_gt), ...]). Single source of truth for the rng replay —
     gen_doc and golden_page_layouts both consume it."""
@@ -217,17 +251,19 @@ def _gen_doc_pages(idx: int, seed: int, skew_every: int):
     else:
         n_pages = rng.randint(1, 3)
     use_f2 = idx % 3 == 0
-    return doc_id, [_gen_page(rng, use_f2, seed) for _ in range(n_pages)]
+    return doc_id, [_gen_page(rng, use_f2, seed, img_codec) for _ in range(n_pages)]
 
 
-def golden_page_layouts(n_docs: int, seed: int = 42, skew_every: int = 47):
+def golden_page_layouts(
+    n_docs: int, seed: int = 42, skew_every: int = 47, img_codec: str = None
+):
     """Golden per-page layout dicts (kernels.build_page_layout over the
     generator's ground-truth words) plus ground-truth images — the oracle
     source for the TextBlock hierarchy and media tables. Yields
     (doc_id, page_number, layout, images_gt) where images_gt rows are
     {media_ref, bbox} (+ the generator's raw byte length via n_bytes)."""
     for idx in range(n_docs):
-        doc_id, pages = _gen_doc_pages(idx, seed, skew_every)
+        doc_id, pages = _gen_doc_pages(idx, seed, skew_every, img_codec)
         for p, (page_w, words_gt, images_gt) in enumerate(pages):
             gt = [dict(im) for im in images_gt]
             for im, w in zip(gt, page_w["images"]):
@@ -243,7 +279,9 @@ def gen_doc(
     idx: int, seed: int = 42, skew_every: int = 47, envelope: str = None
 ) -> dict:
     """One deterministic document: pdf bytes + golden span sequence."""
-    doc_id, gen_pages = _gen_doc_pages(idx, seed, skew_every)
+    doc_id, gen_pages = _gen_doc_pages(
+        idx, seed, skew_every, img_codec="ccitt" if envelope == "ccitt" else None
+    )
     n_pages = len(gen_pages)
 
     pages_w: List[dict] = []

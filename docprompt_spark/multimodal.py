@@ -71,8 +71,12 @@ def _codec_of(xo_dict, resolve) -> str:
         return "flate-gray8" if gray8 else "flate-unknown"
     if filts == ["LZWDecode"]:
         return "lzw-gray8" if gray8 else "lzw-unknown"
-    if "CCITTFaxDecode" in filts:
-        return "ccitt-g4"
+    if filts == ["CCITTFaxDecode"]:
+        dp = resolve(xo_dict.get("DecodeParms", xo_dict.get("DP"))) or {}
+        k = int(resolve(dp.get("K", 0)) or 0)
+        black1 = bool(resolve(dp.get("BlackIs1", False)))
+        # only the G4 profile our codec implements; G3 (K>=0) stays opaque
+        return "ccitt-g4" if (k < 0 and black1) else "unknown"
     return "unknown"
 
 
@@ -185,6 +189,10 @@ def decode_image(payload: bytes, width: int, height: int, codec: str) -> np.ndar
         return np.frombuffer(raw, dtype=np.uint8)[: width * height].reshape(
             height, width
         )
+    if codec == "ccitt-g4":
+        from docprompt_spark import ccitt as _ccitt
+
+        return _ccitt.decode_to_gray8(bytes(payload), width, height)
     if codec == "png":
         return _png.decode(payload)
     if codec == "dct":

@@ -377,12 +377,14 @@ def write_pdf(
             entries = (
                 f"/Type /XObject /Subtype /Image /Width {im['width']}"
                 f" /Height {im['height']} /ColorSpace /DeviceGray"
-                " /BitsPerComponent 8"
+                f" /BitsPerComponent {im.get('bpc', 8)}"
             )
             if im.get("filter"):
                 # payload arrives pre-encoded; declare without re-encoding so
                 # media_ref = md5(raw stream bytes) holds on both sides
                 entries += f" /Filter /{im['filter']}"
+            if im.get("decode_parms"):
+                entries += f" /DecodeParms {im['decode_parms']}"
             im_num = b.add_stream(entries, im["data"], compress=False)
             xobj_entries.append(f"/Im{i} {im_num} 0 R")
         fonts = f"/F1 {f1} 0 R"

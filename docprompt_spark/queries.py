@@ -2491,6 +2491,32 @@ def extraction_encrypted_spans(spark, sf_dir):
 _REGISTRY["extraction_encrypted_spans"] = (extraction_encrypted_spans, None)
 
 
+def extraction_ccitt_spans(spark, sf_dir):
+    """Same pipeline over the scanned-document profile: every embedded
+    image CCITT Group 4 (/CCITTFaxDecode /K -1, ITU-T T.6 MMR — the filter
+    pdfium gives the reference for free, implemented from scratch in
+    docprompt_spark.ccitt). Media spans hash the G4 payloads; golden spans
+    are generated with the same forced codec."""
+    from docprompt_spark import pipeline
+
+    docs = pipeline.corpus_df(
+        spark, 6, seed=_FLAGSHIP_SEED, skew_every=0, envelope="ccitt"
+    )
+    result = pipeline.run_extraction(spark, docs.select("doc_id", "pdf", "n_pages"))
+    flat = pipeline.spans_exploded(result)
+    return flat.select(
+        "doc_id",
+        F.col("seq").cast("int").alias("seq"),
+        "kind",
+        "text",
+        "media_ref",
+        F.col("offset").cast("int").alias("offset"),
+    )
+
+
+_REGISTRY["extraction_ccitt_spans"] = (extraction_ccitt_spans, None)
+
+
 def extraction_page_stats(spark, sf_dir):
     """Per-document page/word/line/block/media counts from the parse stage
     (rows-only check: stateful pipeline, not SQL-expressible)."""
@@ -3045,5 +3071,8 @@ def oracle_sql() -> Dict[str, str]:
     )
     out["extraction_encrypted_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, envelope="encrypted"
+    )
+    out["extraction_ccitt_spans"] = _golden_spans_sql(
+        6, _FLAGSHIP_SEED, envelope="ccitt"
     )
     return {n: out[n] for n in _ordered_names() if n in out}
