@@ -26,17 +26,28 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
-def corpus_path(n_docs: int, seed: int = 42) -> str:
+def corpus_path(n_docs: int, seed: int = 42, spark=None) -> str:
     """Deterministic bench corpus, cached under /tmp (generation excluded
-    from timing)."""
-    # v4: corpus rotates xref-stream envelopes (idx%5==1) and raw/Flate/DCT
+    from timing). With a live session the corpus generates ON THE
+    EXECUTORS (pipeline.corpus_df_distributed — gen_doc is pure in
+    (idx, seed)); the serial pyarrow writer remains the sparkless
+    fallback."""
+    # v6: corpus rotates xref-stream envelopes (idx%5==1),
+    # Flate/raw/LZW/raw content streams (idx%4) and raw/Flate/LZW/DCT/CCITT
     # image codecs; bump the prefix whenever gen_doc output bytes change
     path = f"/tmp/docprompt_bench_corpus/v6_seed{seed}_n{n_docs}"
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
-        from docprompt_spark.corpus import write_corpus_parquet
+        if spark is not None:
+            from docprompt_spark import pipeline
 
-        write_corpus_parquet(path, n_docs, seed=seed, rows_per_file=500)
+            pipeline.corpus_df_distributed(spark, n_docs, seed=seed).write.mode(
+                "overwrite"
+            ).parquet(path)
+        else:
+            from docprompt_spark.corpus import write_corpus_parquet
+
+            write_corpus_parquet(path, n_docs, seed=seed, rows_per_file=500)
         with open(marker, "w") as f:
             f.write("ok")
     return path
@@ -56,13 +67,12 @@ def main() -> None:
         n_docs = int(sys.argv[sys.argv.index("--docs") + 1])
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
-    cpath = corpus_path(n_docs)
-
     from docprompt_spark import pipeline
     from docprompt_spark import queries as qmod
     from docprompt_spark.session import get_spark
 
     spark = get_spark(master=f"local[{cpus}]", app_name="bench")
+    cpath = corpus_path(n_docs, spark=spark)
 
     # balanced cached input (one-time, uncounted): the narrow no-shuffle
     # parse path inherits this partitioning

@@ -446,3 +446,46 @@ def corpus_df(
         for d in gen_corpus(n_docs, seed=seed, skew_every=skew_every, envelope=envelope)
     ]
     return spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+
+
+def corpus_df_distributed(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    skew_every: int = 47,
+    envelope: str = None,
+    parallelism: Optional[int] = None,
+) -> DataFrame:
+    """Corpus generated ON THE EXECUTORS (``gen_doc`` is a pure function of
+    ``(idx, seed)``): the driver ships only the index range. This is the
+    100 TB-corpus pattern — ``corpus_df`` above createDataFrame-ships every
+    byte through the driver and is only appropriate for oracle-scale
+    fixtures. Used by bench.py to materialize its cached corpus in
+    parallel."""
+    from docprompt_spark.shipping import ensure_py_files
+
+    ensure_py_files(spark)
+    nparts = parallelism or spark.sparkContext.defaultParallelism * 2
+    idx_df = spark.range(n_docs).repartition(nparts)
+
+    def fn(batches):
+        from docprompt_spark.corpus import gen_doc
+
+        for b in batches:
+            rows = []
+            for idx in b["id"]:
+                d = gen_doc(
+                    int(idx), seed=seed, skew_every=skew_every, envelope=envelope
+                )
+                rows.append(
+                    {
+                        "doc_id": d["doc_id"],
+                        "pdf": bytes(d["pdf"]),
+                        "n_pages": d["n_pages"],
+                        "spans": d["spans"],
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return idx_df.mapInPandas(fn, schema=DOCS_SCHEMA)
