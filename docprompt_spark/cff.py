@@ -413,12 +413,86 @@ def cff_code_to_name(data: bytes) -> Dict[int, str]:
 _T1_DUP_RE = re.compile(rb"dup\s+(\d+)\s*/([^\s/]+)\s+put")
 
 
+# Adobe StandardEncoding (Type1 fonts declaring "/Encoding
+# StandardEncoding def"): the non-ASCII-identity entries. Codes 32..126
+# are ASCII except quoteright(39)/quoteleft(96).
+STANDARD_ENCODING_NAMES: Dict[int, str] = {
+    39: "quoteright", 96: "quoteleft",
+    161: "exclamdown", 162: "cent", 163: "sterling", 164: "fraction",
+    165: "yen", 166: "florin", 167: "section", 168: "currency",
+    169: "quotesingle", 170: "quotedblleft", 171: "guillemotleft",
+    172: "guilsinglleft", 173: "guilsinglright", 174: "fi", 175: "fl",
+    177: "endash", 178: "dagger", 179: "daggerdbl", 180: "periodcentered",
+    182: "paragraph", 183: "bullet", 184: "quotesinglbase",
+    185: "quotedblbase", 186: "quotedblright", 187: "guillemotright",
+    188: "ellipsis", 189: "perthousand", 191: "questiondown",
+    193: "grave", 194: "acute", 195: "circumflex", 196: "tilde",
+    197: "macron", 198: "breve", 199: "dotaccent", 200: "dieresis",
+    202: "ring", 203: "cedilla", 205: "hungarumlaut", 206: "ogonek",
+    207: "caron", 208: "emdash", 225: "AE", 227: "ordfeminine",
+    232: "Lslash", 233: "Oslash", 234: "OE", 235: "ordmasculine",
+    241: "ae", 245: "dotlessi", 248: "lslash", 249: "oslash",
+    250: "oe", 251: "germandbls",
+}
+
+_EEXEC_R = 55665
+_CS_R = 4330  # charstring key (unused here; documented for completeness)
+_C1, _C2 = 52845, 22719
+
+
+def eexec_decrypt(data: bytes, r: int = _EEXEC_R, skip: int = 4) -> bytes:
+    """Type1 eexec decryption (Adobe Type1 spec §7.2): per-byte stream
+    cipher r' = (c + r)*c1 + c2; first ``skip`` plaintext bytes are random
+    salt and are dropped."""
+    out = bytearray()
+    for c in data:
+        out.append((c ^ (r >> 8)) & 0xFF)
+        r = ((c + r) * _C1 + _C2) & 0xFFFF
+    return bytes(out[skip:])
+
+
+def eexec_encrypt(data: bytes, r: int = _EEXEC_R, salt: bytes = b"ds01") -> bytes:
+    """Inverse of :func:`eexec_decrypt` (used by tests/corpus builders)."""
+    out = bytearray()
+    for p in salt + data:
+        c = (p ^ (r >> 8)) & 0xFF
+        out.append(c)
+        r = ((c + r) * _C1 + _C2) & 0xFFFF
+    return bytes(out)
+
+
+_HEX_BODY_RE = re.compile(rb"^[0-9A-Fa-f\s]{16,}")
+
+
+def _eexec_tail_plaintext(tail: bytes) -> bytes:
+    """Decrypt the post-``eexec`` portion; handles both the binary (PFB)
+    and ASCII-hex (PFA) serializations."""
+    tail = tail.lstrip(b"\r\n\t ")
+    m = _HEX_BODY_RE.match(tail)
+    if m and not any(b > 0x7F for b in tail[:64]):
+        import binascii
+
+        hx = re.sub(rb"\s", b"", m.group(0))
+        if len(hx) % 2:
+            hx = hx[:-1]
+        tail = binascii.unhexlify(hx)
+    return eexec_decrypt(tail)
+
+
 @memo_bytes_fn
 def type1_code_to_name(data: bytes) -> Dict[int, str]:
-    """byte code -> glyph name from a Type1 font program's cleartext header
-    (everything before ``eexec`` — the /Encoding array lives there)."""
-    head = data.split(b"eexec", 1)[0]
+    """byte code -> glyph name from a Type1 font program.
+
+    Sources, lowest to highest priority: StandardEncoding (when the
+    cleartext header declares it), ``dup N /name put`` entries in the
+    cleartext header, and — new in r3 — ``dup`` entries found inside the
+    eexec-ENCRYPTED section (subset fonts emitted by some drivers place
+    the rebuilt encoding there; the reference reads these through pdfium's
+    FreeType)."""
+    head, sep, tail = data.partition(b"eexec")
     out: Dict[int, str] = {}
+    if re.search(rb"/Encoding\s+StandardEncoding\s+def", head):
+        out.update(STANDARD_ENCODING_NAMES)
     for m in _T1_DUP_RE.finditer(head):
         try:
             code = int(m.group(1))
@@ -426,6 +500,18 @@ def type1_code_to_name(data: bytes) -> Dict[int, str]:
             continue
         if 0 <= code <= 255:
             out[code] = m.group(2).decode("latin-1")
+    if sep:
+        try:
+            plain = _eexec_tail_plaintext(tail)
+        except Exception:
+            plain = b""
+        for m in _T1_DUP_RE.finditer(plain):
+            try:
+                code = int(m.group(1))
+            except ValueError:
+                continue
+            if 0 <= code <= 255:
+                out[code] = m.group(2).decode("latin-1")
     return out
 
 
