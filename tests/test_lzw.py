@@ -87,3 +87,26 @@ def test_lzw_image_decodes():
     payload = lzw.encode(bytes(range(256)) * 4)
     px = multimodal.decode_image(payload, 32, 32, "lzw-gray8")
     assert px.shape == (32, 32) and px[0, 5] == 5
+
+
+def test_final_code_width_boundary_phantom_entry():
+    """The decoder adds a PHANTOM table entry for the final data code and
+    may bump the code width before reading EOD; the encoder must mirror
+    that bump. Hit by real corpus content (doc idx 9118 page 7 in the
+    r3 bench corpus); the dense size sweep crosses the 511/1023 boundaries
+    with the final code repeatedly."""
+    for n in range(400, 1300):
+        data = bytes((i * 37 + (i >> 3)) % 256 for i in range(n))
+        assert lzw.decode(lzw.encode(data)) == data, n
+
+
+def test_full_bench_corpus_slice_parses():
+    """Every LZW-enveloped doc in a corpus slice round-trips through the
+    full parse (regression: three of 24k docs failed before the phantom
+    bump fix)."""
+    from docprompt_spark import pdfparse
+    from docprompt_spark.corpus import gen_doc
+
+    for idx in (9118, 16262, 18142, 2, 6, 10):
+        d = gen_doc(idx, seed=42)
+        assert pdfparse.extract_pages(bytes(d["pdf"]))
