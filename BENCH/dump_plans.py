@@ -55,6 +55,8 @@ def main() -> None:
         "date_extraction",
         "textblock_line_geometry",
         "html_main_content",
+        "provenance_phrase_search",
+        "media_page_rasters",
     ]:
         sections.append((name, formatted(reg[name][0](spark, sf))))
 

@@ -279,6 +279,75 @@ def decode(data: bytes, width: int, rows: int) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# Group 3 one-dimensional (T.4 §2, /K 0): independent MH-coded rows
+# --------------------------------------------------------------------------
+
+EOL = "000000000001"
+
+
+def encode_g3_1d(bits: np.ndarray, with_eol: bool = True) -> bytes:
+    """T.4 1-D (Modified Huffman) encoding: each row is an alternating
+    white/black run-length sequence starting with a white run (possibly 0).
+    ``with_eol`` prefixes every row with EOL (the common scanner profile)."""
+    bits = np.asarray(bits)
+    h, w = bits.shape
+    bw = _BitWriter()
+    for y in range(h):
+        if with_eol:
+            bw.write(EOL)
+        t = _transitions(bits[y])
+        edges = [0] + t + [w]
+        color = 0
+        for i in range(len(edges) - 1):
+            _emit_run(bw, edges[i + 1] - edges[i], color)
+            color ^= 1
+    return bw.tobytes()
+
+
+def _skip_eols(br: _BitReader) -> None:
+    """Consume any number of fill-0s + EOL (eleven 0s then a 1) sequences;
+    rewinds cleanly if the next bits are ordinary run codes."""
+    d = br.data
+    nbits_total = len(d) * 8
+    while True:
+        save = br.pos
+        zeros = 0
+        consumed = False
+        while br.pos < nbits_total and zeros <= 64:
+            byte_i, bit_i = divmod(br.pos, 8)
+            bit = (d[byte_i] >> (7 - bit_i)) & 1
+            br.pos += 1
+            if bit == 0:
+                zeros += 1
+                continue
+            if zeros >= 11:  # a full EOL (fill zeros + 11+ zeros + 1)
+                consumed = True
+            break
+        if not consumed:
+            br.pos = save
+            return
+
+
+def decode_g3_1d(data: bytes, width: int, rows: int) -> np.ndarray:
+    """T.4 1-D decode (rows independent; EOLs tolerated anywhere)."""
+    br = _BitReader(data)
+    out = np.zeros((rows, width), dtype=np.uint8)
+    for y in range(rows):
+        _skip_eols(br)
+        pos = 0
+        color = 0
+        row = np.zeros(width, dtype=np.uint8)
+        while pos < width:
+            run = _read_run(br, color)
+            if color:
+                row[pos : pos + run] = 1
+            pos += run
+            color ^= 1
+        out[y] = row
+    return out
+
+
+# --------------------------------------------------------------------------
 # gray8 convenience (the media-table decode path)
 # --------------------------------------------------------------------------
 

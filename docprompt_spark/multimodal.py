@@ -75,8 +75,13 @@ def _codec_of(xo_dict, resolve) -> str:
         dp = resolve(xo_dict.get("DecodeParms", xo_dict.get("DP"))) or {}
         k = int(resolve(dp.get("K", 0)) or 0)
         black1 = bool(resolve(dp.get("BlackIs1", False)))
-        # only the G4 profile our codec implements; G3 (K>=0) stays opaque
-        return "ccitt-g4" if (k < 0 and black1) else "unknown"
+        if not black1:
+            return "unknown"  # inverted-polarity profile not implemented
+        if k < 0:
+            return "ccitt-g4"
+        if k == 0:
+            return "ccitt-g3"  # T.4 one-dimensional rows
+        return "unknown"  # K>0 mixed 1D/2D G3 not implemented
     return "unknown"
 
 
@@ -193,6 +198,11 @@ def decode_image(payload: bytes, width: int, height: int, codec: str) -> np.ndar
         from docprompt_spark import ccitt as _ccitt
 
         return _ccitt.decode_to_gray8(bytes(payload), width, height)
+    if codec == "ccitt-g3":
+        from docprompt_spark import ccitt as _ccitt
+
+        bits = _ccitt.decode_g3_1d(bytes(payload), width, height)
+        return ((1 - bits) * 255).astype(np.uint8)
     if codec == "png":
         return _png.decode(payload)
     if codec == "dct":

@@ -132,3 +132,22 @@ def test_pdf_integration_media_ref_and_decode():
             assert px.tobytes() == g["samples"]
             n += 1
     assert n >= 1
+
+
+def test_g3_1d_roundtrip_and_known_codes():
+    """T.4 one-dimensional (K=0 /Modified Huffman) rows: round-trip with
+    and without EOL prefixes; all-black 8px row = white-0 + black-8."""
+    rng = np.random.RandomState(5)
+    for h, w in [(1, 8), (3, 64), (16, 257), (4, 2600)]:
+        for img in (
+            (rng.rand(h, w) < 0.5).astype(np.uint8),
+            np.zeros((h, w), np.uint8),
+            np.ones((h, w), np.uint8),
+        ):
+            for eol in (True, False):
+                enc = ccitt.encode_g3_1d(img, with_eol=eol)
+                assert (ccitt.decode_g3_1d(enc, w, h) == img).all()
+    enc = ccitt.encode_g3_1d(np.ones((1, 8), np.uint8), with_eol=False)
+    assert _bits(enc).startswith("00110101" + "000101")
+    enc = ccitt.encode_g3_1d(np.ones((1, 8), np.uint8), with_eol=True)
+    assert _bits(enc).startswith(ccitt.EOL)

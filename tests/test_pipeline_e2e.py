@@ -70,3 +70,20 @@ def test_no_python_row_udfs_in_plan(spark, docs_df):
     result = pipeline.run_extraction(spark, docs_df.limit(2))
     plan = result._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_distributed_corpus_generation_matches_driver_side(spark):
+    """corpus_df_distributed (executor-side gen_doc over an index range —
+    the 100 TB synthetic-corpus pattern) is byte-identical to the
+    driver-side createDataFrame path."""
+    from docprompt_spark import pipeline
+
+    dist = {
+        r.doc_id: (bytes(r.pdf), r.n_pages, tuple(map(tuple, r.spans)))
+        for r in pipeline.corpus_df_distributed(spark, 30, seed=9).collect()
+    }
+    drv = {
+        r.doc_id: (bytes(r.pdf), r.n_pages, tuple(map(tuple, r.spans)))
+        for r in pipeline.corpus_df(spark, 30, seed=9).collect()
+    }
+    assert dist == drv and len(dist) == 30
