@@ -66,6 +66,8 @@ _PRIORITY_NAMES = [
     "extraction_ccitt_spans",
     "extraction_lzw_spans",
     "extraction_encrypted_spans",
+    "dedup_connected_components",
+    "search_bm25_ranked",
 ]
 _LOW_PRIORITY_NAMES = [
     # operator family in parens; the duplicate in-window / pytest evidence
@@ -990,6 +992,179 @@ _SHINGLE_SQL = (
 
 
 _LSH_BUCKET_CAP = 1024  # docs per band bucket before the skew guard drops it
+
+
+@query(
+    "search_bm25_ranked",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    toks_f AS (SELECT * FROM toks WHERE tok <> ''),
+    terms AS (
+      SELECT tok AS q FROM toks_f GROUP BY tok
+      ORDER BY count(*) DESC, tok LIMIT 3),
+    dl AS (SELECT doc_id, count(*) AS dlen FROM toks_f GROUP BY doc_id),
+    gl AS (SELECT avg(dlen) AS avgdl, count(*) AS n FROM dl),
+    tf AS (SELECT t.tok AS q, t.doc_id, count(*) AS tf
+           FROM toks_f t JOIN terms ON t.tok = terms.q
+           GROUP BY t.tok, t.doc_id),
+    dfreq AS (SELECT q, count(*) AS df FROM tf GROUP BY q),
+    scored AS (
+      SELECT tf.q, tf.doc_id,
+             round(ln(1 + (gl.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen / gl.avgdl)),
+                   4) AS score
+      FROM tf JOIN dfreq USING (q) JOIN dl USING (doc_id) CROSS JOIN gl),
+    ranked AS (
+      SELECT q, doc_id, score,
+             row_number() OVER (PARTITION BY q
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+    SELECT q, CAST(rank AS INT) AS rank, doc_id, score
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def search_bm25_ranked(spark, sf_dir):
+    """Ranked full-text search: Okapi BM25 (k1=1.2, b=0.75) over the
+    inverted index — the scoring layer tantivy gives the reference's D20
+    search for free (provenance/search.py scores hits), expressed
+    relationally: one token explode feeds tf/df/dl/avgdl as partial
+    aggregations, query terms broadcast, scores ranked per query with a
+    q-partitioned window. Rank ties break on rounded score + doc_id so
+    ordering is engine-independent."""
+    k1, b = 1.2, 0.75
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    terms = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(3)
+        .select(F.col("tok").alias("q"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    gl = dl.agg(F.avg("dlen").alias("avgdl"), F.count("*").alias("n"))
+    tf = (
+        toks.join(F.broadcast(terms), toks["tok"] == F.col("q"))
+        .groupBy("q", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("q").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "q")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(gl))
+        .select(
+            "q",
+            "doc_id",
+            F.round(
+                F.log(
+                    1
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (k1 + 1)
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dlen") / F.col("avgdl"))
+                ),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q", F.col("rank").cast("int").alias("rank"), "doc_id", "score")
+    )
+
+
+@query(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE aug AS ({_AUG_NEAR_SQL}),
+    sh AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM aug
+           WHERE len({_SHINGLE_SQL}) > 0),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) /
+            len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.6),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT doc_id AS node FROM aug),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+    SELECT CAST(c.node AS BIGINT) AS doc_id,
+           CAST(c.component AS BIGINT) AS component,
+           CAST(s.n AS BIGINT) AS n_members
+    FROM comp c JOIN (SELECT component, count(*) AS n
+                      FROM comp GROUP BY component) s USING (component)
+    """,
+)
+def dedup_connected_components(spark, sf_dir):
+    """Dedup CLUSTERING: the step after near-dup pair mining that an
+    actual 100 TB dedup job needs — pairs only say "a~b"; removal policy
+    needs transitive CLUSTERS (keep min doc per component, drop the rest).
+
+    Spark side: iterative min-label propagation over the (symmetrized)
+    MinHash-LSH pair graph to a FIXPOINT — per round one join + one
+    partial-aggregating groupBy, ``localCheckpoint`` truncating the plan
+    so lineage stays O(1) across rounds (the standard large-graph CC
+    pattern; rounds ~ graph diameter, 2 here). Driver sees only a scalar
+    convergence count per round. Oracle: the same components via a DuckDB
+    recursive CTE (min reachable label)."""
+    pairs = minhash_lsh_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = (
+        _aug_near(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("node"))
+        .distinct()
+    )
+    edges = (
+        pairs.selectExpr("doc_a AS a", "doc_b AS b")
+        .unionAll(pairs.selectExpr("doc_b AS a", "doc_a AS b"))
+        .localCheckpoint()
+    )
+    labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+    for _round in range(20):  # bound >> any real diameter here
+        nbr = (
+            edges.join(labels, edges["a"] == labels["node"])
+            .groupBy("b")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["b"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") < F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("n_members"))
+    return labels.join(sizes, "comp").select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
 
 
 @query(
