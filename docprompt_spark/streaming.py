@@ -120,3 +120,98 @@ def stream_event_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: cross-batch sessionization (W1, streaming form)
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start double, session_end double, n_events long"
+)
+SESSION_STATE_SCHEMA = "start double, last double, n long"
+
+
+def _sessionize_fn(gap_seconds: float):
+    """applyInPandasWithState kernel: per-user session fold. State carries
+    the OPEN session across micro-batches; a gap > ``gap_seconds`` closes
+    it and emits one row. Open sessions stay in state (emitted only when a
+    later batch closes them) — deterministic without wall-clock timeouts."""
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        out = []
+        for pdf in pdf_iter:
+            for ts in sorted(float(t) for t in pdf["ts"]):
+                if start is None:
+                    start, last, n = ts, ts, 1
+                elif ts - last > gap_seconds:
+                    out.append((user_id, start, last, n))
+                    start, last, n = ts, ts, 1
+                else:
+                    last = ts
+                    n += 1
+        state.update((start, last, n))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "session_start", "session_end", "n_events"]
+            )
+
+    return fn
+
+
+def stateful_sessionize(
+    events_stream: DataFrame, gap_seconds: float = 30.0
+) -> DataFrame:
+    """W1 sessionization as a CUSTOM STATEFUL streaming operator
+    (``applyInPandasWithState`` — the arbitrary-state API the north star
+    names): state is one open session per user, shuffled by user_id, so a
+    session spanning micro-batches closes with the exact same boundaries
+    the batch kernel (`sessionize_events`) would produce."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events_stream.select("user_id", F.col("ts").cast("double").alias("ts"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_seconds),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "sessions",
+    gap_seconds: float = 30.0,
+):
+    """File-source event stream → stateful sessionization into a memory
+    sink; one micro-batch per input file (maxFilesPerTrigger=1) so state
+    genuinely carries across batches."""
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    return (
+        stateful_sessionize(stream, gap_seconds)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

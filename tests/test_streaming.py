@@ -63,3 +63,34 @@ def test_windowed_counts_match_batch(spark, tmp_path):
     a = {tuple(r) for r in streamed.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert a == b and len(a) > 0
+
+
+def test_stateful_sessionize_state_carries_across_batches(spark, tmp_path):
+    """applyInPandasWithState sessionization: a session OPEN at the end of
+    micro-batch 1 must close with batch-2 events (state carries), and the
+    emitted boundaries must equal the batch kernel's semantics."""
+    inp = str(tmp_path / "events_in")
+    ckpt = str(tmp_path / "ckpt_sess")
+    # file 1 (batch 1): user 1 events at t=0,10 (one open session);
+    #                   user 2 event at t=5
+    spark.createDataFrame(
+        [(1, 0.0), (1, 10.0), (2, 5.0)], ["user_id", "ts"]
+    ).coalesce(1).write.mode("append").parquet(inp)
+    # file 2 (batch 2): user 1 at t=100 (gap 90 > 30 -> closes session
+    #                   [0,10] with 2 events); user 2 at t=20 (same session)
+    spark.createDataFrame(
+        [(1, 100.0), (2, 20.0)], ["user_id", "ts"]
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    from docprompt_spark import streaming
+
+    # two source "files" -> with maxFilesPerTrigger=1, >= 2 micro-batches
+    q = streaming.stream_sessionize(spark, inp, ckpt, query_name="sess_t")
+    q.awaitTermination(120)
+    rows = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("sess_t").collect()
+    }
+    # only user 1's first session closed; user 2's session and user 1's
+    # t=100 session are still open (in state, not emitted)
+    assert rows == {(1, 0.0, 10.0, 2)}, rows
