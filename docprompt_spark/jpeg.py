@@ -146,6 +146,43 @@ def _magnitude(v: int) -> Tuple[int, int]:
     return cat, code
 
 
+def _emit_block(bw: "_BitWriter", block: np.ndarray, q: np.ndarray,
+                prev_dc: int) -> int:
+    """DCT + quantize + Huffman-code one 8x8 block; returns the new DC
+    predictor."""
+    coef = _C @ block @ _C.T
+    quant = np.round(coef / q).astype(np.int64)
+    zz = quant.flatten()[_ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    prev_dc = int(zz[0])
+    cat, code = _magnitude(diff)
+    hc, hl = _DC_ENC[cat]
+    bw.write(hc, hl)
+    if cat:
+        bw.write(code, cat)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if v == 0:
+            if i > last_nz:
+                hc, hl = _AC_ENC[0x00]  # EOB
+                bw.write(hc, hl)
+                break
+            run += 1
+            if run == 16:
+                hc, hl = _AC_ENC[0xF0]  # ZRL
+                bw.write(hc, hl)
+                run = 0
+            continue
+        cat, code = _magnitude(v)
+        hc, hl = _AC_ENC[(run << 4) | cat]
+        bw.write(hc, hl)
+        bw.write(code, cat)
+        run = 0
+    return prev_dc
+
+
 def encode(arr: np.ndarray, quality: int = 85, restart_interval: int = 0) -> bytes:
     """uint8 grayscale (h, w) -> baseline JFIF bytes.
 
@@ -173,38 +210,7 @@ def encode(arr: np.ndarray, quality: int = 85, restart_interval: int = 0) -> byt
                 prev_dc = 0
             mcu += 1
             block = padded[by : by + 8, bx : bx + 8]
-            coef = _C @ block @ _C.T
-            quant = np.round(coef / q).astype(np.int64)
-            zz = quant.flatten()[_ZIGZAG]
-            # DC
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            cat, code = _magnitude(diff)
-            hc, hl = _DC_ENC[cat]
-            bw.write(hc, hl)
-            if cat:
-                bw.write(code, cat)
-            # AC with run-length + ZRL + EOB
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for i in range(1, 64):
-                v = int(zz[i])
-                if v == 0:
-                    if i > last_nz:
-                        hc, hl = _AC_ENC[0x00]  # EOB
-                        bw.write(hc, hl)
-                        break
-                    run += 1
-                    if run == 16:
-                        hc, hl = _AC_ENC[0xF0]  # ZRL
-                        bw.write(hc, hl)
-                        run = 0
-                    continue
-                cat, code = _magnitude(v)
-                hc, hl = _AC_ENC[(run << 4) | cat]
-                bw.write(hc, hl)
-                bw.write(code, cat)
-                run = 0
+            prev_dc = _emit_block(bw, block, q, prev_dc)
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -226,6 +232,78 @@ def encode(arr: np.ndarray, quality: int = 85, restart_interval: int = 0) -> byt
     return (
         b"\xff\xd8" + dqt + sof + dri + dht + sos + bytes(bw.out) + b"\xff\xd9"
     )
+
+
+def encode_color(
+    arr: np.ndarray, quality: int = 85, subsample: bool = True
+) -> bytes:
+    """uint8 RGB (h, w, 3) -> baseline YCbCr JFIF bytes.
+
+    ``subsample=True`` writes 4:2:0 (Y at 2x2 sampling, box-averaged
+    chroma — the near-universal photographic profile); ``False`` writes
+    4:4:4. One shared quant/Huffman table set for all components (legal
+    and what minimal encoders emit)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("RGB (h, w, 3) arrays only")
+    h, w = arr.shape[:2]
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    Y = 0.299 * r + 0.587 * g + 0.114 * b
+    Cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    Cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    hs = vs = 2 if subsample else 1
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    mcw = (w + mcu_w - 1) // mcu_w
+    mch = (h + mcu_h - 1) // mcu_h
+
+    def pad_to(p, ph, pw):
+        return np.pad(
+            p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+        )
+
+    Yp = pad_to(Y, mch * mcu_h, mcw * mcu_w) - 128.0
+    Cbp = pad_to(Cb, mch * mcu_h, mcw * mcu_w)
+    Crp = pad_to(Cr, mch * mcu_h, mcw * mcu_w)
+    if subsample:  # box mean over vs x hs
+        Cbp = Cbp.reshape(mch * 8, vs, mcw * 8, hs).mean(axis=(1, 3))
+        Crp = Crp.reshape(mch * 8, vs, mcw * 8, hs).mean(axis=(1, 3))
+    Cbp -= 128.0
+    Crp -= 128.0
+
+    q = _quant_table(quality).astype(np.float64)
+    bw = _BitWriter()
+    dc = [0, 0, 0]
+    for my in range(mch):
+        for mx in range(mcw):
+            for vy in range(vs):  # Y blocks, raster order within the MCU
+                for vx in range(hs):
+                    y0, x0 = my * mcu_h + vy * 8, mx * mcu_w + vx * 8
+                    dc[0] = _emit_block(
+                        bw, Yp[y0 : y0 + 8, x0 : x0 + 8], q, dc[0]
+                    )
+            cy, cx = my * 8, mx * 8
+            dc[1] = _emit_block(bw, Cbp[cy : cy + 8, cx : cx + 8], q, dc[1])
+            dc[2] = _emit_block(bw, Crp[cy : cy + 8, cx : cx + 8], q, dc[2])
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    samp_y = (hs << 4) | vs
+    dqt = seg(0xFFDB, bytes([0]) + bytes(int(v) for v in q.flatten()[_ZIGZAG]))
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, samp_y, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(
+        0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+    ) + seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
 
 
 class _BitReader:
@@ -301,7 +379,11 @@ def _extend(v: int, cat: int) -> int:
 
 
 def decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> uint8 grayscale (h, w)."""
+    """Baseline JFIF bytes -> uint8 array.
+
+    Grayscale streams return (h, w); 3-component YCbCr streams (any
+    integer subsampling incl. 4:2:0/4:2:2/4:4:4) return (h, w, 3) RGB
+    via CCIR 601 conversion with sample-repetition chroma upsampling."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -309,8 +391,8 @@ def decode(data: bytes) -> np.ndarray:
     dc_tables: Dict[int, Dict] = {}
     ac_tables: Dict[int, Dict] = {}
     h = w = None
-    comp_q = 0
-    comp_dc = comp_ac = 0
+    comps: list = []
+    scan_sel: Dict[int, tuple] = {}
     restart_interval = 0
     scan_start = None
     while pos + 4 <= len(data):
@@ -337,12 +419,16 @@ def decode(data: bytes) -> np.ndarray:
             precision, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if precision != 8:
                 raise ValueError("only 8-bit precision")
-            if ncomp != 1:
-                raise ValueError("only single-component (grayscale) JPEG")
-            sampling = payload[7]
-            if sampling != 0x11:
-                raise ValueError("subsampling unsupported")
-            comp_q = payload[8]
+            if ncomp not in (1, 3):
+                raise ValueError("1 (gray) or 3 (YCbCr) components only")
+            comps = []
+            for ci in range(ncomp):
+                cid = payload[6 + 3 * ci]
+                samp = payload[7 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 15,
+                     "tq": payload[8 + 3 * ci]}
+                )
         elif marker in (0xFFC2, 0xFFC3):
             raise ValueError("progressive JPEG unsupported")
         elif marker == 0xFFC4:
@@ -360,48 +446,84 @@ def decode(data: bytes) -> np.ndarray:
         elif marker == 0xFFDD:
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xFFDA:
-            comp_dc = payload[2] >> 4
-            comp_ac = payload[2] & 15
+            ns = payload[0]
+            scan_sel = {}
+            for si in range(ns):
+                cid = payload[1 + 2 * si]
+                tt = payload[2 + 2 * si]
+                scan_sel[cid] = (tt >> 4, tt & 15)
             scan_start = pos + 2 + ln
             break
         pos += 2 + ln
     if h is None or scan_start is None:
         raise ValueError("missing SOF/SOS")
 
-    q = qtables[comp_q]
-    dct, act = dc_tables[comp_dc], ac_tables[comp_ac]
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    out = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcw = (w + 8 * hmax - 1) // (8 * hmax)
+    mch = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mch * c["v"] * 8, mcw * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
     br = _BitReader(data[scan_start:])
-    prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw_):
-            mcu = by * bw_ + bx
+    prev_dc = [0] * len(comps)
+
+    def read_block(dct, act, ci):
+        zz = np.zeros(64, dtype=np.int64)
+        cat = _decode_huff(br, dct)
+        diff = _extend(br.read_bits(cat), cat) if cat else 0
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        i = 1
+        while i < 64:
+            sym = _decode_huff(br, act)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            run, cat = sym >> 4, sym & 15
+            i += run
+            if i > 63:
+                break
+            zz[i] = _extend(br.read_bits(cat), cat)
+            i += 1
+        block = np.zeros(64, dtype=np.int64)
+        block[_ZIGZAG] = zz
+        return block.reshape(8, 8)
+
+    for my in range(mch):
+        for mx in range(mcw):
+            mcu = my * mcw + mx
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.skip_rst()
-                prev_dc = 0
-            zz = np.zeros(64, dtype=np.int64)
-            cat = _decode_huff(br, dct)
-            diff = _extend(br.read_bits(cat), cat) if cat else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = _decode_huff(br, act)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, cat = sym >> 4, sym & 15
-                i += run
-                if i > 63:
-                    break
-                zz[i] = _extend(br.read_bits(cat), cat)
-                i += 1
-            block = np.zeros(64, dtype=np.int64)
-            block[_ZIGZAG] = zz
-            coef = block.reshape(8, 8) * q
-            pix = _C.T @ coef @ _C + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
-    return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
+                prev_dc = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                td, ta = scan_sel[c["id"]]
+                q = qtables[c["tq"]]
+                dct, act = dc_tables[td], ac_tables[ta]
+                for vy in range(c["v"]):
+                    for vx in range(c["h"]):
+                        coef = read_block(dct, act, ci) * q
+                        pix = _C.T @ coef @ _C + 128.0
+                        y0 = (my * c["v"] + vy) * 8
+                        x0 = (mx * c["h"] + vx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+
+    if len(comps) == 1:
+        return np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+    # upsample chroma by sample repetition, then YCbCr -> RGB (CCIR 601)
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    Y, Cb, Cr = full
+    r = Y + 1.402 * (Cr - 128.0)
+    g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+    b = Y + 1.772 * (Cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+        np.uint8
+    )

@@ -88,3 +88,51 @@ def test_restart_marker_cycle_wraps_past_d7():
     enc = jpeg.encode(arr, 90, restart_interval=2)
     assert enc.count(b"\xff\xd0") >= 2  # wrapped at least once
     assert (jpeg.decode(enc) == jpeg.decode(jpeg.encode(arr, 90))).all()
+
+
+def test_color_flat_roundtrips_exactly():
+    flat = np.zeros((16, 24, 3), np.uint8)
+    flat[:] = (200, 30, 90)
+    for sub in (True, False):
+        dec = jpeg.decode(jpeg.encode_color(flat, 95, subsample=sub))
+        assert dec.shape == (16, 24, 3)
+        assert int(np.abs(dec.astype(int) - flat.astype(int)).max()) <= 3
+
+
+def test_color_gradient_444_near_lossless():
+    grad = np.zeros((24, 40, 3), np.uint8)
+    grad[:, :, 0] = np.clip(
+        np.add.outer(np.arange(24) * 3, np.arange(40) * 2), 0, 255
+    )
+    grad[:, :, 1] = 128
+    grad[:, :, 2] = np.clip(np.arange(40) * 5, 0, 255)[None, :]
+    dec = jpeg.decode(jpeg.encode_color(grad, 92, subsample=False))
+    err = np.abs(dec.astype(int) - grad.astype(int))
+    assert err.max() <= 14 and float(err.mean()) < 3.0
+
+
+def test_color_odd_sizes_and_subsampling_layouts():
+    rng = np.random.RandomState(4)
+    for (h, w) in [(1, 1), (7, 9), (8, 16), (17, 31)]:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        for sub in (True, False):
+            assert jpeg.decode(jpeg.encode_color(img, 85, sub)).shape == (h, w, 3)
+
+
+def test_color_markers_declare_three_components():
+    enc = jpeg.encode_color(np.zeros((8, 8, 3), np.uint8))
+    sof_at = enc.find(b"\xff\xc0")
+    assert enc[sof_at + 9] == 3  # ncomp
+    assert enc[sof_at + 11] == 0x22  # Y sampling 2x2 (4:2:0)
+    enc444 = jpeg.encode_color(np.zeros((8, 8, 3), np.uint8), subsample=False)
+    sof_at = enc444.find(b"\xff\xc0")
+    assert enc444[sof_at + 11] == 0x11
+
+
+def test_gray_bitstream_unchanged_by_refactor():
+    arr = np.clip(np.add.outer(np.arange(16), np.arange(16)) * 7, 0, 255).astype(
+        np.uint8
+    )
+    # deterministic and decodes exactly as before the _emit_block refactor
+    assert jpeg.encode(arr, 85) == jpeg.encode(arr, 85)
+    assert (jpeg.decode(jpeg.encode(arr, 95)) == jpeg.decode(jpeg.encode(arr, 95))).all()
