@@ -127,6 +127,7 @@ def _gen_page(
                 for x_ in range(px_w)
             )
             r = rng.random()
+            cs = "DeviceGray"
             if img_codec is not None:
                 choice = img_codec
             elif r < 0.25:
@@ -164,19 +165,42 @@ def _gen_page(
                 )
             else:
                 # baseline JPEG (DCTDecode): lossy, so the pixel ground truth
-                # is the decode of the encode (deterministic fixed-table math)
+                # is the decode of the encode (deterministic fixed-table
+                # math). Odd `base` values emit a COLOR (YCbCr 4:2:0) jpeg —
+                # the near-universal photographic profile — whose ground
+                # truth is the luma of the decoded RGB (the media pipeline's
+                # gray8 reduction); no extra rng draw, so geometry/text stay
+                # identical to the gray-only rotation.
                 from docprompt_spark import jpeg as _jpeg
                 import numpy as _np
 
                 arr = _np.frombuffer(samples, dtype=_np.uint8).reshape(px_h, px_w)
-                data = _jpeg.encode(arr, quality=90)
+                if base % 2 == 1:
+                    rgb = _np.stack(
+                        [arr, _np.roll(arr, 3, axis=1), 255 - arr], axis=-1
+                    )
+                    data = _jpeg.encode_color(rgb, quality=90)
+                    dec = _jpeg.decode(data).astype(_np.float64)
+                    luma = _np.clip(
+                        _np.round(
+                            0.299 * dec[:, :, 0]
+                            + 0.587 * dec[:, :, 1]
+                            + 0.114 * dec[:, :, 2]
+                        ),
+                        0,
+                        255,
+                    ).astype(_np.uint8)
+                    samples_gt = luma.tobytes()
+                    cs = "DeviceRGB"
+                else:
+                    data = _jpeg.encode(arr, quality=90)
+                    samples_gt = _jpeg.decode(data).tobytes()
                 filt = "DCTDecode"
-                samples_gt = _jpeg.decode(data).tobytes()
             images_w.append(
                 {
                     "data": data, "filter": filt, "samples": samples_gt,
                     "width": px_w, "height": px_h, "bpc": bpc,
-                    "decode_parms": parms,
+                    "decode_parms": parms, "colorspace": cs,
                     "x": ix, "y": y, "w": w, "h": h,
                 }
             )

@@ -208,7 +208,21 @@ def decode_image(payload: bytes, width: int, height: int, codec: str) -> np.ndar
     if codec == "dct":
         from docprompt_spark import jpeg as _jpeg
 
-        return _jpeg.decode(bytes(payload))
+        px = _jpeg.decode(bytes(payload))
+        if px.ndim == 3:
+            # color JPEG: reduce to luma so every downstream feature /
+            # thumbnail / raster kernel sees one gray8 plane (BT.601
+            # weights, matching the encoder's Y channel)
+            px = np.clip(
+                np.round(
+                    0.299 * px[:, :, 0]
+                    + 0.587 * px[:, :, 1]
+                    + 0.114 * px[:, :, 2]
+                ),
+                0,
+                255,
+            ).astype(np.uint8)
+        return px
     raise NotImplementedError(f"codec {codec!r} needs an external library")
 
 

@@ -376,7 +376,8 @@ def write_pdf(
         for i, im in enumerate(page["images"]):
             entries = (
                 f"/Type /XObject /Subtype /Image /Width {im['width']}"
-                f" /Height {im['height']} /ColorSpace /DeviceGray"
+                f" /Height {im['height']}"
+                f" /ColorSpace /{im.get('colorspace', 'DeviceGray')}"
                 f" /BitsPerComponent {im.get('bpc', 8)}"
             )
             if im.get("filter"):
