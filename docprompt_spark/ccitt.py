@@ -197,6 +197,34 @@ def _b1b2(ref: List[int], a0: int, color: int, width: int) -> Tuple[int, int]:
     return b1, b2
 
 
+def _encode_2d_row(bw: _BitWriter, ref: List[int], cur: List[int], w: int) -> None:
+    """One MMR-coded row against reference transitions ``ref``."""
+    a0, color = -1, 0
+    while True:
+        b1, b2 = _b1b2(ref, a0, color, w)
+        i = bisect.bisect_right(cur, a0 if a0 >= 0 else -1)
+        a1 = cur[i] if i < len(cur) else w
+        if b2 < a1:
+            bw.write(_MODE_CODES["P"])
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            d = a1 - b1
+            bw.write(_MODE_CODES[
+                "V0" if d == 0 else (f"VR{d}" if d > 0 else f"VL{-d}")
+            ])
+            a0 = a1
+            color ^= 1
+        else:
+            a2 = cur[i + 1] if i + 1 < len(cur) else w
+            start = 0 if a0 < 0 else a0
+            bw.write(_MODE_CODES["H"])
+            _emit_run(bw, a1 - start, color)
+            _emit_run(bw, a2 - a1, color ^ 1)
+            a0 = a2
+        if a0 >= w:
+            break
+
+
 def encode(bits: np.ndarray) -> bytes:
     """Bilevel image (h, w) of 0/1 (1 = black) -> G4 bytes (+ EOFB)."""
     bits = np.asarray(bits)
@@ -207,33 +235,45 @@ def encode(bits: np.ndarray) -> bytes:
     ref: List[int] = []  # imaginary all-white reference line
     for y in range(h):
         cur = _transitions(bits[y])
-        a0, color = -1, 0
-        while True:
-            b1, b2 = _b1b2(ref, a0, color, w)
-            i = bisect.bisect_right(cur, a0 if a0 >= 0 else -1)
-            a1 = cur[i] if i < len(cur) else w
-            if b2 < a1:
-                bw.write(_MODE_CODES["P"])
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                d = a1 - b1
-                bw.write(_MODE_CODES[
-                    "V0" if d == 0 else (f"VR{d}" if d > 0 else f"VL{-d}")
-                ])
-                a0 = a1
-                color ^= 1
-            else:
-                a2 = cur[i + 1] if i + 1 < len(cur) else w
-                start = 0 if a0 < 0 else a0
-                bw.write(_MODE_CODES["H"])
-                _emit_run(bw, a1 - start, color)
-                _emit_run(bw, a2 - a1, color ^ 1)
-                a0 = a2
-            if a0 >= w:
-                break
+        _encode_2d_row(bw, ref, cur, w)
         ref = cur
     bw.write(EOFB)
     return bw.tobytes()
+
+
+def _decode_2d_row(br: _BitReader, ref: List[int], width: int) -> np.ndarray:
+    """Decode one MMR-coded row against ``ref``; returns the pixel row."""
+    cur: List[int] = []
+    a0, color = -1, 0
+    while True:
+        b1, b2 = _b1b2(ref, a0, color, width)
+        mode = br.read_code(_MODE_DEC)
+        if mode == "P":
+            a0 = b2
+        elif mode == "H":
+            start = 0 if a0 < 0 else a0
+            r1 = _read_run(br, color)
+            r2 = _read_run(br, color ^ 1)
+            cur.append(start + r1)
+            cur.append(start + r1 + r2)
+            a0 = start + r1 + r2
+        else:  # vertical
+            d = 0 if mode == "V0" else (
+                int(mode[2]) if mode[1] == "R" else -int(mode[2])
+            )
+            a1 = b1 + d
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+        if a0 >= width:
+            break
+    # materialize: flip at each transition (duplicates cancel)
+    mask = np.zeros(width, dtype=np.uint8)
+    for p in cur:
+        if 0 <= p < width:
+            mask[p] ^= 1
+        # p >= width: transition past the edge, no visible effect
+    return np.bitwise_xor.accumulate(mask)
 
 
 def decode(data: bytes, width: int, rows: int) -> np.ndarray:
@@ -242,37 +282,7 @@ def decode(data: bytes, width: int, rows: int) -> np.ndarray:
     out = np.zeros((rows, width), dtype=np.uint8)
     ref: List[int] = []
     for y in range(rows):
-        cur: List[int] = []
-        a0, color = -1, 0
-        while True:
-            b1, b2 = _b1b2(ref, a0, color, width)
-            mode = br.read_code(_MODE_DEC)
-            if mode == "P":
-                a0 = b2
-            elif mode == "H":
-                start = 0 if a0 < 0 else a0
-                r1 = _read_run(br, color)
-                r2 = _read_run(br, color ^ 1)
-                cur.append(start + r1)
-                cur.append(start + r1 + r2)
-                a0 = start + r1 + r2
-            else:  # vertical
-                d = 0 if mode == "V0" else (
-                    int(mode[2]) if mode[1] == "R" else -int(mode[2])
-                )
-                a1 = b1 + d
-                cur.append(a1)
-                a0 = a1
-                color ^= 1
-            if a0 >= width:
-                break
-        # materialize: flip at each transition (duplicates cancel)
-        mask = np.zeros(width, dtype=np.uint8)
-        for p in cur:
-            if 0 <= p < width:
-                mask[p] ^= 1
-            # p >= width: transition past the edge, no visible effect
-        row = np.bitwise_xor.accumulate(mask)
+        row = _decode_2d_row(br, ref, width)
         out[y] = row
         ref = _transitions(row)
     return out.astype(np.uint8)
@@ -285,6 +295,27 @@ def decode(data: bytes, width: int, rows: int) -> np.ndarray:
 EOL = "000000000001"
 
 
+def _encode_1d_row(bw: _BitWriter, row: np.ndarray, w: int) -> None:
+    edges = [0] + _transitions(row) + [w]
+    color = 0
+    for i in range(len(edges) - 1):
+        _emit_run(bw, edges[i + 1] - edges[i], color)
+        color ^= 1
+
+
+def _decode_1d_row(br: _BitReader, width: int) -> np.ndarray:
+    pos = 0
+    color = 0
+    row = np.zeros(width, dtype=np.uint8)
+    while pos < width:
+        run = _read_run(br, color)
+        if color:
+            row[pos : pos + run] = 1
+        pos += run
+        color ^= 1
+    return row
+
+
 def encode_g3_1d(bits: np.ndarray, with_eol: bool = True) -> bytes:
     """T.4 1-D (Modified Huffman) encoding: each row is an alternating
     white/black run-length sequence starting with a white run (possibly 0).
@@ -295,12 +326,7 @@ def encode_g3_1d(bits: np.ndarray, with_eol: bool = True) -> bytes:
     for y in range(h):
         if with_eol:
             bw.write(EOL)
-        t = _transitions(bits[y])
-        edges = [0] + t + [w]
-        color = 0
-        for i in range(len(edges) - 1):
-            _emit_run(bw, edges[i + 1] - edges[i], color)
-            color ^= 1
+        _encode_1d_row(bw, bits[y], w)
     return bw.tobytes()
 
 
@@ -334,16 +360,82 @@ def decode_g3_1d(data: bytes, width: int, rows: int) -> np.ndarray:
     out = np.zeros((rows, width), dtype=np.uint8)
     for y in range(rows):
         _skip_eols(br)
-        pos = 0
-        color = 0
-        row = np.zeros(width, dtype=np.uint8)
-        while pos < width:
-            run = _read_run(br, color)
-            if color:
-                row[pos : pos + run] = 1
-            pos += run
-            color ^= 1
+        out[y] = _decode_1d_row(br, width)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Group 3 mixed mode (T.4 §2.2, /K > 0): EOL + tag bit selects 1D/2D rows
+# --------------------------------------------------------------------------
+
+
+def _consume_eol(br: _BitReader) -> None:
+    """Consume fill 0s + one EOL (>= 11 zeros then a 1); raises if the
+    stream is not at an EOL."""
+    d = br.data
+    nbits = len(d) * 8
+    zeros = 0
+    while br.pos < nbits:
+        byte_i, bit_i = divmod(br.pos, 8)
+        bit = (d[byte_i] >> (7 - bit_i)) & 1
+        br.pos += 1
+        if bit == 0:
+            zeros += 1
+            if zeros > 4096:
+                break
+            continue
+        if zeros >= 11:
+            return
+        break
+    raise ValueError("CCITT G3 mixed: expected EOL")
+
+
+def _read_bit(br: _BitReader) -> int:
+    byte_i, bit_i = divmod(br.pos, 8)
+    if byte_i >= len(br.data):
+        raise ValueError("CCITT: truncated stream")
+    br.pos += 1
+    return (br.data[byte_i] >> (7 - bit_i)) & 1
+
+
+def encode_g3_mixed(bits: np.ndarray, k: int = 4) -> bytes:
+    """T.4 mixed 1D/2D (/K k, k > 0): every row is EOL + a tag bit
+    (1 = 1-D row, 0 = 2-D row vs the previous row); at most k-1
+    consecutive 2-D rows follow each 1-D anchor row — the standard fax
+    transmission profile."""
+    if k < 1:
+        raise ValueError("k must be >= 1 (use encode() for pure 2D)")
+    bits = np.asarray(bits)
+    h, w = bits.shape
+    bw = _BitWriter()
+    ref: List[int] = []
+    for y in range(h):
+        one_d = (y % k) == 0
+        bw.write(EOL)
+        bw.write("1" if one_d else "0")
+        cur = _transitions(bits[y])
+        if one_d:
+            _encode_1d_row(bw, bits[y], w)
+        else:
+            _encode_2d_row(bw, ref, cur, w)
+        ref = cur
+    return bw.tobytes()
+
+
+def decode_g3_mixed(data: bytes, width: int, rows: int) -> np.ndarray:
+    """T.4 mixed 1D/2D decode: per row, EOL then a tag bit chooses the
+    row coder; 2-D rows reference the previously decoded row."""
+    br = _BitReader(data)
+    out = np.zeros((rows, width), dtype=np.uint8)
+    ref: List[int] = []
+    for y in range(rows):
+        _consume_eol(br)
+        if _read_bit(br):
+            row = _decode_1d_row(br, width)
+        else:
+            row = _decode_2d_row(br, ref, width)
         out[y] = row
+        ref = _transitions(row)
     return out
 
 

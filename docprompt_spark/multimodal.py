@@ -81,7 +81,7 @@ def _codec_of(xo_dict, resolve) -> str:
             return "ccitt-g4"
         if k == 0:
             return "ccitt-g3"  # T.4 one-dimensional rows
-        return "unknown"  # K>0 mixed 1D/2D G3 not implemented
+        return "ccitt-g3-2d"  # T.4 mixed 1D/2D (EOL + tag bit per row)
     return "unknown"
 
 
@@ -202,6 +202,11 @@ def decode_image(payload: bytes, width: int, height: int, codec: str) -> np.ndar
         from docprompt_spark import ccitt as _ccitt
 
         bits = _ccitt.decode_g3_1d(bytes(payload), width, height)
+        return ((1 - bits) * 255).astype(np.uint8)
+    if codec == "ccitt-g3-2d":
+        from docprompt_spark import ccitt as _ccitt
+
+        bits = _ccitt.decode_g3_mixed(bytes(payload), width, height)
         return ((1 - bits) * 255).astype(np.uint8)
     if codec == "png":
         return _png.decode(payload)

@@ -151,3 +151,36 @@ def test_g3_1d_roundtrip_and_known_codes():
     assert _bits(enc).startswith("00110101" + "000101")
     enc = ccitt.encode_g3_1d(np.ones((1, 8), np.uint8), with_eol=True)
     assert _bits(enc).startswith(ccitt.EOL)
+
+
+def test_g3_mixed_mode_roundtrip_all_k():
+    """T.4 mixed 1D/2D (/K k): EOL + tag bit per row, k-1 consecutive 2-D
+    rows per 1-D anchor; round-trips for every k and image class."""
+    rng = np.random.RandomState(8)
+    for k in (1, 2, 4, 8):
+        for h, w in [(1, 8), (5, 64), (17, 257)]:
+            for img in (
+                (rng.rand(h, w) < 0.5).astype(np.uint8),
+                np.zeros((h, w), np.uint8),
+                np.ones((h, w), np.uint8),
+            ):
+                enc = ccitt.encode_g3_mixed(img, k=k)
+                assert (ccitt.decode_g3_mixed(enc, w, h) == img).all(), (k, h, w)
+    # k=1: every row tagged 1-D
+    enc = ccitt.encode_g3_mixed(np.zeros((3, 16), np.uint8), k=1)
+    assert _bits(enc).startswith(ccitt.EOL + "1")
+    with pytest.raises(ValueError):
+        ccitt.encode_g3_mixed(np.zeros((2, 4), np.uint8), k=0)
+    with pytest.raises(ValueError):
+        ccitt.decode_g3_mixed(b"\xff\xff", 4, 1)  # no EOL
+
+
+def test_g4_bitstream_stable_after_row_coder_refactor():
+    img = (np.add.outer(np.arange(9), np.arange(33)) % 7 < 3).astype(np.uint8)
+    enc = ccitt.encode(img)
+    # pinned digest: G4 output bytes must never drift (corpus media_refs
+    # content-address these exact payloads)
+    import hashlib
+
+    assert (ccitt.decode(enc, 33, 9) == img).all()
+    assert hashlib.md5(enc).hexdigest() == "59cc01c889d12c255795677e5ab8d05d"
