@@ -74,9 +74,10 @@ def _codec_of(xo_dict, resolve) -> str:
     if filts == ["CCITTFaxDecode"]:
         dp = resolve(xo_dict.get("DecodeParms", xo_dict.get("DP"))) or {}
         k = int(resolve(dp.get("K", 0)) or 0)
-        black1 = bool(resolve(dp.get("BlackIs1", False)))
-        if not black1:
-            return "unknown"  # inverted-polarity profile not implemented
+        # /BlackIs1 controls only the raw-sample polarity the filter
+        # PRESENTS; the T.4/T.6 entropy stream always codes the ink
+        # pattern (first run is white), and decode_image returns gray
+        # directly — so both polarities decode identically here.
         if k < 0:
             return "ccitt-g4"
         if k == 0:
