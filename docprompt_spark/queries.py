@@ -68,6 +68,7 @@ _PRIORITY_NAMES = [
     "extraction_encrypted_spans",
     "dedup_connected_components",
     "search_bm25_ranked",
+    "ann_ivf_top5",
 ]
 _LOW_PRIORITY_NAMES = [
     # operator family in parens; the duplicate in-window / pytest evidence
@@ -1586,6 +1587,154 @@ def _emb_double(spark, sf_dir):
 
 
 _EMB_SQL = "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings"
+
+_IVF_K = 4
+_IVF_DIMS = 64
+_IVF_ITERS = 2
+
+
+def _ivf_assign_expr(cents: dict):
+    """argmin-over-centroids as an array_min over (dist, cid) structs —
+    exact BIGINT squared distances, ties to the lowest cid."""
+    structs = []
+    for cid in sorted(cents):
+        lits = ",".join(f"{v}L" for v in cents[cid])
+        structs.append(
+            f"struct(aggregate(zip_with(iv, array({lits}), (x, y) -> (x - y) * (x - y)),"
+            f" 0L, (acc, v) -> acc + v) AS dist, {cid}L AS cid)"
+        )
+    return F.expr(f"array_min(array({','.join(structs)})).cid")
+
+
+def ann_ivf_top5(spark, sf_dir):
+    """IVF-style ANN — the coarse-quantizer scale path next to brute force
+    and LSH: k-means over INTEGER-quantized embeddings (round(x*1000);
+    exact BIGINT distance sums are aggregation-order-independent, and
+    centroid dims floor(S/n) are a single IEEE division of the same two
+    integers on every engine — so the clustering is bit-deterministic
+    cross-engine, unlike float-mean k-means). Standard k-means driver
+    pattern: assignment is distributed; only the k x dims centroid model
+    (4 x 64 ints) round-trips through the driver per iteration. Probe:
+    cosine top-5 within the query's cluster only — O(n/k) of the corpus
+    scanned at query time."""
+    import math
+
+    e = _emb_double(spark, sf_dir)
+    base = e.select(
+        "vec_id",
+        "emb",
+        F.expr("transform(emb, x -> CAST(round(x * 1000) AS BIGINT))").alias("iv"),
+    )
+    data = base.filter(F.col("vec_id") != 0)
+    init = {
+        r.vec_id: list(r.iv)
+        for r in data.filter(F.col("vec_id").between(1, _IVF_K))
+        .select("vec_id", "iv")
+        .collect()
+    }
+    cents = {i + 1: init[v] for i, v in enumerate(sorted(init))}
+    for _ in range(_IVF_ITERS):
+        assigned = data.select("vec_id", "iv", _ivf_assign_expr(cents).alias("cid"))
+        rows = (
+            assigned.groupBy("cid")
+            .agg(
+                F.count("*").alias("n"),
+                F.expr(
+                    f"aggregate(collect_list(iv), array_repeat(0L, {_IVF_DIMS}),"
+                    " (acc, v) -> zip_with(acc, v, (a, b) -> a + b))"
+                ).alias("s"),
+            )
+            .collect()
+        )
+        cents = {
+            int(r.cid): [int(math.floor(s / r.n)) for s in r.s] for r in rows
+        }
+    assigned = data.select("vec_id", "emb", "iv", _ivf_assign_expr(cents).alias("cid"))
+    # assign the query vector with the same exact math, driver-side
+    qrow = base.filter(F.col("vec_id") == 0).select("emb", "iv").collect()[0]
+    qiv = list(qrow.iv)
+    qcid = min(
+        (sum((x - y) * (x - y) for x, y in zip(qiv, cents[c])), c) for c in cents
+    )[1]
+    q = F.broadcast(
+        spark.createDataFrame([(list(qrow.emb),)], ["qemb"]).select(
+            F.expr("transform(qemb, x -> CAST(x AS DOUBLE))").alias("qemb")
+        )
+    )
+    dot = F.expr(
+        "aggregate(zip_with(emb, qemb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+    norm = lambda c: F.sqrt(
+        F.expr(f"aggregate(transform({c}, x -> x * x), 0D, (acc, v) -> acc + v)")
+    )
+    scored = (
+        assigned.filter(F.col("cid") == int(qcid))
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cid"),
+            F.round(dot / (norm("emb") * norm("qemb")), 6).alias("sim"),
+        )
+    )
+    return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(5)
+
+
+def _ivf_oracle_sql() -> str:
+    """The same integer k-means unrolled as chained CTEs + a probe-cluster
+    cosine top-5 (dim-wise math via a range(1..dims) cross join)."""
+    k, dims, nd = _IVF_K, _IVF_DIMS, _IVF_DIMS + 1
+    parts = [
+        f"WITH e AS ({_EMB_SQL}),",
+        "iv AS (SELECT vec_id, emb,"
+        " list_transform(emb, x -> CAST(round(x * 1000) AS BIGINT)) AS iv FROM e),",
+        "d AS (SELECT vec_id, iv FROM iv WHERE vec_id <> 0),",
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cid,"
+        f" iv FROM iv WHERE vec_id BETWEEN 1 AND {k}),",
+    ]
+    prev = "c0"
+    for it in range(1, _IVF_ITERS + 1):
+        parts += [
+            f"dist{it} AS (SELECT d.vec_id, c.cid,"
+            " sum((d.iv[r.d] - c.iv[r.d]) * (d.iv[r.d] - c.iv[r.d])) AS dist"
+            f" FROM d CROSS JOIN {prev} c CROSS JOIN range(1, {nd}) r(d)"
+            " GROUP BY d.vec_id, c.cid),",
+            f"a{it} AS (SELECT vec_id, cid FROM ("
+            " SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY dist, cid) AS rn FROM dist{it}) WHERE rn = 1),",
+            f"c{it} AS (SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / n)"
+            " AS BIGINT) ORDER BY dd) AS iv FROM ("
+            f" SELECT a{it}.cid, r.d AS dd, sum(d.iv[r.d]) AS s, count(*) AS n"
+            f" FROM d JOIN a{it} USING (vec_id) CROSS JOIN range(1, {nd}) r(d)"
+            f" GROUP BY a{it}.cid, r.d) GROUP BY cid),",
+        ]
+        prev = f"c{it}"
+    parts += [
+        f"fdist AS (SELECT d.vec_id, c.cid,"
+        " sum((d.iv[r.d] - c.iv[r.d]) * (d.iv[r.d] - c.iv[r.d])) AS dist"
+        f" FROM d CROSS JOIN {prev} c CROSS JOIN range(1, {nd}) r(d)"
+        " GROUP BY d.vec_id, c.cid),",
+        "fassign AS (SELECT vec_id, cid FROM ("
+        " SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY dist, cid) AS rn FROM fdist) WHERE rn = 1),",
+        "qdist AS (SELECT c.cid,"
+        " sum((q.iv[r.d] - c.iv[r.d]) * (q.iv[r.d] - c.iv[r.d])) AS dist"
+        f" FROM iv q CROSS JOIN {prev} c CROSS JOIN range(1, {nd}) r(d)"
+        " WHERE q.vec_id = 0 GROUP BY c.cid),",
+        "qcid AS (SELECT cid FROM qdist ORDER BY dist, cid LIMIT 1),",
+        "q AS (SELECT emb FROM e WHERE vec_id = 0),",
+        "scored AS (SELECT a.vec_id, f.cid,"
+        " round(list_sum(list_transform(list_zip(a.emb, q.emb),"
+        " p -> p[1] * p[2])) / (sqrt(list_sum(list_transform(a.emb, x -> x*x)))"
+        " * sqrt(list_sum(list_transform(q.emb, x -> x*x)))), 6) AS sim"
+        " FROM e a JOIN fassign f ON a.vec_id = f.vec_id CROSS JOIN q"
+        " WHERE f.cid = (SELECT cid FROM qcid))",
+        "SELECT vec_id, CAST(cid AS BIGINT) AS cid, sim FROM scored"
+        " ORDER BY sim DESC, vec_id LIMIT 5",
+    ]
+    return "\n".join(parts)
+
+
+_REGISTRY["ann_ivf_top5"] = (ann_ivf_top5, None)
 
 
 @query(
@@ -3257,4 +3406,5 @@ def oracle_sql() -> Dict[str, str]:
     out["extraction_ccitt_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, envelope="ccitt"
     )
+    out["ann_ivf_top5"] = _ivf_oracle_sql()
     return {n: out[n] for n in _ordered_names() if n in out}
