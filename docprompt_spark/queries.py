@@ -71,6 +71,10 @@ _PRIORITY_NAMES = [
     "ann_ivf_top5",
 ]
 _LOW_PRIORITY_NAMES = [
+    "avg_word_len_by_lang",  # (A4) dup of q1-family aggs + local oracle
+    "bbox_combine_by_brand",  # (A6) kernel + property tests cover combine
+    "html_boilerplate_stats",  # secondary to html_main_content
+    "media_frame_samples",  # secondary to the other four media oracles
     # operator family in parens; the duplicate in-window / pytest evidence
     # noted so the overflow loses no unique coverage.
     "simhash_signatures",  # (dedup) subsumed by simhash_neardup_pairs
@@ -1735,6 +1739,74 @@ def _ivf_oracle_sql() -> str:
 
 
 _REGISTRY["ann_ivf_top5"] = (ann_ivf_top5, None)
+
+
+@query(
+    "doc_length_percentiles",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(n_chars) AS BIGINT) AS p0,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p25,
+           CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50,
+           CAST(percentile_disc(0.9)  WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p90,
+           CAST(max(n_chars) AS BIGINT) AS p100
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_length_percentiles(spark, sf_dir):
+    """Corpus distribution stats a training pipeline gates on (length
+    percentile filters): EXACT discrete percentiles per language — rank
+    per group via one partitioned window, then a conditional min picks the
+    lowest value whose rank fraction reaches each quantile (identical to
+    percentile_disc semantics, deterministic on both engines — no
+    interpolation floats)."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    ranked = docs.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("lang"))
+    )
+    def pd_(q):
+        return F.min(
+            F.when(F.col("rk") >= F.ceil(F.lit(q) * F.col("n")), F.col("n_chars"))
+        )
+    return ranked.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.min("n_chars").cast("long").alias("p0"),
+        pd_(0.25).cast("long").alias("p25"),
+        pd_(0.5).cast("long").alias("p50"),
+        pd_(0.9).cast("long").alias("p90"),
+        F.max("n_chars").cast("long").alias("p100"),
+    )
+
+
+@query(
+    "stratified_sample_10pct",
+    f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM (SELECT lang, doc_id FROM documents
+          WHERE {_h60_sql("CAST(doc_id AS VARCHAR)", "strat:")} % 10 = 0)
+    GROUP BY lang
+    """,
+)
+def stratified_sample_10pct(spark, sf_dir):
+    """Deterministic stratified sampling — the reproducible train/eval
+    split a data pipeline needs: membership is a pure function of the
+    doc key (portable 60-bit md5 hash mod 10), so the same document lands
+    in the same split on every engine, every run, at every scale; no
+    Bernoulli rng, no seed plumbing. Per-stratum counts verify the
+    selection relationally."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    sampled = docs.filter(
+        _h60(F.col("doc_id").cast("string"), "strat:") % 10 == 0
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )
 
 
 @query(
