@@ -57,6 +57,9 @@ def main() -> None:
         "html_main_content",
         "provenance_phrase_search",
         "media_page_rasters",
+        "search_bm25_ranked",
+        "ann_ivf_top5",
+        "doc_length_percentiles",
     ]:
         sections.append((name, formatted(reg[name][0](spark, sf))))
 
