@@ -344,8 +344,11 @@ class StdSecurityHandler:
 
     # -- both ---------------------------------------------------------------
     def _iv(self, num: int, gen: int) -> bytes:
-        # spec wants a random IV; a content-derived one is equally secure
-        # for CBC and keeps the writer byte-deterministic for the oracles
+        # The spec wants a random IV. A fixed per-(num,gen) IV is NOT
+        # equivalent security-wise: reusing an IV under the same key leaks
+        # equal-plaintext-prefix information across rewrites. We knowingly
+        # trade CBC IV uniqueness for byte-determinism so the oracle writer
+        # emits identical files per run; do not reuse for adversarial input.
         return hashlib.md5(b"iv%d:%d" % (num, gen)).digest()
 
     def encrypt(self, data: bytes, num: int, gen: int = 0) -> bytes:

@@ -458,6 +458,11 @@ def decode(data: bytes) -> np.ndarray:
     if h is None or scan_start is None:
         raise ValueError("missing SOF/SOS")
 
+    if len(comps) == 1:
+        # T.81 §A.2: a single-component scan is non-interleaved — MCU is ONE
+        # data unit regardless of the SOF sampling factors, so an external
+        # grayscale JPEG declaring 2x2 factors must still decode 1 block/MCU.
+        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcw = (w + 8 * hmax - 1) // (8 * hmax)

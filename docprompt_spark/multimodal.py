@@ -79,10 +79,23 @@ def _codec_of(xo_dict, resolve) -> str:
         # pattern (first run is white), and decode_image returns gray
         # directly — so both polarities decode identically here.
         if k < 0:
-            return "ccitt-g4"
-        if k == 0:
-            return "ccitt-g3"  # T.4 one-dimensional rows
-        return "ccitt-g3-2d"  # T.4 mixed 1D/2D (EOL + tag bit per row)
+            base = "ccitt-g4"
+        elif k == 0:
+            base = "ccitt-g3"  # T.4 one-dimensional rows
+        else:
+            base = "ccitt-g3-2d"  # T.4 mixed 1D/2D (EOL + tag bit per row)
+        # T.4/T.6 row geometry comes from DecodeParms, NOT the XObject
+        # /Width//Height (spec default Columns=1728). When they differ we
+        # carry them in the codec tag so decode_image aligns rows correctly;
+        # when equal (the common case) the tag stays bare so codec grouping
+        # and existing oracles are unaffected.
+        w = int(resolve(xo_dict.get("Width", 0)) or 0)
+        h = int(resolve(xo_dict.get("Height", 0)) or 0)
+        cols = int(resolve(dp.get("Columns", 1728)) or 1728)
+        rows = int(resolve(dp.get("Rows", h)) or h)
+        if cols != w or rows != h:
+            return f"{base};c{cols};r{rows}"
+        return base
     return "unknown"
 
 
@@ -195,20 +208,29 @@ def decode_image(payload: bytes, width: int, height: int, codec: str) -> np.ndar
         return np.frombuffer(raw, dtype=np.uint8)[: width * height].reshape(
             height, width
         )
-    if codec == "ccitt-g4":
+    if codec.startswith("ccitt-"):
         from docprompt_spark import ccitt as _ccitt
 
-        return _ccitt.decode_to_gray8(bytes(payload), width, height)
-    if codec == "ccitt-g3":
-        from docprompt_spark import ccitt as _ccitt
-
-        bits = _ccitt.decode_g3_1d(bytes(payload), width, height)
-        return ((1 - bits) * 255).astype(np.uint8)
-    if codec == "ccitt-g3-2d":
-        from docprompt_spark import ccitt as _ccitt
-
-        bits = _ccitt.decode_g3_mixed(bytes(payload), width, height)
-        return ((1 - bits) * 255).astype(np.uint8)
+        # DecodeParms Columns/Rows override /Width//Height for the coded
+        # geometry (see _codec_of); crop back to the XObject's raster size.
+        cols, rows = width, height
+        base = codec
+        if ";" in codec:
+            base, *parts = codec.split(";")
+            for p in parts:
+                if p.startswith("c"):
+                    cols = int(p[1:])
+                elif p.startswith("r"):
+                    rows = int(p[1:])
+        if base == "ccitt-g4":
+            px = _ccitt.decode_to_gray8(bytes(payload), cols, rows)
+        elif base == "ccitt-g3":
+            bits = _ccitt.decode_g3_1d(bytes(payload), cols, rows)
+            px = ((1 - bits) * 255).astype(np.uint8)
+        else:  # ccitt-g3-2d
+            bits = _ccitt.decode_g3_mixed(bytes(payload), cols, rows)
+            px = ((1 - bits) * 255).astype(np.uint8)
+        return px[:height, :width]
     if codec == "png":
         return _png.decode(payload)
     if codec == "dct":

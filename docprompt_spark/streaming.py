@@ -148,16 +148,21 @@ def _sessionize_fn(gap_seconds: float):
             start = last = None
             n = 0
         out = []
-        for pdf in pdf_iter:
-            for ts in sorted(float(t) for t in pdf["ts"]):
-                if start is None:
-                    start, last, n = ts, ts, 1
-                elif ts - last > gap_seconds:
-                    out.append((user_id, start, last, n))
-                    start, last, n = ts, ts, 1
-                else:
-                    last = ts
-                    n += 1
+        # Collect the WHOLE micro-batch before folding: a user's events may
+        # arrive split across multiple Arrow chunks in arbitrary order, and
+        # the batch kernel (sessionize_events) orders globally by ts — a
+        # per-chunk sort would merge out-of-order chunks into the open
+        # session and move session_end backwards.
+        all_ts = [float(t) for pdf in pdf_iter for t in pdf["ts"]]
+        for ts in sorted(all_ts):
+            if start is None:
+                start, last, n = ts, ts, 1
+            elif ts - last > gap_seconds:
+                out.append((user_id, start, last, n))
+                start, last, n = ts, ts, 1
+            else:
+                last = ts
+                n += 1
         state.update((start, last, n))
         if out:
             yield pd.DataFrame(

@@ -136,3 +136,28 @@ def test_gray_bitstream_unchanged_by_refactor():
     # deterministic and decodes exactly as before the _emit_block refactor
     assert jpeg.encode(arr, 85) == jpeg.encode(arr, 85)
     assert (jpeg.decode(jpeg.encode(arr, 95)) == jpeg.decode(jpeg.encode(arr, 95))).all()
+
+
+def test_single_component_scan_ignores_sampling_factors():
+    """T.81 SsA.2: a 1-component scan is non-interleaved (MCU = one data
+    unit) even if SOF declares 2x2 sampling factors, as external encoders
+    sometimes do for grayscale."""
+    import numpy as np
+    import struct
+
+    from docprompt_spark import jpeg
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)
+    data = jpeg.encode(img, quality=90)
+    ref = jpeg.decode(data)
+    # patch the SOF0 sampling-factor byte 0x11 -> 0x22
+    idx = data.find(b"\xff\xc0")
+    assert idx >= 0
+    (ln,) = struct.unpack(">H", data[idx + 2 : idx + 4])
+    payload = bytearray(data[idx + 4 : idx + 2 + ln])
+    assert payload[7] == 0x11
+    payload[7] = 0x22
+    patched = data[: idx + 4] + bytes(payload) + data[idx + 2 + ln :]
+    got = jpeg.decode(patched)
+    assert np.array_equal(got, ref)

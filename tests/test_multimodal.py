@@ -98,3 +98,45 @@ def test_lossless_codecs_decode_real_pixels():
     # corrupt payloads fall back to the deterministic stub, not a crash
     fake = multimodal.decode_or_stub(b"\xff\xd8truncated", 2, 2, "dct")
     assert fake.shape == (2, 2)
+
+
+def test_ccitt_decode_honors_decodeparms_columns_rows():
+    """DecodeParms /Columns (spec default 1728) governs the coded row
+    geometry, not the XObject /Width; when they differ the codec tag carries
+    c{cols};r{rows} and decode_image crops back to Width x Height."""
+    import numpy as np
+
+    from docprompt_spark import ccitt, multimodal
+
+    rng = np.random.default_rng(5)
+    cols, rows = 72, 20
+    bits = (rng.integers(0, 4, size=(rows, cols)) == 0).astype(np.uint8)
+    payload = ccitt.encode(bits)
+    want = ((1 - bits) * 255).astype(np.uint8)
+
+    got = multimodal.decode_image(payload, 64, 16, f"ccitt-g4;c{cols};r{rows}")
+    assert got.shape == (16, 64)
+    assert np.array_equal(got, want[:16, :64])
+    # matched geometry still works through the bare tag
+    full = multimodal.decode_image(payload, cols, rows, "ccitt-g4")
+    assert np.array_equal(full, want)
+
+
+def test_codec_of_emits_suffix_only_on_mismatch():
+    from docprompt_spark import multimodal
+
+    def resolve(x):
+        return x
+
+    base = {
+        "Filter": "CCITTFaxDecode",
+        "Width": 64,
+        "Height": 16,
+        "DecodeParms": {"K": -1, "Columns": 64, "Rows": 16},
+    }
+    assert multimodal._codec_of(base, resolve) == "ccitt-g4"
+    mism = dict(base, DecodeParms={"K": -1, "Columns": 1728, "Rows": 16})
+    assert multimodal._codec_of(mism, resolve) == "ccitt-g4;c1728;r16"
+    # spec default when Columns absent
+    nodp = dict(base, DecodeParms={"K": -1})
+    assert multimodal._codec_of(nodp, resolve) == "ccitt-g4;c1728;r16"

@@ -94,3 +94,27 @@ def test_stateful_sessionize_state_carries_across_batches(spark, tmp_path):
     # only user 1's first session closed; user 2's session and user 1's
     # t=100 session are still open (in state, not emitted)
     assert rows == {(1, 0.0, 10.0, 2)}, rows
+
+
+def test_sessionize_fn_orders_across_chunks():
+    """The stateful kernel must sort the WHOLE micro-batch, not per Arrow
+    chunk: a later chunk with earlier timestamps previously merged into the
+    open session and moved session_end backwards."""
+    import pandas as pd
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.val = v
+
+    fn = streaming._sessionize_fn(gap_seconds=30.0)
+    # chunk 2 is EARLIER than chunk 1; global order has a 100s gap between
+    # [5,10,20] and [200,210]
+    chunks = [pd.DataFrame({"ts": [200.0, 210.0]}), pd.DataFrame({"ts": [5.0, 10.0, 20.0]})]
+    st = FakeState()
+    out = list(fn((7,), iter(chunks), st))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row["session_start"], row["session_end"], row["n_events"]) == (5.0, 20.0, 3)
+    assert st.val == (200.0, 210.0, 2)  # open session left in state
