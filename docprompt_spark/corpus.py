@@ -192,6 +192,13 @@ def _gen_page(
                     ).astype(_np.uint8)
                     samples_gt = luma.tobytes()
                     cs = "DeviceRGB"
+                elif base % 4 == 0:
+                    # PROGRESSIVE (SOF2) variant: most real web-crawl JPEGs
+                    # are progressive; rotates on the existing `base` draw so
+                    # geometry/text stay identical. Same quantized
+                    # coefficients as baseline -> same decoded ground truth.
+                    data = _jpeg.encode_progressive(arr, quality=90)
+                    samples_gt = _jpeg.decode(data).tobytes()
                 else:
                     data = _jpeg.encode(arr, quality=90)
                     samples_gt = _jpeg.decode(data).tobytes()

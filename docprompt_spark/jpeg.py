@@ -378,12 +378,200 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+def _entropy_end(data: bytes, start: int) -> int:
+    """Index of the first real marker (not stuffing, not RSTn) at/after
+    ``start`` — the end of an entropy-coded segment."""
+    i = start
+    n = len(data)
+    while i + 1 < n:
+        if data[i] == 0xFF:
+            nxt = data[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    return n
+
+
+def _decode_scan(
+    data: bytes,
+    start: int,
+    comps: list,
+    scan_comps: list,
+    scan_sel: Dict[int, tuple],
+    coef: list,
+    dc_tables: Dict[int, Dict],
+    ac_tables: Dict[int, Dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+    mcw: int,
+    mch: int,
+    hmax: int,
+    vmax: int,
+    w: int,
+    h: int,
+) -> int:
+    """Decode one entropy-coded scan (baseline or progressive) into the
+    per-component zigzag coefficient buffers ``coef[ci][by, bx, 0..63]``.
+    Returns the byte offset just past the scan. Implements T.81 §F.2
+    (sequential) and §G.2 (spectral selection + successive approximation,
+    including the EOB-run and AC-refinement correction-bit procedures)."""
+    br = _BitReader(data[start:])
+    prev_dc = {ci: 0 for ci in scan_comps}
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -p1
+
+    def refine_nonzero(zz, k):
+        """AC refinement of an already-nonzero coefficient (§G.1.2.3)."""
+        if br.read_bit():
+            if (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] >= 0 else m1
+
+    def decode_unit(ci, by, bx):
+        nonlocal eobrun
+        c = comps[ci]
+        zz = coef[ci][by, bx]
+        td, ta = scan_sel[c["id"]]
+        if ss == 0 and ah == 0:
+            # DC first (or baseline): Huffman diff; baseline continues into AC
+            dct = dc_tables[td]
+            cat = _decode_huff(br, dct)
+            diff = _extend(br.read_bits(cat), cat) if cat else 0
+            prev_dc[ci] += diff
+            zz[0] = prev_dc[ci] << al
+            if se == 0:
+                return
+            act = ac_tables[ta]
+            i = 1
+            while i <= se:
+                sym = _decode_huff(br, act)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                run, cat = sym >> 4, sym & 15
+                i += run
+                if i > se:
+                    break
+                zz[i] = _extend(br.read_bits(cat), cat)
+                i += 1
+            return
+        if ss == 0:
+            # DC refinement: one raw bit per block adds bit ``al``
+            if br.read_bit():
+                zz[0] |= p1
+            return
+        act = ac_tables[ta]
+        if ah == 0:
+            # AC first scan for this band
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                sym = _decode_huff(br, act)
+                run, size = sym >> 4, sym & 15
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += br.read_bits(run)
+                    break
+                k += run
+                if k > se:
+                    break
+                zz[k] = _extend(br.read_bits(size), size) << al
+                k += 1
+            return
+        # AC refinement scan (§G.1.2.3 / decode side of correction bits)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _decode_huff(br, act)
+                run, size = sym >> 4, sym & 15
+                val = 0
+                if size == 0:
+                    if run != 15:
+                        eobrun = 1 << run
+                        if run:
+                            eobrun += br.read_bits(run)
+                        break
+                    # ZRL: advance past 16 zero-history coefficients
+                else:
+                    # size must be 1 in a refinement scan
+                    val = p1 if br.read_bit() else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        refine_nonzero(zz, k)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if eobrun > 0:
+            # EOB: refine every remaining nonzero coefficient in the band
+            while k <= se:
+                if zz[k] != 0:
+                    refine_nonzero(zz, k)
+                k += 1
+            eobrun -= 1
+
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        n_mcu = 0
+        for my in range(mch):
+            for mx in range(mcw):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    br.skip_rst()
+                    for ci in prev_dc:
+                        prev_dc[ci] = 0
+                    eobrun = 0
+                n_mcu += 1
+                for ci in scan_comps:
+                    c = comps[ci]
+                    for vy in range(c["v"]):
+                        for vx in range(c["h"]):
+                            decode_unit(ci, my * c["v"] + vy, mx * c["h"] + vx)
+    else:
+        # non-interleaved: MCU = one data unit; geometry is the component's
+        # own block grid (T.81 §A.2.2)
+        ci = scan_comps[0]
+        c = comps[ci]
+        nbx = (-(-w * c["h"] // hmax) + 7) // 8
+        nby = (-(-h * c["v"] // vmax) + 7) // 8
+        n_mcu = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    br.skip_rst()
+                    prev_dc[ci] = 0
+                    eobrun = 0
+                n_mcu += 1
+                decode_unit(ci, by, bx)
+    return _entropy_end(data, start + br.pos)
+
+
 def decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> uint8 array.
+    """JFIF bytes -> uint8 array. Baseline sequential (SOF0/1) AND
+    progressive (SOF2: spectral selection + successive approximation,
+    T.81 Annex G) processes.
 
     Grayscale streams return (h, w); 3-component YCbCr streams (any
     integer subsampling incl. 4:2:0/4:2:2/4:4:4) return (h, w, 3) RGB
-    via CCIR 601 conversion with sample-repetition chroma upsampling."""
+    via CCIR 601 conversion with sample-repetition chroma upsampling.
+    The reference gets progressive decode from pdfium/PIL
+    (docprompt _pdfium.py:126-151); here it is from-scratch numpy."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -392,9 +580,10 @@ def decode(data: bytes) -> np.ndarray:
     ac_tables: Dict[int, Dict] = {}
     h = w = None
     comps: list = []
-    scan_sel: Dict[int, tuple] = {}
     restart_interval = 0
-    scan_start = None
+    coef: list = []
+    hmax = vmax = mcw = mch = 0
+    saw_scan = False
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -415,7 +604,7 @@ def decode(data: bytes) -> np.ndarray:
                 tbl[_ZIGZAG] = np.frombuffer(payload[p : p + 64], dtype=np.uint8)
                 qtables[tq] = tbl.reshape(8, 8)
                 p += 64
-        elif marker in (0xFFC0, 0xFFC1):
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
             precision, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if precision != 8:
                 raise ValueError("only 8-bit precision")
@@ -429,8 +618,23 @@ def decode(data: bytes) -> np.ndarray:
                     {"id": cid, "h": samp >> 4, "v": samp & 15,
                      "tq": payload[8 + 3 * ci]}
                 )
-        elif marker in (0xFFC2, 0xFFC3):
-            raise ValueError("progressive JPEG unsupported")
+            if ncomp == 1:
+                # T.81 §A.2: a single-component scan is non-interleaved —
+                # MCU is ONE data unit regardless of the SOF sampling
+                # factors, so an external grayscale JPEG declaring 2x2
+                # factors must still decode 1 block/MCU.
+                comps[0]["h"] = comps[0]["v"] = 1
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcw = (w + 8 * hmax - 1) // (8 * hmax)
+            mch = (h + 8 * vmax - 1) // (8 * vmax)
+            coef = [
+                np.zeros((mch * c["v"], mcw * c["h"], 64), dtype=np.int64)
+                for c in comps
+            ]
+        elif marker in (0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7, 0xFFC9, 0xFFCA,
+                        0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise ValueError(f"unsupported SOF marker {marker:#x}")
         elif marker == 0xFFC4:
             p = 0
             while p < len(payload):
@@ -446,75 +650,47 @@ def decode(data: bytes) -> np.ndarray:
         elif marker == 0xFFDD:
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xFFDA:
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = payload[0]
-            scan_sel = {}
+            scan_sel: Dict[int, tuple] = {}
+            scan_comps = []
+            id_to_ci = {c["id"]: ci for ci, c in enumerate(comps)}
             for si in range(ns):
                 cid = payload[1 + 2 * si]
                 tt = payload[2 + 2 * si]
                 scan_sel[cid] = (tt >> 4, tt & 15)
-            scan_start = pos + 2 + ln
-            break
+                scan_comps.append(id_to_ci[cid])
+            ss = payload[1 + 2 * ns]
+            se = payload[2 + 2 * ns]
+            a = payload[3 + 2 * ns]
+            pos = _decode_scan(
+                data, pos + 2 + ln, comps, scan_comps, scan_sel, coef,
+                dc_tables, ac_tables, ss, se, a >> 4, a & 15,
+                restart_interval, mcw, mch, hmax, vmax, w, h,
+            )
+            saw_scan = True
+            continue
         pos += 2 + ln
-    if h is None or scan_start is None:
+    if h is None or not saw_scan:
         raise ValueError("missing SOF/SOS")
 
-    if len(comps) == 1:
-        # T.81 §A.2: a single-component scan is non-interleaved — MCU is ONE
-        # data unit regardless of the SOF sampling factors, so an external
-        # grayscale JPEG declaring 2x2 factors must still decode 1 block/MCU.
-        comps[0]["h"] = comps[0]["v"] = 1
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcw = (w + 8 * hmax - 1) // (8 * hmax)
-    mch = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mch * c["v"] * 8, mcw * c["h"] * 8), dtype=np.float64)
-        for c in comps
-    ]
-    br = _BitReader(data[scan_start:])
-    prev_dc = [0] * len(comps)
-
-    def read_block(dct, act, ci):
-        zz = np.zeros(64, dtype=np.int64)
-        cat = _decode_huff(br, dct)
-        diff = _extend(br.read_bits(cat), cat) if cat else 0
-        prev_dc[ci] += diff
-        zz[0] = prev_dc[ci]
-        i = 1
-        while i < 64:
-            sym = _decode_huff(br, act)
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                i += 16
-                continue
-            run, cat = sym >> 4, sym & 15
-            i += run
-            if i > 63:
-                break
-            zz[i] = _extend(br.read_bits(cat), cat)
-            i += 1
-        block = np.zeros(64, dtype=np.int64)
-        block[_ZIGZAG] = zz
-        return block.reshape(8, 8)
-
-    for my in range(mch):
-        for mx in range(mcw):
-            mcu = my * mcw + mx
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                br.skip_rst()
-                prev_dc = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                td, ta = scan_sel[c["id"]]
-                q = qtables[c["tq"]]
-                dct, act = dc_tables[td], ac_tables[ta]
-                for vy in range(c["v"]):
-                    for vx in range(c["h"]):
-                        coef = read_block(dct, act, ci) * q
-                        pix = _C.T @ coef @ _C + 128.0
-                        y0 = (my * c["v"] + vy) * 8
-                        x0 = (mx * c["h"] + vx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+    # dequantize + inverse DCT every block (coefficients are complete now)
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qtables[c["tq"]]
+        nby, nbx = coef[ci].shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        nat = np.zeros(64, dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                nat[:] = 0
+                nat[_ZIGZAG] = coef[ci][by, bx]
+                cf = nat.reshape(8, 8) * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C.T @ cf @ _C + 128.0
+                )
+        planes.append(plane)
 
     if len(comps) == 1:
         return np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
@@ -532,3 +708,180 @@ def decode(data: bytes) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
         np.uint8
     )
+
+
+# --------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G) — grayscale
+# --------------------------------------------------------------------------
+
+def _quantized_blocks(arr: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """uint8 (h, w) -> zigzag-order quantized DCT coefficients
+    (nby, nbx, 64), identical math to the baseline encoder's _emit_block."""
+    h, w = arr.shape
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(arr, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
+    nby, nbx = padded.shape[0] // 8, padded.shape[1] // 8
+    out = np.zeros((nby, nbx, 64), dtype=np.int64)
+    for by in range(nby):
+        for bx in range(nbx):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = _C @ block @ _C.T
+            quant = np.round(coef / q).astype(np.int64)
+            out[by, bx] = quant.flatten()[_ZIGZAG]
+    return out
+
+
+def _enc_dc_first(bw: _BitWriter, blocks: np.ndarray, al: int) -> None:
+    prev = 0
+    nby, nbx = blocks.shape[:2]
+    for by in range(nby):
+        for bx in range(nbx):
+            t = int(blocks[by, bx, 0]) >> al  # DC point transform: arithmetic shift
+            diff = t - prev
+            prev = t
+            cat, code = _magnitude(diff)
+            hc, hl = _DC_ENC[cat]
+            bw.write(hc, hl)
+            if cat:
+                bw.write(code, cat)
+
+
+def _enc_dc_refine(bw: _BitWriter, blocks: np.ndarray, al: int) -> None:
+    nby, nbx = blocks.shape[:2]
+    for by in range(nby):
+        for bx in range(nbx):
+            bw.write((int(blocks[by, bx, 0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(bw: _BitWriter, blocks: np.ndarray, ss: int, se: int, al: int) -> None:
+    """First AC scan of a spectral band at precision ``al``. EOB runs are
+    never accumulated across blocks (every block ends with EOB0 — legal,
+    and keeps the standard Annex-K tables sufficient: they lack EOBn>0
+    symbols)."""
+    nby, nbx = blocks.shape[:2]
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = blocks[by, bx]
+            r = 0
+            emitted = False
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = abs(v) >> al  # AC point transform rounds toward zero
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    hc, hl = _AC_ENC[0xF0]
+                    bw.write(hc, hl)
+                    r -= 16
+                s = t if v > 0 else -t
+                cat, code = _magnitude(s)
+                hc, hl = _AC_ENC[(r << 4) | cat]
+                bw.write(hc, hl)
+                bw.write(code, cat)
+                r = 0
+                emitted = True
+            if r or not emitted:
+                hc, hl = _AC_ENC[0x00]  # EOB0
+                bw.write(hc, hl)
+
+
+def _enc_ac_refine(
+    bw: _BitWriter, blocks: np.ndarray, ss: int, se: int, ah: int, al: int
+) -> None:
+    """AC refinement scan (§G.1.2.3): newly-significant coefficients get a
+    (run<<4)|1 symbol + sign bit; already-nonzero coefficients contribute
+    one correction bit each, buffered and flushed after the next symbol."""
+    nby, nbx = blocks.shape[:2]
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = blocks[by, bx]
+            # last newly-significant index: zero-runs beyond it fold into EOB
+            eob = ss - 1
+            for k in range(ss, se + 1):
+                if (abs(int(zz[k])) >> al) == 1:
+                    eob = k
+            r = 0
+            pending: list = []
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                # ZRLs must be emitted BEFORE buffering this coefficient's
+                # bit, so every buffered bit was deposited at r <= 15 and
+                # the decoder's positional crossing stays aligned; runs
+                # past the last newly-significant coef fold into EOB.
+                while r > 15 and k <= eob:
+                    hc, hl = _AC_ENC[0xF0]
+                    bw.write(hc, hl)
+                    r -= 16
+                    for b in pending:
+                        bw.write(b, 1)
+                    pending = []
+                if t > 1:  # nonzero history: correction bit only
+                    pending.append(t & 1)
+                    continue
+                hc, hl = _AC_ENC[(r << 4) | 1]
+                bw.write(hc, hl)
+                bw.write(1 if v > 0 else 0, 1)
+                for b in pending:
+                    bw.write(b, 1)
+                pending = []
+                r = 0
+            if r or pending:
+                hc, hl = _AC_ENC[0x00]  # EOB
+                bw.write(hc, hl)
+                for b in pending:
+                    bw.write(b, 1)
+
+
+def encode_progressive(arr: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 grayscale (h, w) -> PROGRESSIVE JFIF bytes (SOF2).
+
+    Six-scan script exercising both progressive modes (the common libjpeg
+    "simple progression" shape): DC first at Al=1, AC bands 1-5 and 6-63
+    first at Al=2, two AC refinement passes down to Al=0, DC refinement.
+    Decodes (via :func:`decode`) to exactly the same pixels as the
+    baseline :func:`encode` at the same quality — same quantized
+    coefficients, different bitstream order."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("grayscale (h, w) arrays only")
+    h, w = arr.shape
+    q = _quant_table(quality)
+    blocks = _quantized_blocks(arr, q)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes(int(v) for v in q.flatten()[_ZIGZAG]))
+    sof = seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)) + seg(
+        0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    )
+    out = bytearray(b"\xff\xd8" + dqt + sof + dht)
+    # (ss, se, ah, al) script
+    script = [
+        (0, 0, 0, 1),
+        (1, 5, 0, 2),
+        (6, 63, 0, 2),
+        (1, 63, 2, 1),
+        (1, 63, 1, 0),
+        (0, 0, 1, 0),
+    ]
+    for ss, se, ah, al in script:
+        out += seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        bw = _BitWriter()
+        if ss == 0 and ah == 0:
+            _enc_dc_first(bw, blocks, al)
+        elif ss == 0:
+            _enc_dc_refine(bw, blocks, al)
+        elif ah == 0:
+            _enc_ac_first(bw, blocks, ss, se, al)
+        else:
+            _enc_ac_refine(bw, blocks, ss, se, ah, al)
+        bw.flush()
+        out += bytes(bw.out)
+    return bytes(out) + b"\xff\xd9"

@@ -161,3 +161,53 @@ def test_single_component_scan_ignores_sampling_factors():
     patched = data[: idx + 4] + bytes(payload) + data[idx + 2 + ln :]
     got = jpeg.decode(patched)
     assert np.array_equal(got, ref)
+
+
+def test_progressive_roundtrip_matches_baseline():
+    """encode_progressive produces the same quantized coefficients as the
+    baseline encoder, in a 6-scan SOF2 script (spectral selection +
+    successive approximation) -> decode must be pixel-identical."""
+    import numpy as np
+
+    from docprompt_spark import jpeg
+
+    rng = np.random.default_rng(7)
+    for shape in [(8, 8), (17, 23), (64, 64), (40, 100)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for q in (30, 50, 85, 95):
+            data = jpeg.encode_progressive(img, q)
+            assert b"\xff\xc2" in data  # really SOF2
+            assert np.array_equal(jpeg.decode(data), jpeg.decode(jpeg.encode(img, q)))
+
+
+def test_progressive_structured_images():
+    """EOB/ZRL-heavy content: gradients, constants, sparse dots."""
+    import numpy as np
+
+    from docprompt_spark import jpeg
+
+    x = np.linspace(0, 255, 80).astype(np.uint8)
+    sparse = np.full((64, 64), 128, np.uint8)
+    sparse[10, 10] = 255
+    sparse[40, 33] = 0
+    for img in [
+        np.tile(x, (60, 1)),
+        np.full((32, 32), 200, np.uint8),
+        (np.add.outer(np.arange(50), np.arange(70)) % 256).astype(np.uint8),
+        sparse,
+    ]:
+        for q in (50, 85):
+            assert np.array_equal(
+                jpeg.decode(jpeg.encode_progressive(img, q)),
+                jpeg.decode(jpeg.encode(img, q)),
+            )
+
+
+def test_progressive_bitstream_deterministic():
+    import numpy as np
+
+    from docprompt_spark import jpeg
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(48, 48), dtype=np.uint8)
+    assert jpeg.encode_progressive(img, 85) == jpeg.encode_progressive(img, 85)
