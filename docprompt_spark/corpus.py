@@ -90,7 +90,8 @@ def _vocab(seed: int) -> Tuple[List[str], List[str]]:
 
 
 def _gen_page(
-    rng: random.Random, use_f2: bool, seed: int, img_codec: str = None
+    rng: random.Random, use_f2: bool, seed: int, img_codec: str = None,
+    inline: Optional[bool] = None,
 ) -> Tuple[dict, List[dict], List[dict]]:
     """Returns (writer_page, ground-truth words, ground-truth images).
 
@@ -209,6 +210,10 @@ def _gen_page(
                     "width": px_w, "height": px_h, "bpc": bpc,
                     "decode_parms": parms, "colorspace": cs,
                     "x": ix, "y": y, "w": w, "h": h,
+                    # BI/ID/EI inline images (scanned-page tiles / small
+                    # logos in real PDFs): rotate ~25% of figures inline on
+                    # the existing `base` draw — no geometry change
+                    "inline": (base % 8 in (3, 6)) if inline is None else inline,
                 }
             )
             images_gt.append(
@@ -271,7 +276,10 @@ def _wrap(pdf: bytes, variant: int) -> bytes:
     return pdf
 
 
-def _gen_doc_pages(idx: int, seed: int, skew_every: int, img_codec: str = None):
+def _gen_doc_pages(
+    idx: int, seed: int, skew_every: int, img_codec: str = None,
+    inline: Optional[bool] = None,
+):
     """Deterministic page set for document ``idx``: (doc_id, [(writer_page,
     words_gt, images_gt), ...]). Single source of truth for the rng replay —
     gen_doc and golden_page_layouts both consume it."""
@@ -282,7 +290,9 @@ def _gen_doc_pages(idx: int, seed: int, skew_every: int, img_codec: str = None):
     else:
         n_pages = rng.randint(1, 3)
     use_f2 = idx % 3 == 0
-    return doc_id, [_gen_page(rng, use_f2, seed, img_codec) for _ in range(n_pages)]
+    return doc_id, [
+        _gen_page(rng, use_f2, seed, img_codec, inline) for _ in range(n_pages)
+    ]
 
 
 def golden_page_layouts(
@@ -311,7 +321,9 @@ def gen_doc(
 ) -> dict:
     """One deterministic document: pdf bytes + golden span sequence."""
     doc_id, gen_pages = _gen_doc_pages(
-        idx, seed, skew_every, img_codec="ccitt" if envelope == "ccitt" else None
+        idx, seed, skew_every,
+        img_codec="ccitt" if envelope == "ccitt" else None,
+        inline=True if envelope == "inline" else None,
     )
     n_pages = len(gen_pages)
 

@@ -146,6 +146,31 @@ def media_table(docs_df: DataFrame, pages_per_bucket: int = 16) -> DataFrame:
                                 "n_bytes": len(payload),
                             }
                         )
+                    # BI/ID/EI inline images live in the content stream, not
+                    # the XObject resources — same media_ref contract
+                    contents = pf.resolve(page.get("Contents"))
+                    if contents is None:
+                        continue
+                    if isinstance(contents, list):
+                        cdata = b"\n".join(
+                            pf.resolve(c).data(pf.resolve) for c in contents
+                        )
+                    else:
+                        cdata = contents.data(pf.resolve)
+                    for ii in pdfparse.inline_images(cdata):
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "page_number": i + 1,
+                                "media_ref": hashlib.md5(ii.raw).hexdigest(),
+                                "media_kind": "image",
+                                "codec": _codec_of(ii.dict, pf.resolve),
+                                "payload": ii.raw,
+                                "width": int(ii.dict.get("Width", 0) or 0),
+                                "height": int(ii.dict.get("Height", 0) or 0),
+                                "n_bytes": len(ii.raw),
+                            }
+                        )
             if rows:
                 yield pd.DataFrame(rows)
 

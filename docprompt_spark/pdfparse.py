@@ -779,6 +779,92 @@ def _parse_tounicode(data: bytes) -> Dict[int, str]:
 # byte-at-a-time lexing. Literal strings fall back to the escape-aware reader.
 # ---------------------------------------------------------------------------
 
+class InlineImage:
+    """A BI/ID/EI inline image lifted out of a content stream at tokenize
+    time (the binary payload would otherwise derail the lexer). ``dict``
+    holds the image dict with abbreviations expanded to the full XObject
+    key/value names (PDF 32000-1 Table 93), so downstream codec
+    classification (_codec_of) is shared with image XObjects; ``raw`` is
+    the still-encoded payload."""
+
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: dict, raw: bytes) -> None:
+        self.dict = d
+        self.raw = raw
+
+
+_II_KEY = {
+    "BPC": "BitsPerComponent", "CS": "ColorSpace", "D": "Decode",
+    "DP": "DecodeParms", "F": "Filter", "H": "Height", "IM": "ImageMask",
+    "I": "Interpolate", "L": "Length", "W": "Width",
+}
+_II_CS = {"G": "DeviceGray", "RGB": "DeviceRGB", "CMYK": "DeviceCMYK",
+          "I": "Indexed"}
+_II_FILT = {"AHx": "ASCIIHexDecode", "A85": "ASCII85Decode",
+            "LZW": "LZWDecode", "Fl": "FlateDecode", "RL": "RunLengthDecode",
+            "CCF": "CCITTFaxDecode", "DCT": "DCTDecode"}
+
+# EI delimiter: whitespace + EI + (whitespace | EOF) — the portable way to
+# find the end of filtered inline data when /L is absent
+_II_EI_RE = re.compile(rb"[\0\t\n\f\r ]EI(?=[\0\t\n\f\r ]|$)")
+
+
+def _ii_expand(tokens: List[Any]) -> dict:
+    """Flat BI..ID token list -> full-name image dict (nested dicts/arrays
+    rebuilt; true/false Ops become bools)."""
+    it = iter(tokens)
+
+    def value(tok):
+        if type(tok) is bytes and tok == b"<<":
+            d = {}
+            for t in it:
+                if type(t) is bytes and t == b">>":
+                    break
+                d[str(t)] = value(next(it))
+            return d
+        if type(tok) is bytes and tok == b"[":
+            arr = []
+            for t in it:
+                if type(t) is bytes and t == b"]":
+                    break
+                arr.append(value(t))
+            return arr
+        if isinstance(tok, Op):
+            return {b"true": True, b"false": False, b"null": None}.get(tok, str(tok))
+        return tok
+
+    out: dict = {}
+    for tok in it:
+        key = _II_KEY.get(str(tok), str(tok))
+        v = value(next(it))
+        if key == "ColorSpace" and isinstance(v, Name):
+            v = Name(_II_CS.get(str(v), str(v)))
+        elif key == "Filter":
+            if isinstance(v, Name):
+                v = Name(_II_FILT.get(str(v), str(v)))
+            elif isinstance(v, list):
+                v = [Name(_II_FILT.get(str(x), str(x))) for x in v]
+        out[key] = v
+    return out
+
+
+def _ii_data_len(d: dict) -> Optional[int]:
+    """Byte length of UNFILTERED inline data (rows are byte-aligned), or
+    None when a filter makes the length unknowable without /L."""
+    if "L" in d or "Length" in d:
+        return int(d.get("Length", d.get("L")))
+    if d.get("Filter"):
+        return None
+    w = int(d.get("Width", 0) or 0)
+    h = int(d.get("Height", 0) or 0)
+    bpc = int(d.get("BitsPerComponent", 8) or 8)
+    if d.get("ImageMask"):
+        bpc = 1
+    ncomp = {"DeviceRGB": 3, "DeviceCMYK": 4}.get(str(d.get("ColorSpace", "")), 1)
+    return ((w * bpc * ncomp + 7) // 8) * h
+
+
 _CS_RE = re.compile(
     rb"(?:%[^\r\n]*|[\0\t\n\f\r ])*"
     rb"(\[|\]|<<|>>|\("
@@ -829,9 +915,54 @@ def _tokenize_content(data: bytes) -> List[Any]:
                 append(HexString(bytes.fromhex(digits.decode("ascii"))))
         elif tok in (b"[", b"]", b">>"):
             append(tok)
+        elif tok == b"BI":
+            # inline image: collect the dict tokens up to ID, then lift the
+            # binary payload out here — it would derail the lexer otherwise
+            ii_toks: List[Any] = []
+            while pos < n:
+                m = match(data, pos)
+                if m is None or m.group(1) is None:
+                    break
+                t2 = m.group(1)
+                pos = m.end()
+                if t2 == b"ID":
+                    break
+                c2 = t2[0]
+                if 0x30 <= c2 <= 0x39 or c2 in (0x2B, 0x2D, 0x2E):
+                    ii_toks.append(float(t2) if b"." in t2 else int(t2))
+                elif c2 == 0x2F:
+                    ii_toks.append(Name(t2[1:].decode("latin-1")))
+                elif t2 in (b"<<", b">>", b"[", b"]"):
+                    ii_toks.append(t2)
+                else:
+                    ii_toks.append(Op(t2))
+            d = _ii_expand(ii_toks)
+            if pos < n and data[pos] in _WS:
+                pos += 1  # exactly one whitespace after ID (spec)
+            ln = _ii_data_len(d)
+            if ln is not None:
+                raw = data[pos : pos + ln]
+                pos += ln
+                m_ei = _II_EI_RE.search(data, pos - 1)
+                pos = m_ei.end() if m_ei else n
+            else:
+                m_ei = _II_EI_RE.search(data, pos)
+                if m_ei is None:
+                    raw = data[pos:]
+                    pos = n
+                else:
+                    raw = data[pos : m_ei.start()]
+                    pos = m_ei.end()
+            append(InlineImage(d, raw))
         else:
             append(Op(tok))
     return out
+
+
+def inline_images(content: bytes) -> List[InlineImage]:
+    """All BI/ID/EI inline images in a (decoded) content stream, in paint
+    order — the media-table scan path (no text interpretation needed)."""
+    return [t for t in _tokenize_content(content) if type(t) is InlineImage]
 
 
 # ---------------------------------------------------------------------------
@@ -1014,6 +1145,22 @@ def _interpret_content(
                         depth -= 1
                         if depth == 0:
                             break
+            elif type(tok) is InlineImage:
+                # BI/ID/EI image: painted in unit image space scaled by the
+                # CTM, exactly like an image XObject Do
+                a, d_, e, f = ctm[0], ctm[3], ctm[4], ctm[5]
+                img = {
+                    "media_ref": hashlib.md5(tok.raw).hexdigest(),
+                    "bbox": norm_rect_bbox(e, f, a, d_, page_w, page_h),
+                }
+                if with_image_data:
+                    from docprompt_spark.multimodal import _codec_of
+
+                    img["payload"] = tok.raw
+                    img["px_w"] = int(tok.dict.get("Width", 0) or 0)
+                    img["px_h"] = int(tok.dict.get("Height", 0) or 0)
+                    img["codec"] = _codec_of(tok.dict, resolve)
+                images.append(img)
             else:
                 stack.append(tok)
             continue

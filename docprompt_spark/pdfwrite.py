@@ -374,6 +374,8 @@ def write_pdf(
         content_num = b.add_stream("", content, compress=compress_streams)
         xobj_entries = []
         for i, im in enumerate(page["images"]):
+            if im.get("inline"):
+                continue  # written as BI/ID/EI inside the content stream
             entries = (
                 f"/Type /XObject /Subtype /Image /Width {im['width']}"
                 f" /Height {im['height']}"
@@ -446,14 +448,40 @@ def write_pdf(
     )
 
 
+_II_FILT_ABBR = {
+    "FlateDecode": "Fl", "LZWDecode": "LZW", "DCTDecode": "DCT",
+    "CCITTFaxDecode": "CCF", "ASCIIHexDecode": "AHx",
+}
+_II_CS_ABBR = {"DeviceGray": "G", "DeviceRGB": "RGB", "DeviceCMYK": "CMYK"}
+
+
+def _inline_image_ops(im: dict) -> str:
+    """BI <abbreviated dict> ID <payload> EI (payload round-trips through
+    latin-1 — the content stream is assembled as str then latin-1 encoded)."""
+    d = f"/W {im['width']} /H {im['height']}"
+    d += f" /CS /{_II_CS_ABBR.get(im.get('colorspace', 'DeviceGray'), 'G')}"
+    d += f" /BPC {im.get('bpc', 8)}"
+    if im.get("filter"):
+        # /L (PDF 2.0) pins the payload length so a reader never has to
+        # guess where filtered binary ends (ws-EI-ws can occur inside it);
+        # raw payloads exercise the computed-length path instead
+        d += f" /F /{_II_FILT_ABBR[im['filter']]} /L {len(im['data'])}"
+    if im.get("decode_parms"):
+        d += f" /DP {im['decode_parms']}"
+    return "BI {dict} ID\n{data} EI".format(
+        dict=d, data=im["data"].decode("latin-1")
+    )
+
+
 def _render_content(page: dict, cid_of: Dict[str, int]) -> bytes:
     """Content stream: images first (painted under text), then one BT/ET."""
     parts: List[str] = []
     for i, im in enumerate(page["images"]):
+        paint = f"/Im{i} Do" if not im.get("inline") else _inline_image_ops(im)
         parts.append(
-            "q {a} 0 0 {d} {e} {f} cm /Im{i} Do Q".format(
+            "q {a} 0 0 {d} {e} {f} cm {paint} Q".format(
                 a=fmt_num(im["w"]), d=fmt_num(im["h"]),
-                e=fmt_num(im["x"]), f=fmt_num(im["y"]), i=i,
+                e=fmt_num(im["x"]), f=fmt_num(im["y"]), paint=paint,
             )
         )
     parts.append("BT")

@@ -69,6 +69,8 @@ _PRIORITY_NAMES = [
     "dedup_connected_components",
     "search_bm25_ranked",
     "ann_ivf_top5",
+    # round-4 additions
+    "extraction_inline_image_spans",
 ]
 _LOW_PRIORITY_NAMES = [
     "avg_word_len_by_lang",  # (A4) dup of q1-family aggs + local oracle
@@ -2913,6 +2915,34 @@ def extraction_ccitt_spans(spark, sf_dir):
 _REGISTRY["extraction_ccitt_spans"] = (extraction_ccitt_spans, None)
 
 
+def extraction_inline_image_spans(spark, sf_dir):
+    """Same pipeline with every embedded image written INLINE (BI/ID/EI in
+    the content stream, PDF §8.9.7) instead of as an image XObject — the
+    scanned-page-tile / small-logo form pdfium handles for the reference.
+    Exercises the tokenizer's inline-image lift (pdfparse.InlineImage:
+    abbreviated-key expansion, /L and computed-length payload ends) and the
+    interpreter's CTM placement; media spans hash the still-encoded inline
+    payloads, so golden spans are placement-form-independent."""
+    from docprompt_spark import pipeline
+
+    docs = pipeline.corpus_df(
+        spark, 6, seed=_FLAGSHIP_SEED, skew_every=0, envelope="inline"
+    )
+    result = pipeline.run_extraction(spark, docs.select("doc_id", "pdf", "n_pages"))
+    flat = pipeline.spans_exploded(result)
+    return flat.select(
+        "doc_id",
+        F.col("seq").cast("int").alias("seq"),
+        "kind",
+        "text",
+        "media_ref",
+        F.col("offset").cast("int").alias("offset"),
+    )
+
+
+_REGISTRY["extraction_inline_image_spans"] = (extraction_inline_image_spans, None)
+
+
 def extraction_page_stats(spark, sf_dir):
     """Per-document page/word/line/block/media counts from the parse stage
     (rows-only check: stateful pipeline, not SQL-expressible)."""
@@ -3477,6 +3507,9 @@ def oracle_sql() -> Dict[str, str]:
     )
     out["extraction_ccitt_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, envelope="ccitt"
+    )
+    out["extraction_inline_image_spans"] = _golden_spans_sql(
+        6, _FLAGSHIP_SEED, envelope="inline"
     )
     out["ann_ivf_top5"] = _ivf_oracle_sql()
     return {n: out[n] for n in _ordered_names() if n in out}
