@@ -353,6 +353,11 @@ def gen_doc(
             # xref envelope; kept out of the default rotation so the bench
             # corpus measures parse throughput, not pure-python AES)
             enc_mode = ["aes-128", "rc4-128", "rc4-40"][idx % 3]
+        elif envelope == "encrypted-r6":
+            # PDF 2.0 AES-256 /R6, alternating classic and xref-stream/
+            # ObjStm envelopes — the modern encrypted-document profile
+            enc_mode = "aes-256"
+            use_xref_stream = idx % 2 == 0
     pdf = write_pdf(
         pages_w,
         doc_title=doc_id,

@@ -116,11 +116,9 @@ class _Builder:
         file_id: Optional[bytes] = None,
     ) -> bytes:
         if xref_stream:
-            if encrypt_num is not None:
-                raise ValueError(
-                    "encryption is supported for the classic-xref envelope"
-                )
-            return self._assemble_xref_stream(root_num, info_num)
+            return self._assemble_xref_stream(
+                root_num, info_num, encrypt_num=encrypt_num, file_id=file_id
+            )
         out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
         offsets = [0] * (len(self.objects) + 1)
         for i, body in enumerate(self.objects, start=1):
@@ -144,13 +142,19 @@ class _Builder:
         return bytes(out)
 
     def _assemble_xref_stream(
-        self, root_num: int, info_num: Optional[int] = None
+        self, root_num: int, info_num: Optional[int] = None,
+        encrypt_num: Optional[int] = None, file_id: Optional[bytes] = None,
     ) -> bytes:
         """PDF 1.5+ envelope: dict-only objects packed into one /ObjStm
         (type-2 xref entries), cross-reference emitted as a /Type /XRef
         stream with /W [1 4 2] and PNG-Up /Predictor 12 — the layout modern
         writers produce (spec §7.5.7-7.5.8). Same document content as the
-        classic assemble(); only the envelope differs."""
+        classic assemble(); only the envelope differs.
+
+        With encryption: the ObjStm payload encrypts as a whole (its member
+        objects' strings stay plaintext inside), the /Encrypt dictionary
+        stays a DIRECT object, and the XRef stream itself is never
+        encrypted (§7.5.8.2) — /Encrypt + /ID ride in its dict."""
         out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
         n_user = len(self.objects)
         objstm_num, xref_num = n_user + 1, n_user + 2
@@ -158,9 +162,10 @@ class _Builder:
         compressed: List[Tuple[int, bytes]] = []  # (objnum, body)
         for i, body in enumerate(self.objects, start=1):
             assert body is not None, f"object {i} never set"
-            if b">>\nstream\n" in body or i == root_num:
+            if b">>\nstream\n" in body or i == root_num or i == encrypt_num:
                 # streams can't live in an ObjStm; keep the catalog direct
-                # too so naive scanners find it
+                # so naive scanners find it, and /Encrypt direct (required:
+                # it must be readable before any decryption context exists)
                 offsets[i] = len(out)
                 out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
             else:
@@ -170,6 +175,8 @@ class _Builder:
         payload = header.encode() + b"\n" + b"\n".join(b for _, b in compressed)
         first = len(header) + 1
         zdata = zlib.compress(payload, 6)
+        if self.encryptor is not None:
+            zdata = self.encryptor.encrypt(zdata, objstm_num)
         offsets[objstm_num] = len(out)
         out += (
             f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(compressed)} "
@@ -207,6 +214,11 @@ class _Builder:
             prev = row
         zrows = zlib.compress(bytes(pred), 6)
         trailer_extra = f" /Info {info_num} 0 R" if info_num is not None else ""
+        if encrypt_num is not None:
+            hexid = file_id.hex().upper()
+            trailer_extra += (
+                f" /Encrypt {encrypt_num} 0 R /ID [<{hexid}> <{hexid}>]"
+            )
         out += (
             f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
             f"/Root {root_num} 0 R{trailer_extra} /Filter /FlateDecode "
@@ -282,9 +294,10 @@ def write_pdf(
     stream + object stream) instead of a classic xref table — same content,
     different envelope; exercises the reader's §7.5.7-7.5.8 path.
 
-    ``encrypt``: ``'rc4-40' | 'rc4-128' | 'aes-128'`` — Standard security
-    handler, empty user password (classic-xref envelope only; the file ID
-    and AES IVs derive from the title so output stays byte-deterministic)."""
+    ``encrypt``: ``'rc4-40' | 'rc4-128' | 'aes-128' | 'aes-256'`` — Standard
+    security handler, empty user password, composable with either envelope
+    (the file ID, AES IVs, and R6 salts derive from the title so output
+    stays byte-deterministic)."""
     b = _Builder()
     handler = None
     file_id = None
@@ -344,7 +357,9 @@ def write_pdf(
         # /Registry and /Ordering are STRINGS: like every string outside a
         # stream they encrypt with the containing object's key (§7.6.2)
         reg, order = b"Adobe", b"Identity"
-        if handler is not None:
+        if handler is not None and not xref_stream:
+            # in the 1.5+ envelope this dict lands inside the ObjStm, whose
+            # member strings are NOT individually encrypted (§7.5.7)
             reg = handler.encrypt(reg, cidfont)
             order = handler.encrypt(order, cidfont)
         b.set(
@@ -433,8 +448,8 @@ def write_pdf(
     b.set(catalog, f"<< /Type /Catalog /Pages {pages_root} 0 R >>".encode())
     info = b.reserve()
     title = doc_title.encode()
-    if handler is not None:
-        title = handler.encrypt(title, info)
+    if handler is not None and not xref_stream:
+        title = handler.encrypt(title, info)  # Info joins the ObjStm in 1.5+
     b.set(
         info,
         f"<< /Title ({esc_literal(title).decode('latin-1')}) >>".encode(),

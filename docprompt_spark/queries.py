@@ -71,8 +71,13 @@ _PRIORITY_NAMES = [
     "ann_ivf_top5",
     # round-4 additions
     "extraction_inline_image_spans",
+    "extraction_encrypted_r6_spans",
+    # pinned in-window: unique real-codec oracle that has silently fallen
+    # out of the 50-slot window twice before (VERDICT r3 nit #1)
+    "media_png_export",
 ]
 _LOW_PRIORITY_NAMES = [
+    "size_capped_batching",  # (D3-D5) dup of page_bucket_batching (in-window)
     "avg_word_len_by_lang",  # (A4) dup of q1-family aggs + local oracle
     "bbox_combine_by_brand",  # (A6) kernel + property tests cover combine
     "html_boilerplate_stats",  # secondary to html_main_content
@@ -2915,6 +2920,35 @@ def extraction_ccitt_spans(spark, sf_dir):
 _REGISTRY["extraction_ccitt_spans"] = (extraction_ccitt_spans, None)
 
 
+def extraction_encrypted_r6_spans(spark, sf_dir):
+    """Same pipeline over PDF 2.0 AES-256 encrypted documents (/V5 /R6
+    /AESV3 — ISO 32000-2 Algorithms 2.A/2.B/8-10, SHA-256/384/512 iterated
+    KDF, file-key wrapping via /UE, /Perms integrity block), alternating
+    classic-xref and xref-stream/ObjStm envelopes — so the encrypted-ObjStm
+    read path (whole-stream decryption, member strings plaintext, XRef
+    stream never encrypted) is exercised end to end. The reference opens
+    these via pdfium's password support. Golden spans are
+    encryption-independent."""
+    from docprompt_spark import pipeline
+
+    docs = pipeline.corpus_df(
+        spark, 4, seed=_FLAGSHIP_SEED, skew_every=0, envelope="encrypted-r6"
+    )
+    result = pipeline.run_extraction(spark, docs.select("doc_id", "pdf", "n_pages"))
+    flat = pipeline.spans_exploded(result)
+    return flat.select(
+        "doc_id",
+        F.col("seq").cast("int").alias("seq"),
+        "kind",
+        "text",
+        "media_ref",
+        F.col("offset").cast("int").alias("offset"),
+    )
+
+
+_REGISTRY["extraction_encrypted_r6_spans"] = (extraction_encrypted_r6_spans, None)
+
+
 def extraction_inline_image_spans(spark, sf_dir):
     """Same pipeline with every embedded image written INLINE (BI/ID/EI in
     the content stream, PDF §8.9.7) instead of as an image XObject — the
@@ -3510,6 +3544,9 @@ def oracle_sql() -> Dict[str, str]:
     )
     out["extraction_inline_image_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, envelope="inline"
+    )
+    out["extraction_encrypted_r6_spans"] = _golden_spans_sql(
+        4, _FLAGSHIP_SEED, envelope="encrypted-r6"
     )
     out["ann_ivf_top5"] = _ivf_oracle_sql()
     return {n: out[n] for n in _ordered_names() if n in out}

@@ -65,6 +65,62 @@ def test_cross_check_against_cryptography_if_present():
     assert crypt.rc4(rk, data) == r.update(data)
 
 
+def test_aes256_fips197_known_answer():
+    key = bytes(range(32))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    w = crypt._expand_key(key)
+    ct = crypt._encrypt_block(pt, w)
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"  # App. C.3
+    assert crypt._decrypt_block(ct, w) == pt
+
+
+def test_aes256_cross_check_against_cryptography_if_present():
+    try:
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher,
+            algorithms,
+            modes,
+        )
+    except Exception:
+        pytest.skip("cryptography not installed")
+    key, iv = bytes(range(32)), bytes(range(100, 116))
+    data = b"AESV3 cross-check payload, odd len."
+    pad = 16 - len(data) % 16
+    c = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+    ref = iv + c.update(data + bytes([pad]) * pad) + c.finalize()
+    assert crypt.aes_cbc_encrypt(key, iv, data) == ref
+    assert crypt.aes_cbc_decrypt(key, ref) == data
+    # no-pad CBC (the R6 KDF/key-wrap primitive)
+    blocks = bytes(range(64, 128))
+    c2 = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+    ref2 = c2.update(blocks) + c2.finalize()
+    assert crypt.aes_cbc_nopad(key, iv, blocks, encrypt=True) == ref2
+    assert crypt.aes_cbc_nopad(key, iv, ref2, encrypt=False) == blocks
+
+
+def test_r6_handler_user_owner_and_perms():
+    id0 = bytes(range(16))
+    h = crypt.StdSecurityHandler.create("aes-256", id0)
+    assert (h.v, h.r, len(h.key), len(h.u), len(h.o)) == (5, 6, 32, 48, 48)
+    enc = {
+        "Filter": "Standard", "V": 5, "R": 6, "Length": 256, "P": h.p,
+        "O": h.o, "U": h.u, "OE": h.oe, "UE": h.ue, "Perms": h.perms,
+        "CF": {"StdCF": {"CFM": "AESV3"}}, "StmF": "StdCF",
+    }
+    # user (empty) and owner password both unwrap the same file key
+    hu = crypt.StdSecurityHandler.from_encrypt_dict(enc, id0, lambda x: x, b"")
+    ho = crypt.StdSecurityHandler.from_encrypt_dict(enc, id0, lambda x: x, b"owner")
+    assert hu.key == h.key == ho.key
+    data = b"AESV3 object payload" * 5
+    assert hu.decrypt(h.encrypt(data, 9), 9) == data
+    with pytest.raises(ValueError):
+        crypt.StdSecurityHandler.from_encrypt_dict(enc, id0, lambda x: x, b"nope")
+    # tampered Perms detected
+    bad = dict(enc, Perms=bytes(16))
+    with pytest.raises(ValueError):
+        crypt.StdSecurityHandler.from_encrypt_dict(bad, id0, lambda x: x, b"")
+
+
 @pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aes-128"])
 def test_handler_create_then_authenticate(mode):
     id0 = bytes(range(16))
@@ -115,12 +171,39 @@ def test_encrypted_corpus_golden_spans_hold():
         assert e["spans"] == p["spans"]
 
 
-def test_xref_stream_plus_encryption_rejected():
-    from docprompt_spark import pdfwrite
+@pytest.mark.parametrize("mode", ["rc4-128", "aes-128", "aes-256"])
+def test_encrypted_xref_stream_envelope_roundtrips(mode):
+    """Encryption now composes with the 1.5+ envelope: the ObjStm payload
+    encrypts as a whole (member strings plaintext inside), the XRef stream
+    stays unencrypted, /Encrypt stays a direct object."""
+    from docprompt_spark import pdfparse, pdfwrite
     from docprompt_spark.corpus import _gen_doc_pages
 
-    _, pages = _gen_doc_pages(1, 11, 0)
+    doc_id, pages = _gen_doc_pages(0, 11, 0)  # idx 0 -> CID font exercised
+    pages_w = [p for p, _, _ in pages]
+    plain = pdfparse.extract_pages(
+        pdfwrite.write_pdf(pages_w, doc_title=doc_id, xref_stream=True)
+    )
+    enc = pdfwrite.write_pdf(
+        pages_w, doc_title=doc_id, xref_stream=True, encrypt=mode
+    )
+    got = pdfparse.extract_pages(enc)
+    assert [p["words"] for p in got] == [p["words"] for p in plain]
+    assert [p["images"] for p in got] == [p["images"] for p in plain]
+    # Info lives in the ObjStm -> its strings are NOT individually encrypted
+    pf = pdfparse.PdfFile(enc)
+    assert bytes(pf.resolve(pf.trailer["Info"])["Title"]).decode() == doc_id
     with pytest.raises(ValueError):
-        pdfwrite.write_pdf(
-            [p for p, _, _ in pages], xref_stream=True, encrypt="rc4-128"
-        )
+        pdfparse.PdfFile(enc, password=b"wrong")
+
+
+def test_r6_corpus_envelope_golden_spans_hold():
+    from docprompt_spark.corpus import gen_corpus
+    from docprompt_spark.pdfparse import unwrap_pdf_bytes
+
+    enc_docs = gen_corpus(2, seed=5, skew_every=0, envelope="encrypted-r6")
+    plain_docs = gen_corpus(2, seed=5, skew_every=0)
+    for e, p in zip(enc_docs, plain_docs):
+        raw = unwrap_pdf_bytes(bytes(e["pdf"]))
+        assert b"/AESV3" in raw
+        assert e["spans"] == p["spans"]
