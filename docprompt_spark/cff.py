@@ -528,3 +528,325 @@ def build_glyphmap(
         if txt is not None:
             out[code] = txt
     return out
+
+
+# --------------------------------------------------------------------------
+# Type2 charstring interpretation -> glyph outlines (for the rasterizer)
+# --------------------------------------------------------------------------
+
+_T2_STEM_OPS = (1, 3, 18, 23)  # hstem vstem hstemhm vstemhm
+
+
+def _flatten_cubic(p0, p1, p2, p3, segments: int = 8):
+    """Fixed-subdivision cubic Bezier flattening (deterministic float ops,
+    identical order on every host)."""
+    out = []
+    for k in range(1, segments + 1):
+        t = k / segments
+        mt = 1.0 - t
+        x = (mt * mt * mt * p0[0] + 3 * mt * mt * t * p1[0]
+             + 3 * mt * t * t * p2[0] + t * t * t * p3[0])
+        y = (mt * mt * mt * p0[1] + 3 * mt * mt * t * p1[1]
+             + 3 * mt * t * t * p2[1] + t * t * t * p3[1])
+        out.append((x, y))
+    return out
+
+
+class _T2Interp:
+    """Minimal-but-complete Type2 outline interpreter: moveto/lineto/
+    curveto families, hints consumed (hintmask data bytes skipped), local/
+    global subrs with bias, width extraction per the odd-operand rule."""
+
+    def __init__(self, gsubrs, lsubrs, default_width, nominal_width):
+        self.gsubrs = gsubrs
+        self.lsubrs = lsubrs
+        self.gbias = self._bias(len(gsubrs))
+        self.lbias = self._bias(len(lsubrs))
+        self.default_width = default_width
+        self.nominal_width = nominal_width
+
+    @staticmethod
+    def _bias(n: int) -> int:
+        return 107 if n < 1240 else 1131 if n < 33900 else 32768
+
+    def run(self, code: bytes):
+        self.x = self.y = 0
+        self.stack = []
+        self.contours = []
+        self.cur = None
+        self.width = None
+        self.nstems = 0
+        self.done = False
+        self._exec(code, 0)
+        self._close()
+        w = self.width if self.width is not None else self.default_width
+        return w, self.contours
+
+    def _close(self):
+        if self.cur and len(self.cur) > 1:
+            self.contours.append(self.cur)
+        self.cur = None
+
+    def _take_width(self, even_args: int):
+        """First stack-clearing op: an extra leading operand is the width
+        delta from nominalWidthX."""
+        if self.width is None:
+            if len(self.stack) % 2 == (1 if even_args % 2 == 0 else 0) and len(self.stack) > 0:
+                pass
+            self.width = self.nominal_width  # default: no extra operand
+            extra = len(self.stack) - even_args
+            if even_args < 0:  # variable arg count (stems): odd count = width
+                if len(self.stack) % 2 == 1:
+                    self.width = self.nominal_width + self.stack.pop(0)
+            elif extra > 0:
+                self.width = self.nominal_width + self.stack.pop(0)
+
+    def _moveto(self, dx, dy):
+        self._close()
+        self.x += dx
+        self.y += dy
+        self.cur = [(self.x, self.y)]
+
+    def _lineto(self, dx, dy):
+        self.x += dx
+        self.y += dy
+        if self.cur is not None:
+            self.cur.append((self.x, self.y))
+
+    def _curveto(self, dxa, dya, dxb, dyb, dxc, dyc):
+        p0 = (self.x, self.y)
+        p1 = (self.x + dxa, self.y + dya)
+        p2 = (p1[0] + dxb, p1[1] + dyb)
+        p3 = (p2[0] + dxc, p2[1] + dyc)
+        if self.cur is not None:
+            self.cur.extend(_flatten_cubic(p0, p1, p2, p3))
+        self.x, self.y = p3
+
+    def _exec(self, code: bytes, depth: int):
+        if depth > 10:
+            raise ValueError("charstring subr recursion too deep")
+        i = 0
+        n = len(code)
+        while i < n and not self.done:
+            b0 = code[i]
+            # operand?
+            if b0 >= 32 or b0 == 28:
+                if b0 == 28:
+                    self.stack.append(
+                        int.from_bytes(code[i + 1 : i + 3], "big", signed=True)
+                    )
+                    i += 3
+                elif b0 <= 246:
+                    self.stack.append(b0 - 139)
+                    i += 1
+                elif b0 <= 250:
+                    self.stack.append((b0 - 247) * 256 + code[i + 1] + 108)
+                    i += 2
+                elif b0 <= 254:
+                    self.stack.append(-(b0 - 251) * 256 - code[i + 1] - 108)
+                    i += 2
+                else:  # 255: 16.16 fixed
+                    self.stack.append(
+                        int.from_bytes(code[i + 1 : i + 5], "big", signed=True)
+                        / 65536.0
+                    )
+                    i += 5
+                continue
+            if b0 == 12:
+                op = 1200 + code[i + 1]
+                i += 2
+            else:
+                op = b0
+                i += 1
+            s = self.stack
+            if op in _T2_STEM_OPS:
+                self._take_width(-1)
+                self.nstems += len(s) // 2
+                s.clear()
+            elif op in (19, 20):  # hintmask / cntrmask: skip raw mask bytes
+                self._take_width(-1)
+                self.nstems += len(s) // 2
+                s.clear()
+                i += (self.nstems + 7) // 8
+            elif op == 21:  # rmoveto
+                self._take_width(2)
+                self._moveto(s[-2], s[-1])
+                s.clear()
+            elif op == 22:  # hmoveto
+                self._take_width(1)
+                self._moveto(s[-1], 0)
+                s.clear()
+            elif op == 4:  # vmoveto
+                self._take_width(1)
+                self._moveto(0, s[-1])
+                s.clear()
+            elif op == 5:  # rlineto
+                for j in range(0, len(s) - 1, 2):
+                    self._lineto(s[j], s[j + 1])
+                s.clear()
+            elif op == 6:  # hlineto (alternating h/v)
+                horiz = True
+                for d in s:
+                    self._lineto(d, 0) if horiz else self._lineto(0, d)
+                    horiz = not horiz
+                s.clear()
+            elif op == 7:  # vlineto
+                horiz = False
+                for d in s:
+                    self._lineto(d, 0) if horiz else self._lineto(0, d)
+                    horiz = not horiz
+                s.clear()
+            elif op == 8:  # rrcurveto
+                for j in range(0, len(s) - 5, 6):
+                    self._curveto(*s[j : j + 6])
+                s.clear()
+            elif op == 24:  # rcurveline
+                j = 0
+                while len(s) - j >= 8:
+                    self._curveto(*s[j : j + 6])
+                    j += 6
+                self._lineto(s[j], s[j + 1])
+                s.clear()
+            elif op == 25:  # rlinecurve
+                j = 0
+                while len(s) - j >= 8:
+                    self._lineto(s[j], s[j + 1])
+                    j += 2
+                self._curveto(*s[j : j + 6])
+                s.clear()
+            elif op == 26:  # vvcurveto
+                j = 0
+                dx1 = 0
+                if len(s) % 4 == 1:
+                    dx1 = s[0]
+                    j = 1
+                while j + 3 < len(s):
+                    self._curveto(dx1, s[j], s[j + 1], s[j + 2], 0, s[j + 3])
+                    dx1 = 0
+                    j += 4
+                s.clear()
+            elif op == 27:  # hhcurveto
+                j = 0
+                dy1 = 0
+                if len(s) % 4 == 1:
+                    dy1 = s[0]
+                    j = 1
+                while j + 3 < len(s):
+                    self._curveto(s[j], dy1, s[j + 1], s[j + 2], s[j + 3], 0)
+                    dy1 = 0
+                    j += 4
+                s.clear()
+            elif op in (30, 31):  # vhcurveto / hvcurveto
+                horiz = op == 31
+                j = 0
+                while len(s) - j >= 4:
+                    last = len(s) - j == 5
+                    if horiz:
+                        self._curveto(s[j], 0, s[j + 1], s[j + 2],
+                                      s[j + 4] if last else 0, s[j + 3])
+                    else:
+                        self._curveto(0, s[j], s[j + 1], s[j + 2],
+                                      s[j + 3], s[j + 4] if last else 0)
+                    horiz = not horiz
+                    j += 4
+                s.clear()
+            elif op == 10:  # callsubr
+                idx = int(s.pop()) + self.lbias
+                if 0 <= idx < len(self.lsubrs):
+                    self._exec(self.lsubrs[idx], depth + 1)
+            elif op == 29:  # callgsubr
+                idx = int(s.pop()) + self.gbias
+                if 0 <= idx < len(self.gsubrs):
+                    self._exec(self.gsubrs[idx], depth + 1)
+            elif op == 11:  # return
+                return
+            elif op == 14:  # endchar
+                self._take_width(0)
+                self.done = True
+                self._close()
+                return
+            else:  # flex etc: drop operands (not emitted by our authoring)
+                s.clear()
+
+
+@memo_bytes_fn
+def cff_glyph_outlines(data: bytes):
+    """glyph name -> (advance width, contours) from a CFF font program —
+    the rasterizer's outline source (fontgen authors these; external fonts
+    interpret through the same Type2 machine). Empty dict on CID-keyed or
+    structurally surprising fonts."""
+    try:
+        hdrsz = data[2]
+        pos = hdrsz
+        _names, pos = _read_index(data, pos)
+        topdicts, pos = _read_index(data, pos)
+        strings, pos = _read_index(data, pos)
+        gsubrs, pos = _read_index(data, pos)
+        td = _parse_dict(topdicts[0])
+        if 1230 in td:
+            return {}
+        charstrings_off = td.get(17, [None])[0]
+        if charstrings_off is None:
+            return {}
+        charstrings, _ = _read_index(data, int(charstrings_off))
+        nglyphs = len(charstrings)
+
+        def sid_name(sid: int):
+            if sid < len(STANDARD_STRINGS):
+                return STANDARD_STRINGS[sid]
+            k = sid - 391
+            if 0 <= k < len(strings):
+                return strings[k].decode("latin-1")
+            return None
+
+        charset_off = td.get(15, [0])[0]
+        sids = [0]
+        if charset_off in (0, 1, 2):
+            sids = list(range(nglyphs))
+        else:
+            p = int(charset_off)
+            fmt = data[p]
+            p += 1
+            if fmt == 0:
+                for _ in range(1, nglyphs):
+                    sids.append(int.from_bytes(data[p : p + 2], "big"))
+                    p += 2
+            elif fmt in (1, 2):
+                while len(sids) < nglyphs:
+                    first = int.from_bytes(data[p : p + 2], "big")
+                    nleft = (
+                        data[p + 2]
+                        if fmt == 1
+                        else int.from_bytes(data[p + 3 : p + 5], "big")
+                    )
+                    p += 3 if fmt == 1 else 5
+                    for k in range(nleft + 1):
+                        sids.append(first + k)
+            else:
+                return {}
+
+        default_w = nominal_w = 0
+        lsubrs: list = []
+        priv = td.get(18)
+        if priv:
+            psz, poff = int(priv[0]), int(priv[1])
+            pd = _parse_dict(data[poff : poff + psz])
+            default_w = pd.get(20, [0])[0]
+            nominal_w = pd.get(21, [0])[0]
+            if 19 in pd:
+                lsubrs, _ = _read_index(data, poff + int(pd[19][0]))
+
+        interp = _T2Interp(gsubrs, lsubrs, default_w, nominal_w)
+        out = {}
+        for gid in range(nglyphs):
+            nm = sid_name(sids[gid]) if gid < len(sids) else None
+            if not nm or nm == ".notdef":
+                continue
+            try:
+                w, contours = interp.run(charstrings[gid])
+            except (ValueError, IndexError):
+                continue
+            out[nm] = (w, contours)
+        return out
+    except (IndexError, KeyError, ValueError):
+        return {}

@@ -1,0 +1,207 @@
+"""Deterministic outline-font authoring: real CFF (Type1C) font programs
+for the synthetic corpus.
+
+The reference renders text through pdfium's font rasterizer
+(docprompt _pdfium.py:126-135); round 3's rasterizer painted *glyph cells*
+instead (documented divergence). This module closes that gap from the
+authoring side: every corpus document now EMBEDS a genuine CFF font program
+(/FontFile3 /Subtype /Type1C) whose Type2 charstrings carry real glyph
+outlines, and the rasterizer renders those outlines by interpreting the
+charstrings it parses back out of the document
+(:func:`docprompt_spark.cff.cff_glyph_outlines`) — the full loop
+author -> embed -> parse -> interpret -> fill is oracle-checked.
+
+Glyph design: a seven-segment-style rectilinear outline in a 1000-upm em —
+segments switch on a codepoint-derived bit pattern, are mutually
+NON-overlapping (so even-odd fill equals nonzero fill), and the advance
+width is exactly :func:`docprompt_spark.pdfwrite.char_width_pm`, keeping
+layout metrics identical to the metrics-only fonts of earlier rounds.
+Every glyph is named ``uniXXXX`` so name->char round-trips exactly through
+``cff.glyph_name_to_text``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+Contour = List[Tuple[int, int]]
+
+# em-space vertical metrics shared with the writer (pdfwrite.ASCENT_PM /
+# DESCENT_PM): glyph ink spans a subset of [-180, 720]
+_SEG_T = 40  # segment thickness
+
+
+def glyph_contours(ch: str) -> List[Contour]:
+    """Deterministic non-overlapping rectilinear contours for ``ch`` in a
+    1000-upm em (closed, counter-clockwise point order irrelevant under
+    even-odd). Pure function of the codepoint + advance width."""
+    from docprompt_spark.pdfwrite import char_width_pm
+
+    w = char_width_pm(ch)
+    # Knuth multiplicative hash: stable across runs/hosts/python versions
+    k = (ord(ch) * 2654435761) & 0x7FFFFFFF
+    bits = [(k >> i) & 1 for i in range(7)]
+    if not any(bits):
+        bits = [1] * 7
+    x0, x1 = 60, w - 60  # ink box
+    xm0, xm1 = x0 + _SEG_T, x1 - _SEG_T  # bars inset past the verticals
+    segs = []  # (on, rect) rects as (xa, ya, xb, yb)
+    segs.append((bits[0], (xm0, 600, xm1, 640)))        # top bar
+    segs.append((bits[1], (xm0, 240, xm1, 280)))        # middle bar
+    segs.append((bits[2], (xm0, -120, xm1, -80)))       # bottom bar
+    segs.append((bits[3], (x0, 280, x0 + _SEG_T, 600)))     # upper left
+    segs.append((bits[4], (x1 - _SEG_T, 280, x1, 600)))     # upper right
+    segs.append((bits[5], (x0, -80, x0 + _SEG_T, 240)))     # lower left
+    segs.append((bits[6], (x1 - _SEG_T, -80, x1, 240)))     # lower right
+    out: List[Contour] = []
+    for on, (xa, ya, xb, yb) in segs:
+        if on and xb > xa:
+            out.append([(xa, ya), (xb, ya), (xb, yb), (xa, yb)])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Type2 charstring + CFF container encoding
+# ---------------------------------------------------------------------------
+
+
+def _t2_num(v: int) -> bytes:
+    """Type2 charstring integer operand encoding."""
+    if -107 <= v <= 107:
+        return bytes([v + 139])
+    if 108 <= v <= 1131:
+        v -= 108
+        return bytes([(v >> 8) + 247, v & 0xFF])
+    if -1131 <= v <= -108:
+        v = -v - 108
+        return bytes([(v >> 8) + 251, v & 0xFF])
+    return b"\x1c" + v.to_bytes(2, "big", signed=True)
+
+
+def _charstring(width: int, contours: Sequence[Contour]) -> bytes:
+    """[width] {rmoveto rlineto*}* endchar — width always present (nominal
+    width 0), contours closed implicitly by the rasterizer/renderer."""
+    out = bytearray(_t2_num(width))
+    cx = cy = 0
+    for contour in contours:
+        pts = list(contour)
+        dx, dy = pts[0][0] - cx, pts[0][1] - cy
+        out += _t2_num(dx) + _t2_num(dy) + b"\x15"  # rmoveto
+        cx, cy = pts[0]
+        for px, py in pts[1:]:
+            out += _t2_num(px - cx) + _t2_num(py - cy) + b"\x05"  # rlineto
+            cx, cy = px, py
+    out += b"\x0e"  # endchar
+    return bytes(out)
+
+
+def _dict_num(v: int) -> bytes:
+    """DICT integer operand (same ranges as charstrings, but 29 = 5-byte)."""
+    if -107 <= v <= 107:
+        return bytes([v + 139])
+    if 108 <= v <= 1131:
+        v -= 108
+        return bytes([(v >> 8) + 247, v & 0xFF])
+    if -1131 <= v <= -108:
+        v = -v - 108
+        return bytes([(v >> 8) + 251, v & 0xFF])
+    if -32768 <= v <= 32767:
+        return b"\x1c" + v.to_bytes(2, "big", signed=True)
+    return b"\x1d" + v.to_bytes(4, "big", signed=True)
+
+
+def _dict_num5(v: int) -> bytes:
+    """Fixed-width 5-byte operand (offset placeholders patched in pass 2)."""
+    return b"\x1d" + v.to_bytes(4, "big", signed=True)
+
+
+def _mk_index(items: Sequence[bytes]) -> bytes:
+    if not items:
+        return (0).to_bytes(2, "big")
+    total = sum(len(i) for i in items) + 1
+    offsz = 1 if total < 256 else 2 if total < 65536 else 3 if total < 2**24 else 4
+    out = bytearray(len(items).to_bytes(2, "big"))
+    out.append(offsz)
+    off = 1
+    offs = [off]
+    for it in items:
+        off += len(it)
+        offs.append(off)
+    for o in offs:
+        out += o.to_bytes(offsz, "big")
+    for it in items:
+        out += it
+    return bytes(out)
+
+
+def build_cff(chars: Sequence[str], font_name: str = "DSOutline") -> bytes:
+    """A complete, real CFF (Type1C) font program: glyph 0 = .notdef, then
+    one outline glyph per char (sorted by codepoint), all named uniXXXX,
+    encoding format 0 mapping single-byte codes for chars < 256, charset
+    format 0 over custom SIDs, one Private DICT (nominal/default width 0).
+    Round-trips exactly through cff.cff_glyph_outlines."""
+    from docprompt_spark.pdfwrite import char_width_pm
+
+    chars = sorted(set(chars), key=ord)
+    names = [f"uni{ord(c):04X}" for c in chars]
+    strings = names  # all custom SIDs: 391 + index
+    charstrings = [b"\x0e"]  # .notdef: bare endchar (width = defaultWidthX 0)
+    for c in chars:
+        charstrings.append(_charstring(char_width_pm(c), glyph_contours(c)))
+
+    name_index = _mk_index([font_name.encode()])
+    string_index = _mk_index([s.encode() for s in strings])
+    gsubr_index = _mk_index([])
+
+    # encoding fmt 0: codes for gid 1..nCodes (chars beyond 255 unencoded —
+    # reachable by name, which is how the rasterizer harvests them)
+    enc_gids = [c for c in chars if ord(c) < 256]
+    encoding = bytes([0, len(enc_gids)]) + bytes(ord(c) for c in enc_gids)
+    # charset fmt 0: SID per gid 1..n-1
+    charset = b"\x00" + b"".join(
+        (391 + i).to_bytes(2, "big") for i in range(len(chars))
+    )
+    charstrings_index = _mk_index(charstrings)
+    private = (
+        _dict_num(0) + bytes([20])  # defaultWidthX
+        + _dict_num(0) + bytes([21])  # nominalWidthX
+    )
+
+    def top_dict(charset_off: int, enc_off: int, cs_off: int,
+                 priv_off: int) -> bytes:
+        return (
+            _dict_num5(charset_off) + bytes([15])
+            + _dict_num5(enc_off) + bytes([16])
+            + _dict_num5(cs_off) + bytes([17])
+            + _dict_num(len(private)) + _dict_num5(priv_off) + bytes([18])
+        )
+
+    header = bytes([1, 0, 4, 4])  # major, minor, hdrSize, offSize
+
+    def assemble(cso, eo, ccso, po) -> Tuple[bytes, Tuple[int, int, int, int]]:
+        td_index = _mk_index([top_dict(cso, eo, ccso, po)])
+        pos = len(header) + len(name_index) + len(td_index) + len(string_index) + len(gsubr_index)
+        charset_off = pos
+        enc_off = charset_off + len(charset)
+        cs_off = enc_off + len(encoding)
+        priv_off = cs_off + len(charstrings_index)
+        blob = (
+            header + name_index + td_index + string_index + gsubr_index
+            + charset + encoding + charstrings_index + private
+        )
+        return blob, (charset_off, enc_off, cs_off, priv_off)
+
+    # two passes: offsets are encoded fixed-width, so sizes are stable
+    _, offs = assemble(0, 0, 0, 0)
+    blob, offs2 = assemble(*offs)
+    assert offs == offs2
+    return blob
+
+
+def glyph_pool(chars: Sequence[str]) -> Dict[str, Tuple[int, List[Contour]]]:
+    """Oracle-side glyph source: char -> (advance width pm, contours),
+    generated directly (the rasterizer kernel builds the same pool by
+    PARSING the embedded CFF — equality is what the raster oracles prove)."""
+    from docprompt_spark.pdfwrite import char_width_pm
+
+    return {c: (char_width_pm(c), glyph_contours(c)) for c in set(chars)}

@@ -748,6 +748,46 @@ class PdfFile:
         )
         return {"width": pw, "height": ph, "words": words, "images": images}
 
+    def glyph_outline_pool(self) -> Dict[str, tuple]:
+        """char -> (advance width, contours) harvested from every embedded
+        CFF font program (/FontFile3) in the document — the rasterizer's
+        outline source (D7). Glyph names map to text via
+        cff.glyph_name_to_text; first font wins on collisions (the corpus
+        authors identical outlines per codepoint, so order is moot)."""
+        pool: Dict[str, tuple] = {}
+        seen: set = set()
+        for i in range(self.page_count):
+            page = self.resolve(self.page_refs[i])
+            resources = self._inherited(page, "Resources") or {}
+            fonts_d = self.resolve(resources.get("Font", {})) or {}
+            for ref in fonts_d.values():
+                fd_obj = self.resolve(ref)
+                if not isinstance(fd_obj, dict):
+                    continue
+                descs = []
+                desc = self.resolve(fd_obj.get("FontDescriptor"))
+                if desc:
+                    descs.append(desc)
+                for dref in self.resolve(fd_obj.get("DescendantFonts", [])) or []:
+                    d = self.resolve(dref)
+                    dd = self.resolve((d or {}).get("FontDescriptor"))
+                    if dd:
+                        descs.append(dd)
+                for desc in descs:
+                    ff = self.resolve(desc.get("FontFile3"))
+                    if not isinstance(ff, Stream):
+                        continue
+                    data = ff.data(self.resolve)
+                    key = hashlib.md5(data).digest()
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    for name, wc in cff.cff_glyph_outlines(data).items():
+                        ch = cff.glyph_name_to_text(name)
+                        if ch and ch not in pool:
+                            pool[ch] = wc
+        return pool
+
 
 # ---------------------------------------------------------------------------
 # ToUnicode CMap

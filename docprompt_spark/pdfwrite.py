@@ -313,12 +313,36 @@ def write_pdf(
     pages_root = b.reserve()
 
     # --- fonts -----------------------------------------------------------
+    # Shared outline font program: a REAL CFF (Type1C) with Type2
+    # charstrings for the document's ENTIRE charset (ASCII + any CID text),
+    # embedded via F1's /FontFile3 — the rasterizer interprets these
+    # outlines back out of the file (cff.cff_glyph_outlines), closing
+    # round 3's glyph-cell divergence (reference renders outlines via
+    # pdfium, _pdfium.py:126-135).
+    from docprompt_spark import fontgen
+
+    doc_chars = sorted(
+        {
+            ch
+            for page in pages
+            for op in page["text_ops"]
+            for seg in op["segments"]
+            if isinstance(seg, str)
+            for ch in seg
+        }
+        | {chr(c) for c in range(32, 127)}
+    )
+    fontfile = b.add_stream(
+        "/Subtype /Type1C", fontgen.build_cff(doc_chars),
+        compress=compress_streams,
+    )
     # F1: simple Type1 with explicit /Widths for codes 32..126
     f1_desc = b.add(
         (
             "<< /Type /FontDescriptor /FontName /DSMono /Flags 32"
             f" /Ascent {ASCENT_PM} /Descent {DESCENT_PM} /CapHeight 660"
-            " /ItalicAngle 0 /StemV 80 /FontBBox [0 -180 760 720] >>"
+            " /ItalicAngle 0 /StemV 80 /FontBBox [0 -180 760 720]"
+            f" /FontFile3 {fontfile} 0 R >>"
         ).encode()
     )
     widths = " ".join(str(char_width_pm(chr(c))) for c in range(32, 127))

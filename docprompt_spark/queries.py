@@ -2684,6 +2684,8 @@ def _golden_raster_rows(n_docs=16, seed=11):
     from docprompt_spark import rasterize
     from docprompt_spark.corpus import golden_page_layouts
 
+    from docprompt_spark import fontgen
+
     rows = []
     for doc_id, pn, layout, imgs in golden_page_layouts(
         n_docs, seed=seed, skew_every=0
@@ -2698,7 +2700,14 @@ def _golden_raster_rows(n_docs=16, seed=11):
             for im in imgs
         ]
         wds = rasterize.layout_words(layout)
-        canvas = rasterize.render_page(wds, images)
+        # same glyph pool the kernel PARSES out of the embedded CFF — here
+        # generated directly; raster md5 equality proves the author ->
+        # embed -> parse -> interpret -> fill loop end to end
+        glyphs = fontgen.glyph_pool(
+            {ch for w in wds for ch in w["text"]}
+            | {chr(c) for c in range(32, 127)}
+        )
+        canvas = rasterize.render_page(wds, images, glyphs=glyphs)
         masked = rasterize.mask_bboxes(canvas, [w["bbox"] for w in wds])
         rows.append(
             (

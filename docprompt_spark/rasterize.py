@@ -7,10 +7,14 @@ The reference renders pages through pdfium — ``_pdfium.py:126-135``
 fills (``rasterize.py:232-266`` ``mask_image_from_bboxes``,
 ``utils/masking/image.py:10-29``).
 
-This engine ships no font rasterizer (glyph outlines are out of scope), so
-text renders as deterministic *glyph cells*: each character of a word fills
-its horizontal share of the word bbox at an intensity derived from the
-codepoint. Embedded images composite at their placement rects via
+Text renders as REAL GLYPH OUTLINES: the corpus embeds genuine CFF font
+programs (fontgen.build_cff -> /FontFile3), the kernel interprets their
+Type2 charstrings back out of the document
+(cff.cff_glyph_outlines via PdfFile.glyph_outline_pool) and scanline-fills
+each glyph (even-odd, pixel-center sampling) scaled into its metric share
+of the word bbox — closing round 3's glyph-cell divergence. Characters
+without an embedded outline fall back to deterministic glyph cells.
+Embedded images composite at their placement rects via
 nearest-neighbor scaling of the REAL decoded pixels
 (:func:`docprompt_spark.multimodal.decode_image` — raw/Flate/PNG/baseline
 JPEG, all from-scratch codecs). Integer math throughout: a page renders to
@@ -80,8 +84,9 @@ def _paint_image(canvas: np.ndarray, pixels: np.ndarray, rect) -> None:
 
 
 def _paint_word(canvas: np.ndarray, text: str, rect) -> None:
-    """Glyph-cell text rendering: the word bbox splits into one cell per
-    character, each filled at the codepoint's intensity."""
+    """Glyph-cell text rendering (fallback when no outline is available):
+    the word bbox splits into one cell per character, each filled at the
+    codepoint's intensity."""
     x0, y0, x1, y1 = rect
     w = x1 - x0
     n = len(text)
@@ -94,12 +99,90 @@ def _paint_word(canvas: np.ndarray, text: str, rect) -> None:
             canvas[y0:y1, cx0:cx1] = _glyph_intensity(ch)
 
 
+# em-space vertical range the word bbox spans (pdfwrite.ASCENT_PM /
+# DESCENT_PM — recovered from the font descriptor on the parse side, but a
+# constant of the corpus metric model, shared with the oracle)
+_EM_ASC = 720.0
+_EM_DESC = -180.0
+
+
+def fill_contours(
+    canvas: np.ndarray, contours, value: int = 0
+) -> None:
+    """Even-odd scanline polygon fill at pixel centers — deterministic IEEE
+    float ops in fixed order, so identical rasters on every host. This is
+    the from-scratch equivalent of the glyph fills pdfium does for the
+    reference's page renders."""
+    if not contours:
+        return
+    h, w = canvas.shape
+    ys = [p[1] for c in contours for p in c]
+    y_lo = max(0, int(math.floor(min(ys))))
+    y_hi = min(h, int(math.ceil(max(ys))) + 1)
+    for yy in range(y_lo, y_hi):
+        yc = yy + 0.5
+        xs = []
+        for contour in contours:
+            n = len(contour)
+            for k in range(n):
+                xa, ya = contour[k]
+                xb, yb = contour[(k + 1) % n]  # implicit close
+                if (ya <= yc < yb) or (yb <= yc < ya):
+                    xs.append(xa + (yc - ya) * (xb - xa) / (yb - ya))
+        if not xs:
+            continue
+        xs.sort()
+        for k in range(0, len(xs) - 1, 2):
+            # pixels whose center lies in [xs[k], xs[k+1])
+            px0 = max(0, int(math.ceil(xs[k] - 0.5)))
+            px1 = min(w, int(math.ceil(xs[k + 1] - 0.5)))
+            if px1 > px0:
+                canvas[yy, px0:px1] = value
+
+
+def _paint_word_outlines(canvas: np.ndarray, text: str, rect, glyphs) -> None:
+    """Real glyph rendering: each character's Type2 outline (from the
+    document's embedded CFF font program) scales into its metric share of
+    the word bbox and scanline-fills black. Characters without an outline
+    fall back to their glyph cell. Kerned TJ adjustments inside a merged
+    word distribute proportionally across the glyph advances (documented
+    divergence from pdfium's exact pen placement)."""
+    x0, y0, x1, y1 = rect
+    w_px, h_px = x1 - x0, y1 - y0
+    if w_px <= 0 or h_px <= 0 or not text:
+        return
+    widths = [glyphs[ch][0] if ch in glyphs else None for ch in text]
+    # metric share: missing glyphs get the mean width of the present ones
+    present = [w for w in widths if w]
+    fallback_w = (sum(present) / len(present)) if present else 500.0
+    widths = [w if w else fallback_w for w in widths]
+    total = sum(widths) or 1.0
+    sx = w_px / total
+    sy = h_px / (_EM_ASC - _EM_DESC)
+    pen = 0.0
+    for ch, adv in zip(text, widths):
+        gx0 = x0 + pen * sx
+        if ch in glyphs:
+            contours = [
+                [(gx0 + px * sx, y0 + (_EM_ASC - py) * sy) for px, py in c]
+                for c in glyphs[ch][1]
+            ]
+            fill_contours(canvas, contours, 0)
+        else:
+            cx0 = max(x0, int(math.floor(gx0)))
+            cx1 = min(x1, int(math.ceil(gx0 + adv * sx)))
+            if cx1 > cx0:
+                canvas[y0:y1, cx0:cx1] = _glyph_intensity(ch)
+        pen += adv
+
+
 def render_page(
     words: List[dict],
     images: List[dict],
     page_w: float = 612.0,
     page_h: float = 792.0,
     dpi: int = DEFAULT_DPI,
+    glyphs: Optional[dict] = None,
 ) -> np.ndarray:
     """Render one page to a gray8 raster at ``scale = dpi / 72`` (the
     reference's pdfium scale contract, schema/document.py rasterize path).
@@ -116,7 +199,11 @@ def render_page(
     for im in images:
         _paint_image(canvas, im["pixels"], rect_px(im["bbox"], width_px, height_px))
     for wd in words:
-        _paint_word(canvas, wd["text"], rect_px(wd["bbox"], width_px, height_px))
+        rect = rect_px(wd["bbox"], width_px, height_px)
+        if glyphs:
+            _paint_word_outlines(canvas, wd["text"], rect, glyphs)
+        else:
+            _paint_word(canvas, wd["text"], rect)
     return canvas
 
 
@@ -169,9 +256,14 @@ def _render_kernel(pages_per_bucket: int, dpi: int):
                 batch["doc_id"], batch["pdf"], batch["page_bucket"]
             ):
                 lo = int(bucket) * pages_per_bucket
-                pages = pdfparse.extract_pages(
-                    bytes(blob), lo, lo + pages_per_bucket, with_image_data=True
-                )
+                pf = pdfparse.PdfFile(bytes(blob))
+                glyphs = pf.glyph_outline_pool()  # embedded CFF outlines
+                hi = min(lo + pages_per_bucket, pf.page_count)
+                pages = []
+                for i in range(lo, hi):
+                    pg = pf.extract_page(i, with_image_data=True)
+                    pg["page_number"] = i + 1
+                    pages.append(pg)
                 for p in pages:
                     imgs = []
                     for im in p["images"]:
@@ -186,7 +278,8 @@ def _render_kernel(pages_per_bucket: int, dpi: int):
                     layout = kernels.build_page_layout(p["words"])
                     wds = layout_words(layout)
                     canvas = render_page(
-                        wds, imgs, p["width"], p["height"], dpi=dpi
+                        wds, imgs, p["width"], p["height"], dpi=dpi,
+                        glyphs=glyphs,
                     )
                     masked = mask_bboxes(canvas, [w["bbox"] for w in wds])
                     rows.append(

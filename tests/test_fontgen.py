@@ -1,0 +1,118 @@
+"""Outline font authoring + Type2 interpretation: the author -> embed ->
+parse -> interpret -> fill loop behind real-glyph page rasters (D7)."""
+
+import hashlib
+
+import numpy as np
+
+from docprompt_spark import cff, fontgen, pdfparse, pdfwrite, rasterize
+
+
+def test_cff_roundtrip_exact():
+    chars = [chr(c) for c in range(32, 127)] + ["é", "Ω", "→", "中", "ß"]
+    blob = fontgen.build_cff(chars)
+    outl = cff.cff_glyph_outlines(blob)
+    pool = fontgen.glyph_pool(chars)
+    for c in chars:
+        w, contours = outl[f"uni{ord(c):04X}"]
+        wp, cp = pool[c]
+        assert w == wp
+        assert [[tuple(p) for p in ct] for ct in contours] == [
+            [tuple(p) for p in ct] for ct in cp
+        ]
+
+
+def test_contours_nonoverlapping_and_nonempty():
+    for c in "AZaz09 ~é中":
+        contours = fontgen.glyph_contours(c)
+        assert contours, repr(c)
+        rects = []
+        for ct in contours:
+            xs = [p[0] for p in ct]
+            ys = [p[1] for p in ct]
+            rects.append((min(xs), min(ys), max(xs), max(ys)))
+        for i, a in enumerate(rects):
+            for b in rects[i + 1 :]:
+                # strict interior disjointness (even-odd == nonzero)
+                assert (
+                    a[2] <= b[0] or b[2] <= a[0] or a[3] <= b[1] or b[3] <= a[1]
+                ), (c, a, b)
+
+
+def test_curve_ops_interpret():
+    """External-font path: hand-build a charstring using curve + subr ops
+    and check the interpreter traces it without error."""
+    # width 500; 0 0 rmoveto; 100 0 50 50 0 100 rrcurveto; endchar
+    cs = (
+        fontgen._t2_num(500)
+        + fontgen._t2_num(0) + fontgen._t2_num(0) + b"\x15"
+        + fontgen._t2_num(100) + fontgen._t2_num(0)
+        + fontgen._t2_num(50) + fontgen._t2_num(50)
+        + fontgen._t2_num(0) + fontgen._t2_num(100) + b"\x08"
+        + b"\x0e"
+    )
+    interp = cff._T2Interp([], [], 0, 0)
+    w, contours = interp.run(cs)
+    assert w == 500
+    assert len(contours) == 1 and len(contours[0]) == 9  # 1 + 8 flattened
+
+
+def test_hintmask_skips_data_bytes():
+    # width 500; 10 20 hstem; hintmask(1 byte); 0 0 rmoveto; 10 hlineto; endchar
+    cs = (
+        fontgen._t2_num(500)
+        + fontgen._t2_num(10) + fontgen._t2_num(20) + bytes([1])  # hstem
+        + bytes([19, 0xFF])  # hintmask + 1 mask byte
+        + fontgen._t2_num(0) + fontgen._t2_num(0) + b"\x15"
+        + fontgen._t2_num(10) + b"\x06"
+        + b"\x0e"
+    )
+    interp = cff._T2Interp([], [], 0, 0)
+    w, contours = interp.run(cs)
+    assert w == 500 and contours == [[(0, 0), (10, 0)]]
+
+
+def test_writer_embeds_fontfile3_and_pool_parses():
+    from docprompt_spark.corpus import _gen_doc_pages
+
+    doc_id, pages = _gen_doc_pages(0, 13, 0)  # idx 0 -> F2/CID text present
+    pdf = pdfwrite.write_pdf([p for p, _, _ in pages], doc_title=doc_id)
+    pf = pdfparse.PdfFile(pdf)
+    pool = pf.glyph_outline_pool()
+    assert "A" in pool and " " in pool
+    # every char of every golden word has an outline (full charset embedded)
+    for _page, words_gt, _ in pages:
+        for wd in words_gt:
+            for ch in wd["text"]:
+                assert ch in pool, repr(ch)
+    # and the parsed pool IS the generator's pool
+    gen = fontgen.glyph_pool(pool.keys())
+    for ch, (w, contours) in pool.items():
+        assert gen[ch][0] == w
+        assert [[tuple(p) for p in c] for c in contours] == [
+            [tuple(p) for p in c] for c in gen[ch][1]
+        ]
+
+
+def test_fill_contours_square_and_evenodd_hole():
+    canvas = np.full((10, 10), 255, np.uint8)
+    rasterize.fill_contours(canvas, [[(2, 2), (8, 2), (8, 8), (2, 8)]], 0)
+    assert (canvas[3:8, 3:8] == 0).all() or (canvas[2:8, 2:8] == 0).all()
+    assert canvas[0, 0] == 255 and canvas[9, 9] == 255
+    # even-odd: inner square flips back to background
+    canvas2 = np.full((12, 12), 255, np.uint8)
+    rasterize.fill_contours(
+        canvas2,
+        [[(1, 1), (11, 1), (11, 11), (1, 11)], [(4, 4), (8, 4), (8, 8), (4, 8)]],
+        0,
+    )
+    assert canvas2[6, 6] == 255 and canvas2[2, 2] == 0
+
+
+def test_outline_render_deterministic():
+    pool = fontgen.glyph_pool("Hello")
+    words = [{"text": "Hello", "bbox": (0.1, 0.1, 0.4, 0.14)}]
+    a = rasterize.render_page(words, [], glyphs=pool)
+    b = rasterize.render_page(words, [], glyphs=pool)
+    assert hashlib.md5(a.tobytes()).hexdigest() == hashlib.md5(b.tobytes()).hexdigest()
+    assert (a < 255).any()  # ink was laid down
