@@ -142,6 +142,8 @@ def _gen_page(
             else:
                 choice = "ccitt"
             bpc, parms = 8, None
+            decode_arr = None
+            imagemask = False
             if choice == "raw":
                 data, filt, samples_gt = samples, None, samples
             elif choice == "flate":
@@ -164,6 +166,13 @@ def _gen_page(
                 parms = (
                     f"<< /K -1 /Columns {px_w} /Rows {px_h} /BlackIs1 true >>"
                 )
+                if (base >> 5) % 2 == 1:
+                    # ImageMask STENCIL (scanned-page tile form): samples
+                    # select painted-vs-transparent; the renderer composites
+                    # ink (black) only where the decoded bit is ink, leaving
+                    # the background visible elsewhere. Same payload/
+                    # media_ref; only paint semantics differ.
+                    imagemask = True
             else:
                 # baseline JPEG (DCTDecode): lossy, so the pixel ground truth
                 # is the decode of the encode (deterministic fixed-table
@@ -204,11 +213,17 @@ def _gen_page(
                     data = _jpeg.encode(arr, quality=90)
                     samples_gt = _jpeg.decode(data).tobytes()
                 filt = "DCTDecode"
+            if choice in ("raw", "flate") and (base >> 4) % 4 == 1:
+                # /Decode [1 0]: inverted component mapping (PDF §8.9.5.2) —
+                # rotated on existing `base` bits, no extra rng draws
+                decode_arr = "[1 0]"
+                samples_gt = bytes(255 - b for b in samples_gt)
             images_w.append(
                 {
                     "data": data, "filter": filt, "samples": samples_gt,
                     "width": px_w, "height": px_h, "bpc": bpc,
                     "decode_parms": parms, "colorspace": cs,
+                    "decode": decode_arr, "imagemask": imagemask,
                     "x": ix, "y": y, "w": w, "h": h,
                     # BI/ID/EI inline images (scanned-page tiles / small
                     # logos in real PDFs): rotate ~25% of figures inline on
@@ -220,6 +235,7 @@ def _gen_page(
                 {
                     "media_ref": hashlib.md5(data).hexdigest(),
                     "bbox": kernels.norm_rect_bbox(ix, y, w, h, PAGE_W, PAGE_H),
+                    "stencil": imagemask,
                 }
             )
             y -= IMG_GAP

@@ -55,22 +55,36 @@ MEDIA_SCHEMA = StructType(
 
 
 def _codec_of(xo_dict, resolve) -> str:
-    """Classify the XObject's encoding for the decode stage."""
+    """Classify the XObject's encoding for the decode stage. Post-decode
+    flags ride as ;-suffixes on the tag: ``;d10`` = /Decode [1 0] inverted
+    component mapping (§8.9.5.2), ``;mask`` = /ImageMask stencil
+    (§8.9.6.2 — painted where the decoded pixel is ink/black; the
+    renderer composites instead of pasting)."""
     filt = resolve(xo_dict.get("Filter"))
     filts = [str(f) for f in (filt if isinstance(filt, list) else [filt] if filt else [])]
     cs = str(resolve(xo_dict.get("ColorSpace", "")))
     bpc = int(resolve(xo_dict.get("BitsPerComponent", 0)) or 0)
+
+    def flags() -> str:
+        out = ""
+        dec = resolve(xo_dict.get("Decode"))
+        if dec and [float(resolve(v)) for v in dec][:2] == [1.0, 0.0]:
+            out += ";d10"
+        if resolve(xo_dict.get("ImageMask")):
+            out += ";mask"
+        return out
+
     if "DCTDecode" in filts:
-        return "dct"
+        return "dct" + flags()
     if "JPXDecode" in filts:
         return "jpx"
     gray8 = cs == "DeviceGray" and bpc == 8
     if not filts:
-        return "gray8" if gray8 else "raw-unknown"
+        return ("gray8" + flags()) if gray8 else "raw-unknown"
     if filts == ["FlateDecode"]:
-        return "flate-gray8" if gray8 else "flate-unknown"
+        return ("flate-gray8" + flags()) if gray8 else "flate-unknown"
     if filts == ["LZWDecode"]:
-        return "lzw-gray8" if gray8 else "lzw-unknown"
+        return ("lzw-gray8" + flags()) if gray8 else "lzw-unknown"
     if filts == ["CCITTFaxDecode"]:
         dp = resolve(xo_dict.get("DecodeParms", xo_dict.get("DP"))) or {}
         k = int(resolve(dp.get("K", 0)) or 0)
@@ -94,8 +108,8 @@ def _codec_of(xo_dict, resolve) -> str:
         cols = int(resolve(dp.get("Columns", 1728)) or 1728)
         rows = int(resolve(dp.get("Rows", h)) or h)
         if cols != w or rows != h:
-            return f"{base};c{cols};r{rows}"
-        return base
+            base = f"{base};c{cols};r{rows}"
+        return base + flags()
     return "unknown"
 
 
@@ -210,55 +224,60 @@ def decode_image(payload: bytes, width: int, height: int, codec: str) -> np.ndar
     * dct          — baseline grayscale JPEG via :mod:`docprompt_spark.jpeg`
                      (from-scratch Huffman + IDCT per ITU-T T.81)
 
-    Only JPX (JPEG 2000) still requires an external codec — it raises
-    NotImplementedError and callers fall back to the documented stub.
+    Post-decode flags on the tag (see :func:`_codec_of`): ``;d10`` applies
+    the /Decode [1 0] inversion; ``;mask`` marks a stencil (pixel values
+    unchanged here — compositing is the renderer's job, see
+    :func:`is_stencil`). Only JPX (JPEG 2000) still requires an external
+    codec — it raises NotImplementedError and callers fall back to the
+    documented stub.
     """
     import zlib
 
     from docprompt_spark import png as _png
 
-    if codec == "gray8":
-        return np.frombuffer(payload, dtype=np.uint8)[: width * height].reshape(
+    base, *parts = codec.split(";")
+    invert = "d10" in parts
+    cols = rows = None
+    for p in parts:
+        if p.startswith("c") and p[1:].isdigit():
+            cols = int(p[1:])
+        elif p.startswith("r") and p[1:].isdigit():
+            rows = int(p[1:])
+
+    if base == "gray8":
+        px = np.frombuffer(payload, dtype=np.uint8)[: width * height].reshape(
             height, width
         )
-    if codec == "flate-gray8":
+    elif base == "flate-gray8":
         raw = zlib.decompress(payload)
-        return np.frombuffer(raw, dtype=np.uint8)[: width * height].reshape(
+        px = np.frombuffer(raw, dtype=np.uint8)[: width * height].reshape(
             height, width
         )
-    if codec == "lzw-gray8":
+    elif base == "lzw-gray8":
         from docprompt_spark import lzw as _lzw
 
         raw = _lzw.decode(bytes(payload))
-        return np.frombuffer(raw, dtype=np.uint8)[: width * height].reshape(
+        px = np.frombuffer(raw, dtype=np.uint8)[: width * height].reshape(
             height, width
         )
-    if codec.startswith("ccitt-"):
+    elif base.startswith("ccitt-"):
         from docprompt_spark import ccitt as _ccitt
 
         # DecodeParms Columns/Rows override /Width//Height for the coded
         # geometry (see _codec_of); crop back to the XObject's raster size.
-        cols, rows = width, height
-        base = codec
-        if ";" in codec:
-            base, *parts = codec.split(";")
-            for p in parts:
-                if p.startswith("c"):
-                    cols = int(p[1:])
-                elif p.startswith("r"):
-                    rows = int(p[1:])
+        c, r = cols or width, rows or height
         if base == "ccitt-g4":
-            px = _ccitt.decode_to_gray8(bytes(payload), cols, rows)
+            px = _ccitt.decode_to_gray8(bytes(payload), c, r)
         elif base == "ccitt-g3":
-            bits = _ccitt.decode_g3_1d(bytes(payload), cols, rows)
+            bits = _ccitt.decode_g3_1d(bytes(payload), c, r)
             px = ((1 - bits) * 255).astype(np.uint8)
         else:  # ccitt-g3-2d
-            bits = _ccitt.decode_g3_mixed(bytes(payload), cols, rows)
+            bits = _ccitt.decode_g3_mixed(bytes(payload), c, r)
             px = ((1 - bits) * 255).astype(np.uint8)
-        return px[:height, :width]
-    if codec == "png":
-        return _png.decode(payload)
-    if codec == "dct":
+        px = px[:height, :width]
+    elif base == "png":
+        px = _png.decode(payload)
+    elif base == "dct":
         from docprompt_spark import jpeg as _jpeg
 
         px = _jpeg.decode(bytes(payload))
@@ -275,8 +294,18 @@ def decode_image(payload: bytes, width: int, height: int, codec: str) -> np.ndar
                 0,
                 255,
             ).astype(np.uint8)
-        return px
-    raise NotImplementedError(f"codec {codec!r} needs an external library")
+    else:
+        raise NotImplementedError(f"codec {codec!r} needs an external library")
+    if invert:
+        px = (255 - px.astype(np.int16)).astype(np.uint8)
+    return px
+
+
+def is_stencil(codec: str) -> bool:
+    """True for /ImageMask stencils: the decoded pixels select painted
+    (ink/0) vs transparent (255) — the page renderer composites instead of
+    pasting the rect."""
+    return ";mask" in codec
 
 
 def decode_or_stub(

@@ -418,9 +418,17 @@ def write_pdf(
             entries = (
                 f"/Type /XObject /Subtype /Image /Width {im['width']}"
                 f" /Height {im['height']}"
-                f" /ColorSpace /{im.get('colorspace', 'DeviceGray')}"
-                f" /BitsPerComponent {im.get('bpc', 8)}"
             )
+            if im.get("imagemask"):
+                # stencil masks carry no ColorSpace (spec §8.9.6.2)
+                entries += " /ImageMask true /BitsPerComponent 1"
+            else:
+                entries += (
+                    f" /ColorSpace /{im.get('colorspace', 'DeviceGray')}"
+                    f" /BitsPerComponent {im.get('bpc', 8)}"
+                )
+            if im.get("decode"):
+                entries += f" /Decode {im['decode']}"
             if im.get("filter"):
                 # payload arrives pre-encoded; declare without re-encoding so
                 # media_ref = md5(raw stream bytes) holds on both sides
@@ -498,8 +506,13 @@ def _inline_image_ops(im: dict) -> str:
     """BI <abbreviated dict> ID <payload> EI (payload round-trips through
     latin-1 — the content stream is assembled as str then latin-1 encoded)."""
     d = f"/W {im['width']} /H {im['height']}"
-    d += f" /CS /{_II_CS_ABBR.get(im.get('colorspace', 'DeviceGray'), 'G')}"
-    d += f" /BPC {im.get('bpc', 8)}"
+    if im.get("imagemask"):
+        d += " /IM true /BPC 1"
+    else:
+        d += f" /CS /{_II_CS_ABBR.get(im.get('colorspace', 'DeviceGray'), 'G')}"
+        d += f" /BPC {im.get('bpc', 8)}"
+    if im.get("decode"):
+        d += f" /D {im['decode']}"
     if im.get("filter"):
         # /L (PDF 2.0) pins the payload length so a reader never has to
         # guess where filtered binary ends (ws-EI-ws can occur inside it);

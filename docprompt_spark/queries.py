@@ -2696,6 +2696,7 @@ def _golden_raster_rows(n_docs=16, seed=11):
                 "pixels": np.frombuffer(im["samples"], np.uint8).reshape(
                     im["px_h"], im["px_w"]
                 ),
+                "stencil": bool(im.get("stencil")),
             }
             for im in imgs
         ]

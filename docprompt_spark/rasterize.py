@@ -70,9 +70,13 @@ def _glyph_intensity(ch: str) -> int:
     return 32 + (ord(ch) * 7) % 160
 
 
-def _paint_image(canvas: np.ndarray, pixels: np.ndarray, rect) -> None:
+def _paint_image(
+    canvas: np.ndarray, pixels: np.ndarray, rect, stencil: bool = False
+) -> None:
     """Nearest-neighbor composite of ``pixels`` into ``rect`` (integer
-    index math — no float resampling, fully deterministic)."""
+    index math — no float resampling, fully deterministic). ``stencil``
+    (an /ImageMask): paint ink (0) only where the sampled mask pixel is
+    ink, leaving the backdrop visible elsewhere (PDF §8.9.6.2)."""
     x0, y0, x1, y1 = rect
     w, h = x1 - x0, y1 - y0
     if w <= 0 or h <= 0 or pixels.size == 0:
@@ -80,7 +84,12 @@ def _paint_image(canvas: np.ndarray, pixels: np.ndarray, rect) -> None:
     src_h, src_w = pixels.shape
     yi = (np.arange(h) * src_h) // h
     xi = (np.arange(w) * src_w) // w
-    canvas[y0:y1, x0:x1] = pixels[np.ix_(yi, xi)]
+    sampled = pixels[np.ix_(yi, xi)]
+    if stencil:
+        region = canvas[y0:y1, x0:x1]
+        region[sampled == 0] = 0
+    else:
+        canvas[y0:y1, x0:x1] = sampled
 
 
 def _paint_word(canvas: np.ndarray, text: str, rect) -> None:
@@ -197,7 +206,10 @@ def render_page(
     height_px = max(1, int(round(page_h * dpi / 72.0)))
     canvas = np.full((height_px, width_px), 255, dtype=np.uint8)
     for im in images:
-        _paint_image(canvas, im["pixels"], rect_px(im["bbox"], width_px, height_px))
+        _paint_image(
+            canvas, im["pixels"], rect_px(im["bbox"], width_px, height_px),
+            stencil=bool(im.get("stencil")),
+        )
     for wd in words:
         rect = rect_px(wd["bbox"], width_px, height_px)
         if glyphs:
@@ -274,7 +286,13 @@ def _render_kernel(pages_per_bucket: int, dpi: int):
                             )
                         except Exception:
                             continue  # undecodable: skip, don't fail the task
-                        imgs.append({"bbox": im["bbox"], "pixels": px})
+                        imgs.append(
+                            {
+                                "bbox": im["bbox"],
+                                "pixels": px,
+                                "stencil": multimodal.is_stencil(im["codec"]),
+                            }
+                        )
                     layout = kernels.build_page_layout(p["words"])
                     wds = layout_words(layout)
                     canvas = render_page(

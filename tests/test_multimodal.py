@@ -140,3 +140,54 @@ def test_codec_of_emits_suffix_only_on_mismatch():
     # spec default when Columns absent
     nodp = dict(base, DecodeParms={"K": -1})
     assert multimodal._codec_of(nodp, resolve) == "ccitt-g4;c1728;r16"
+
+
+def test_decode_array_inversion_and_codec_flag():
+    import numpy as np
+
+    from docprompt_spark import multimodal
+
+    samples = bytes(range(64))
+    def resolve(x):
+        return x
+
+    xo = {"Width": 8, "Height": 8, "ColorSpace": "DeviceGray",
+          "BitsPerComponent": 8, "Decode": [1, 0]}
+    codec = multimodal._codec_of(xo, resolve)
+    assert codec == "gray8;d10"
+    px = multimodal.decode_image(samples, 8, 8, codec)
+    want = (255 - np.frombuffer(samples, np.uint8)).reshape(8, 8)
+    assert np.array_equal(px, want)
+    # without Decode: plain tag, no inversion
+    xo2 = dict(xo)
+    del xo2["Decode"]
+    assert multimodal._codec_of(xo2, resolve) == "gray8"
+
+
+def test_imagemask_stencil_flag_and_composite():
+    import numpy as np
+
+    from docprompt_spark import ccitt, multimodal, rasterize
+
+    def resolve(x):
+        return x
+
+    bits = np.zeros((8, 16), np.uint8)
+    bits[2:6, 4:12] = 1  # ink block
+    payload = ccitt.encode(bits)
+    xo = {"Width": 16, "Height": 8, "ImageMask": True, "BitsPerComponent": 1,
+          "Filter": "CCITTFaxDecode",
+          "DecodeParms": {"K": -1, "Columns": 16, "Rows": 8, "BlackIs1": True}}
+    codec = multimodal._codec_of(xo, resolve)
+    assert codec == "ccitt-g4;mask"
+    assert multimodal.is_stencil(codec)
+    px = multimodal.decode_image(payload, 16, 8, codec)
+    assert np.array_equal(px, ((1 - bits) * 255).astype(np.uint8))
+    # stencil composite: background survives where mask is not ink
+    canvas = np.full((8, 16), 200, np.uint8)
+    rasterize._paint_image(canvas, px, (0, 0, 16, 8), stencil=True)
+    assert canvas[0, 0] == 200 and canvas[3, 8] == 0
+    # non-stencil paste overwrites everything
+    canvas2 = np.full((8, 16), 200, np.uint8)
+    rasterize._paint_image(canvas2, px, (0, 0, 16, 8), stencil=False)
+    assert canvas2[0, 0] == 255
