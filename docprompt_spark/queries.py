@@ -3519,7 +3519,20 @@ def _mime_sniff_oracle_sql() -> str:
     )
 
 
+_ORACLE_SQL_CACHE: Dict[str, str] = {}
+
+
 def oracle_sql() -> Dict[str, str]:
+    """Oracle SQL per query. The generated VALUES oracles are expensive to
+    build (corpus gen incl. CFF authoring + AES-256/R6 KDF, driver-side
+    page renders), and pure — build once per process, return copies."""
+    if _ORACLE_SQL_CACHE:
+        return dict(_ORACLE_SQL_CACHE)
+    _ORACLE_SQL_CACHE.update(_build_oracle_sql())
+    return dict(_ORACLE_SQL_CACHE)
+
+
+def _build_oracle_sql() -> Dict[str, str]:
     out = {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
     out["extraction_spans_flat"] = _golden_spans_sql(_FLAGSHIP_DOCS, _FLAGSHIP_SEED)
     out["line_block_word_assignment"] = _line_block_assignment_oracle_sql()

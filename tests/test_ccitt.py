@@ -124,7 +124,9 @@ def test_pdf_integration_media_ref_and_decode():
     n = 0
     for p in pages:
         for im in p["images"]:
-            assert im["codec"] == "ccitt-g4"
+            # the corpus rotates some CCITT figures as /ImageMask stencils
+            # ((base>>5)%2): same payload/decode, compositing-only flag
+            assert im["codec"] in ("ccitt-g4", "ccitt-g4;mask")
             g = gold[im["media_ref"]]
             px = multimodal.decode_image(
                 bytes(im["payload"]), im["px_w"], im["px_h"], im["codec"]

@@ -141,3 +141,38 @@ def test_tiff_predictor():
     row = bytes([10, 5, 5, 246, 0])  # deltas decoding to 10,15,20,10,10
     out = _apply_predictor(row, {"Predictor": 2, "Columns": 5}, lambda x: x)
     assert list(out) == [10, 15, 20, 10, 10]
+
+
+import itertools
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "xref_stream,comp,enc",
+    list(
+        itertools.product(
+            [False, True],
+            [False, "flate", "lzw"],
+            [None, "rc4-40", "rc4-128", "aes-128", "aes-256"],
+        )
+    ),
+)
+def test_full_envelope_matrix_roundtrips(xref_stream, comp, enc):
+    """Every writer-envelope combination (xref form x stream filter x
+    encryption mode, 30 cells) parses back to the exact plaintext-classic
+    words/images — pinning the combined envelope matrix (r3 verdict
+    stretch #10)."""
+    from docprompt_spark import pdfparse, pdfwrite
+    from docprompt_spark.corpus import _gen_doc_pages
+
+    doc_id, pages = _gen_doc_pages(0, 17, 0)
+    pages_w = [p for p, _, _ in pages][:1]  # one page keeps aes-256 cheap
+    base = pdfparse.extract_pages(pdfwrite.write_pdf(pages_w, doc_title=doc_id))
+    pdf = pdfwrite.write_pdf(
+        pages_w, doc_title=doc_id, compress_streams=comp,
+        xref_stream=xref_stream, encrypt=enc,
+    )
+    got = pdfparse.extract_pages(pdf)
+    assert [p["words"] for p in got] == [p["words"] for p in base]
+    assert [p["images"] for p in got] == [p["images"] for p in base]
