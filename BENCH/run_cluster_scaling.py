@@ -35,7 +35,9 @@ sys.path.insert(0, REPO)
 
 import pyspark  # noqa: E402
 
-SPARK_HOME = pyspark.__path__[0]
+# the full distribution (with bin/spark-class, which the Worker needs to
+# launch executor JVMs) — falls back to the pip package layout
+SPARK_HOME = os.environ.get("SPARK_HOME") or pyspark.__path__[0]
 JARS = os.path.join(SPARK_HOME, "jars", "*")
 MASTER_URL = "spark://127.0.0.1:7077"
 
@@ -54,6 +56,9 @@ def start_cluster(n_workers: int, cores_each: int, workdir: str):
     """Master + n_workers pinned worker JVMs; returns Popen list."""
     env = dict(os.environ)
     env.setdefault("SPARK_NO_DAEMONIZE", "1")
+    env["SPARK_HOME"] = SPARK_HOME  # Worker execs bin/spark-class for executors
+    env["SPARK_SCALA_VERSION"] = "2.13"  # skip the build-dir probe
+    env.setdefault("PYSPARK_PYTHON", sys.executable)
     procs = []
     log = open(os.path.join(workdir, "cluster.log"), "ab")
     procs.append(

@@ -144,6 +144,7 @@ def _gen_page(
             bpc, parms = 8, None
             decode_arr = None
             imagemask = False
+            is_inline = (base % 8 in (3, 6)) if inline is None else inline
             if choice == "raw":
                 data, filt, samples_gt = samples, None, samples
             elif choice == "flate":
@@ -153,19 +154,32 @@ def _gen_page(
 
                 data, filt, samples_gt = _lzw.encode(samples), "LZWDecode", samples
             elif choice == "ccitt":
-                # G4 bilevel (the scanned-document path): ground truth is
-                # the thresholded raster expanded back to gray8
-                from docprompt_spark import ccitt as _ccitt
+                # bilevel (the scanned-document path): ground truth is the
+                # thresholded raster expanded back to gray8. Half the slots
+                # ((base>>6)%2, XObjects only — JBIG2Decode is not a legal
+                # inline filter) ship as embedded JBIG2 instead of raw G4:
+                # same T.6 entropy bytes wrapped in T.88 segments.
                 import numpy as _np
 
                 arr = _np.frombuffer(samples, dtype=_np.uint8).reshape(px_h, px_w)
-                data = _ccitt.encode_gray8(arr)
-                filt = "CCITTFaxDecode"
-                samples_gt = _ccitt.decode_to_gray8(data, px_w, px_h).tobytes()
+                if (base >> 6) % 2 == 1 and not is_inline and img_codec is None:
+                    # only in the default rotation: a forced 'ccitt' corpus
+                    # (extraction_ccitt_spans) stays pure CCITTFaxDecode
+                    from docprompt_spark import jbig2 as _jbig2
+
+                    data = _jbig2.encode_gray8(arr)
+                    filt = "JBIG2Decode"
+                    samples_gt = _jbig2.decode_to_gray8(data, px_w, px_h).tobytes()
+                else:
+                    from docprompt_spark import ccitt as _ccitt
+
+                    data = _ccitt.encode_gray8(arr)
+                    filt = "CCITTFaxDecode"
+                    samples_gt = _ccitt.decode_to_gray8(data, px_w, px_h).tobytes()
+                    parms = (
+                        f"<< /K -1 /Columns {px_w} /Rows {px_h} /BlackIs1 true >>"
+                    )
                 bpc = 1
-                parms = (
-                    f"<< /K -1 /Columns {px_w} /Rows {px_h} /BlackIs1 true >>"
-                )
                 if (base >> 5) % 2 == 1:
                     # ImageMask STENCIL (scanned-page tile form): samples
                     # select painted-vs-transparent; the renderer composites
@@ -228,7 +242,7 @@ def _gen_page(
                     # BI/ID/EI inline images (scanned-page tiles / small
                     # logos in real PDFs): rotate ~25% of figures inline on
                     # the existing `base` draw — no geometry change
-                    "inline": (base % 8 in (3, 6)) if inline is None else inline,
+                    "inline": is_inline,
                 }
             )
             images_gt.append(

@@ -76,6 +76,8 @@ def _codec_of(xo_dict, resolve) -> str:
 
     if "DCTDecode" in filts:
         return "dct" + flags()
+    if "JBIG2Decode" in filts:
+        return "jbig2" + flags()
     if "JPXDecode" in filts:
         return "jpx"
     gray8 = cs == "DeviceGray" and bpc == 8
@@ -275,6 +277,10 @@ def decode_image(payload: bytes, width: int, height: int, codec: str) -> np.ndar
             bits = _ccitt.decode_g3_mixed(bytes(payload), c, r)
             px = ((1 - bits) * 255).astype(np.uint8)
         px = px[:height, :width]
+    elif base == "jbig2":
+        from docprompt_spark import jbig2 as _jbig2
+
+        px = _jbig2.decode_to_gray8(bytes(payload), width, height)
     elif base == "png":
         px = _png.decode(payload)
     elif base == "dct":
