@@ -60,6 +60,10 @@ def main() -> None:
         "search_bm25_ranked",
         "ann_ivf_top5",
         "doc_length_percentiles",
+        # round-4 additions
+        "extraction_inline_image_spans",
+        "extraction_encrypted_r6_spans",
+        "media_image_features",
     ]:
         sections.append((name, formatted(reg[name][0](spark, sf))))
 
