@@ -164,10 +164,14 @@ def _gen_page(
                 arr = _np.frombuffer(samples, dtype=_np.uint8).reshape(px_h, px_w)
                 if (base >> 6) % 2 == 1 and not is_inline and img_codec is None:
                     # only in the default rotation: a forced 'ccitt' corpus
-                    # (extraction_ccitt_spans) stays pure CCITTFaxDecode
+                    # (extraction_ccitt_spans) stays pure CCITTFaxDecode.
+                    # (base>>7)%2 picks MQ-arithmetic vs MMR generic-region
+                    # coding — both real T.88 profiles.
                     from docprompt_spark import jbig2 as _jbig2
 
-                    data = _jbig2.encode_gray8(arr)
+                    data = _jbig2.encode_gray8(
+                        arr, arithmetic=(base >> 7) % 2 == 1
+                    )
                     filt = "JBIG2Decode"
                     samples_gt = _jbig2.decode_to_gray8(data, px_w, px_h).tobytes()
                 else:

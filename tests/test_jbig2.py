@@ -49,18 +49,19 @@ def test_region_offset_composites_onto_page():
     assert np.array_equal(page, want)
 
 
-def test_arithmetic_region_raises():
+def test_unsupported_gb_template_raises():
     import struct
 
     page_info = struct.pack(">IIIIBH", 4, 4, 0, 0, 0, 0)
-    region = struct.pack(">IIIIB", 4, 4, 0, 0, 0) + bytes([0]) + b"\x00"
+    # flags: MMR=0, GBTEMPLATE=1 (bits 1-2) -> unsupported
+    region = struct.pack(">IIIIB", 4, 4, 0, 0, 0) + bytes([0x02]) + b"\x00" * 4
     data = (
         jbig2._segment_header(0, jbig2.SEG_PAGE_INFO, 1, len(page_info))
         + page_info
         + jbig2._segment_header(1, jbig2.SEG_IMM_GENERIC, 1, len(region))
         + region
     )
-    with pytest.raises(ValueError, match="arithmetic"):
+    with pytest.raises(ValueError, match="template"):
         jbig2.decode(data)
 
 
@@ -98,3 +99,68 @@ def test_pdf_integration_jbig2_media_decode():
                 assert px.tobytes() == gold[im["media_ref"]]["samples"]
                 n += 1
     assert n >= 2  # the rotation actually produced JBIG2 figures
+
+
+def test_mq_coder_roundtrip_stress():
+    import random
+
+    from docprompt_spark.mq import MQEncoder, MQDecoder
+
+    rng = random.Random(1)
+    for trial in range(60):
+        n = rng.randint(1, 2000)
+        ncx = rng.choice([1, 16, 512])
+        mode = trial % 4
+        if mode == 0:
+            bits = [int(rng.random() < 0.02) for _ in range(n)]
+        elif mode == 1:
+            bits = [int(rng.random() < 0.5) for _ in range(n)]
+        elif mode == 2:
+            bits = [i % 2 for i in range(n)]
+        else:
+            bits = [1] * n
+        cxs = [rng.randrange(ncx) for _ in range(n)]
+        enc = MQEncoder(ncx)
+        for b, c in zip(bits, cxs):
+            enc.encode(b, c)
+        data = enc.flush()
+        dec = MQDecoder(data, ncx)
+        assert [dec.decode(c) for c in cxs] == bits, (trial, n, ncx, mode)
+
+
+def test_mq_compresses_biased_stream():
+    from docprompt_spark.mq import MQEncoder
+
+    enc = MQEncoder(1)
+    for _ in range(10000):
+        enc.encode(0, 0)
+    assert len(enc.flush()) < 10  # ~3 bytes for 10k same-MPS bits
+
+
+def test_arithmetic_generic_region_roundtrip():
+    rng = np.random.default_rng(7)
+    for shape in [(8, 16), (20, 33), (64, 64), (1, 1), (16, 100)]:
+        bits = (rng.integers(0, 3, size=shape) == 0).astype(np.uint8)
+        out = jbig2.decode(jbig2.encode_generic_arith(bits))
+        assert np.array_equal(out, bits), shape
+
+
+def test_arithmetic_beats_mmr_on_text_like_ink():
+    text = np.zeros((32, 120), np.uint8)
+    for i in range(0, 120, 7):
+        text[6:26, i : i + 4] = 1
+    a = jbig2.encode_generic_arith(text)
+    m = jbig2.encode_generic_mmr(text)
+    assert np.array_equal(jbig2.decode(a), text)
+    assert len(a) < len(m)
+
+
+def test_nonnominal_at_raises():
+    bits = np.ones((4, 4), np.uint8)
+    data = bytearray(jbig2.encode_generic_arith(bits))
+    # flip an AT byte inside the generic region segment
+    idx = bytes(data).find(jbig2._NOMINAL_AT)
+    assert idx > 0
+    data[idx] = 5
+    with pytest.raises(ValueError, match="nominal"):
+        jbig2.decode(bytes(data))
