@@ -203,7 +203,16 @@ def _gen_page(
                 import numpy as _np
 
                 arr = _np.frombuffer(samples, dtype=_np.uint8).reshape(px_h, px_w)
-                if base % 2 == 1:
+                use_jpx = (base >> 3) % 4 == 1 and not is_inline
+                if use_jpx:
+                    # JPEG 2000 lossless (JPXDecode — not a legal inline
+                    # filter): real 5/3 codestream, ground truth = the
+                    # original samples exactly
+                    from docprompt_spark import jpx as _jpx
+
+                    data = _jpx.encode(arr, levels=2)
+                    samples_gt = samples
+                elif base % 2 == 1:
                     rgb = _np.stack(
                         [arr, _np.roll(arr, 3, axis=1), 255 - arr], axis=-1
                     )
@@ -230,7 +239,7 @@ def _gen_page(
                 else:
                     data = _jpeg.encode(arr, quality=90)
                     samples_gt = _jpeg.decode(data).tobytes()
-                filt = "DCTDecode"
+                filt = "JPXDecode" if use_jpx else "DCTDecode"
             if choice in ("raw", "flate") and (base >> 4) % 4 == 1:
                 # /Decode [1 0]: inverted component mapping (PDF §8.9.5.2) —
                 # rotated on existing `base` bits, no extra rng draws

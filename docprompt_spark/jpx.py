@@ -1,0 +1,794 @@
+"""JPEG 2000 (ISO/IEC 15444-1) — lossless 5/3 reversible subset, from
+scratch. Retires the engine's last external-codec stub: PDF /JPXDecode
+images now really decode (the reference gets this via pdfium's bundled
+OpenJPEG).
+
+Scope (a legal, self-consistent codestream profile):
+
+* raw codestream (SOC..EOC — what PDF embeds most often), single tile,
+  single 8-bit unsigned component, no subsampling
+* 5/3 reversible wavelet (lifting, symmetric extension), any number of
+  decomposition levels
+* EBCOT Tier-1 over the shared :mod:`docprompt_spark.mq` coder: the three
+  coding passes (significance propagation, magnitude refinement, cleanup
+  with run mode), standard ZC/SC/MR context tables per band orientation
+* Tier-2: one quality layer, LRCP progression, default precincts, 64x64
+  code-blocks, tag-tree coded inclusion/zero-bitplanes, Lblock length
+  signalling, packet-header bit stuffing
+
+Out of scope (raise): multi-component/ICT, 9/7 irreversible, multiple
+tiles/layers, precinct partitions, arithmetic bypass/termination options,
+JP2 box wrapping (a JP2 container is unwrapped to its codestream first).
+
+Determinism: integer lifting + the MQ state machine — encode and decode
+are bit-stable across hosts, so media oracles can recompute pixels
+driver-side exactly like every other codec here.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Tuple
+
+import numpy as np
+
+from docprompt_spark.mq import MQDecoder, MQEncoder
+
+# ---------------------------------------------------------------------------
+# 5/3 reversible DWT (lifting, §F; symmetric extension via index clamping —
+# the clamped d/even accesses are algebraically identical to the spec's
+# whole-sample symmetric signal extension, derived in tests)
+# ---------------------------------------------------------------------------
+
+
+def _fwd1d(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """1-D 5/3 forward along the last axis: (low s, high d)."""
+    n = x.shape[-1]
+    if n == 1:
+        return x.copy(), x[..., :0]
+    nd = n // 2
+    ns = (n + 1) // 2
+
+    def X(i):
+        i = np.abs(i)
+        i = np.where(i >= n, 2 * (n - 1) - i, i)
+        return x[..., i]
+
+    ks = np.arange(nd)
+    d = X(2 * ks + 1) - ((X(2 * ks) + X(2 * ks + 2)) >> 1)
+    kl = np.arange(ns)
+    dm = d[..., np.clip(kl - 1, 0, nd - 1)]
+    dp = d[..., np.clip(kl, 0, nd - 1)]
+    s = X(2 * kl) + ((dm + dp + 2) >> 2)
+    return s, d
+
+
+def _inv1d(s: np.ndarray, d: np.ndarray, n: int) -> np.ndarray:
+    if n == 1:
+        return s.copy()
+    ns, nd = s.shape[-1], d.shape[-1]
+    kl = np.arange(ns)
+    dm = d[..., np.clip(kl - 1, 0, nd - 1)]
+    dp = d[..., np.clip(kl, 0, nd - 1)]
+    even = s - ((dm + dp + 2) >> 2)
+    kd = np.arange(nd)
+    odd = d + ((even[..., kd] + even[..., np.clip(kd + 1, 0, ns - 1)]) >> 1)
+    out = np.zeros(s.shape[:-1] + (n,), dtype=s.dtype)
+    out[..., 0::2] = even
+    out[..., 1::2] = odd
+    return out
+
+
+def dwt53_forward(img: np.ndarray, levels: int):
+    """(ll, [(hl, lh, hh) coarsest-last]) — vertical then horizontal
+    lifting per level, LL iterated."""
+    cur = img.astype(np.int32)
+    bands: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    for _ in range(levels):
+        lo, hi = _fwd1d(cur.T)  # vertical (transform columns)
+        lo, hi = lo.T, hi.T
+        ll, hl = _fwd1d(lo)  # horizontal on the low rows
+        lh, hh = _fwd1d(hi)
+        bands.append((hl, lh, hh))
+        cur = ll
+    return cur, bands
+
+
+def dwt53_inverse(ll: np.ndarray, bands) -> np.ndarray:
+    cur = ll
+    for hl, lh, hh in reversed(bands):
+        h = lh.shape[0] + cur.shape[0]
+        w = hl.shape[1] + cur.shape[1]
+        lo = _inv1d(cur, hl, w)
+        hi = _inv1d(lh, hh, w)
+        cur = _inv1d(lo.T, hi.T, h).T
+    return cur
+
+
+# ---------------------------------------------------------------------------
+# EBCOT Tier-1 (§D): bit-plane coding of one code-block over the MQ coder
+# ---------------------------------------------------------------------------
+# context indices: 0-8 zero coding, 9-13 sign coding, 14-16 magnitude
+# refinement, 17 run-length, 18 uniform
+_CTX_RL = 17
+_CTX_UNI = 18
+_N_CTX = 19
+
+
+def _init_cx(coder) -> None:
+    """Standard initial states (Table D.7): ZC ctx 0 -> state 4,
+    RL -> 3, UNIFORM -> 46, everything else 0 / MPS 0."""
+    coder.cx[0][0] = 4
+    coder.cx[_CTX_RL][0] = 3
+    coder.cx[_CTX_UNI][0] = 46
+
+
+def _zc_ctx(h: int, v: int, d: int, ori: int) -> int:
+    """Zero-coding context (Tables D.1-D.3). ori: 0 LL, 1 HL, 2 LH, 3 HH."""
+    if ori == 1:  # HL: horizontal/vertical roles swap
+        h, v = v, h
+    if ori != 3:
+        if h == 2:
+            return 8
+        if h == 1:
+            return 7 if v >= 1 else (6 if d >= 1 else 5)
+        if v == 2:
+            return 4
+        if v == 1:
+            return 3
+        return 2 if d >= 2 else d
+    s = h + v
+    if d >= 3:
+        return 8
+    if d == 2:
+        return 7 if s >= 1 else 6
+    if d == 1:
+        return 5 if s >= 2 else (4 if s == 1 else 3)
+    return 2 if s >= 2 else s
+
+
+_SC_TABLE = {  # (H, V) -> (context, xor-bit)  (Table D.4)
+    (1, 1): (13, 0), (1, 0): (12, 0), (1, -1): (11, 0),
+    (0, 1): (10, 0), (0, 0): (9, 0), (0, -1): (10, 1),
+    (-1, 1): (11, 1), (-1, 0): (12, 1), (-1, -1): (13, 1),
+}
+
+
+class _CBState:
+    """Shared encoder/decoder state for one code-block."""
+
+    def __init__(self, h: int, w: int, ori: int) -> None:
+        self.h, self.w, self.ori = h, w, ori
+        self.sig = np.zeros((h, w), dtype=np.uint8)
+        self.sgn = np.zeros((h, w), dtype=np.uint8)
+        self.visited = np.zeros((h, w), dtype=np.uint8)
+        self.refined = np.zeros((h, w), dtype=np.uint8)
+
+    def _nb(self, y: int, x: int):
+        """(h, v, d) significant-neighbour counts."""
+        sig, hh, ww = self.sig, self.h, self.w
+        hcnt = (int(sig[y, x - 1]) if x > 0 else 0) + (
+            int(sig[y, x + 1]) if x < ww - 1 else 0
+        )
+        vcnt = (int(sig[y - 1, x]) if y > 0 else 0) + (
+            int(sig[y + 1, x]) if y < hh - 1 else 0
+        )
+        dcnt = 0
+        for dy in (-1, 1):
+            yy = y + dy
+            if 0 <= yy < hh:
+                if x > 0:
+                    dcnt += int(sig[yy, x - 1])
+                if x < ww - 1:
+                    dcnt += int(sig[yy, x + 1])
+        return hcnt, vcnt, dcnt
+
+    def _sc(self, y: int, x: int):
+        """Sign context + xor from signed neighbour contributions."""
+        sig, sgn, hh, ww = self.sig, self.sgn, self.h, self.w
+
+        def contrib(yy, xx):
+            if not (0 <= yy < hh and 0 <= xx < ww) or not sig[yy, xx]:
+                return 0
+            return -1 if sgn[yy, xx] else 1
+
+        H = max(-1, min(1, contrib(y, x - 1) + contrib(y, x + 1)))
+        V = max(-1, min(1, contrib(y - 1, x) + contrib(y + 1, x)))
+        return _SC_TABLE[(H, V)]
+
+
+def t1_encode(coefs: np.ndarray, ori: int) -> Tuple[bytes, int, int]:
+    """Code one block's coefficients; returns (data, nbps, npasses)."""
+    h, w = coefs.shape
+    mag = np.abs(coefs).astype(np.int64)
+    nbps = int(mag.max()).bit_length() if mag.size else 0
+    if nbps == 0:
+        return b"", 0, 0
+    st = _CBState(h, w, ori)
+    st.sgn = (coefs < 0).astype(np.uint8)
+    enc = MQEncoder(_N_CTX)
+    _init_cx(enc)
+
+    def code_sign(y, x):
+        ctx, xor = st._sc(y, x)
+        enc.encode(int(st.sgn[y, x]) ^ xor, ctx)
+
+    for p in range(nbps - 1, -1, -1):
+        bitp = ((mag >> p) & 1).astype(np.uint8)
+        if p != nbps - 1:
+            # significance propagation pass
+            for y0 in range(0, h, 4):
+                for x in range(w):
+                    for y in range(y0, min(y0 + 4, h)):
+                        if st.sig[y, x]:
+                            continue
+                        hc, vc, dc = st._nb(y, x)
+                        if hc + vc + dc == 0:
+                            continue
+                        b = int(bitp[y, x])
+                        enc.encode(b, _zc_ctx(hc, vc, dc, ori))
+                        st.visited[y, x] = 1
+                        if b:
+                            st.sig[y, x] = 1
+                            code_sign(y, x)
+            # magnitude refinement pass
+            for y0 in range(0, h, 4):
+                for x in range(w):
+                    for y in range(y0, min(y0 + 4, h)):
+                        if not st.sig[y, x] or st.visited[y, x]:
+                            continue
+                        if st.refined[y, x]:
+                            ctx = 16
+                        else:
+                            hc, vc, dc = st._nb(y, x)
+                            ctx = 15 if hc + vc + dc else 14
+                        enc.encode(int(bitp[y, x]), ctx)
+                        st.refined[y, x] = 1
+        # cleanup pass
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                y = y0
+                ylim = min(y0 + 4, h)
+                if ylim - y0 == 4:
+                    runnable = True
+                    for yy in range(y0, y0 + 4):
+                        if st.sig[yy, x] or st.visited[yy, x]:
+                            runnable = False
+                            break
+                        hc, vc, dc = st._nb(yy, x)
+                        if hc + vc + dc:
+                            runnable = False
+                            break
+                    if runnable:
+                        first = next(
+                            (k for k in range(4) if bitp[y0 + k, x]), None
+                        )
+                        if first is None:
+                            enc.encode(0, _CTX_RL)
+                            continue
+                        enc.encode(1, _CTX_RL)
+                        enc.encode(first >> 1, _CTX_UNI)
+                        enc.encode(first & 1, _CTX_UNI)
+                        y = y0 + first
+                        st.sig[y, x] = 1
+                        code_sign(y, x)
+                        y += 1
+                while y < ylim:
+                    if not st.sig[y, x] and not st.visited[y, x]:
+                        hc, vc, dc = st._nb(y, x)
+                        b = int(bitp[y, x])
+                        enc.encode(b, _zc_ctx(hc, vc, dc, ori))
+                        if b:
+                            st.sig[y, x] = 1
+                            code_sign(y, x)
+                    y += 1
+        st.visited[:] = 0
+    return enc.flush(), nbps, 3 * nbps - 2
+
+
+def t1_decode(data: bytes, h: int, w: int, ori: int, nbps: int) -> np.ndarray:
+    """Inverse of :func:`t1_encode` (all 3*nbps-2 passes present)."""
+    if nbps == 0:
+        return np.zeros((h, w), dtype=np.int32)
+    st = _CBState(h, w, ori)
+    mag = np.zeros((h, w), dtype=np.int64)
+    dec = MQDecoder(data, _N_CTX)
+    _init_cx(dec)
+
+    def decode_sign(y, x):
+        ctx, xor = st._sc(y, x)
+        st.sgn[y, x] = dec.decode(ctx) ^ xor
+
+    for p in range(nbps - 1, -1, -1):
+        if p != nbps - 1:
+            for y0 in range(0, h, 4):
+                for x in range(w):
+                    for y in range(y0, min(y0 + 4, h)):
+                        if st.sig[y, x]:
+                            continue
+                        hc, vc, dc = st._nb(y, x)
+                        if hc + vc + dc == 0:
+                            continue
+                        b = dec.decode(_zc_ctx(hc, vc, dc, ori))
+                        st.visited[y, x] = 1
+                        if b:
+                            st.sig[y, x] = 1
+                            mag[y, x] |= 1 << p
+                            decode_sign(y, x)
+            for y0 in range(0, h, 4):
+                for x in range(w):
+                    for y in range(y0, min(y0 + 4, h)):
+                        if not st.sig[y, x] or st.visited[y, x]:
+                            continue
+                        if st.refined[y, x]:
+                            ctx = 16
+                        else:
+                            hc, vc, dc = st._nb(y, x)
+                            ctx = 15 if hc + vc + dc else 14
+                        if dec.decode(ctx):
+                            mag[y, x] |= 1 << p
+                        st.refined[y, x] = 1
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                y = y0
+                ylim = min(y0 + 4, h)
+                if ylim - y0 == 4:
+                    runnable = True
+                    for yy in range(y0, y0 + 4):
+                        if st.sig[yy, x] or st.visited[yy, x]:
+                            runnable = False
+                            break
+                        hc, vc, dc = st._nb(yy, x)
+                        if hc + vc + dc:
+                            runnable = False
+                            break
+                    if runnable:
+                        if dec.decode(_CTX_RL) == 0:
+                            continue
+                        first = (dec.decode(_CTX_UNI) << 1) | dec.decode(_CTX_UNI)
+                        y = y0 + first
+                        st.sig[y, x] = 1
+                        mag[y, x] |= 1 << p
+                        decode_sign(y, x)
+                        y += 1
+                while y < ylim:
+                    if not st.sig[y, x] and not st.visited[y, x]:
+                        hc, vc, dc = st._nb(y, x)
+                        if dec.decode(_zc_ctx(hc, vc, dc, ori)):
+                            st.sig[y, x] = 1
+                            mag[y, x] |= 1 << p
+                            decode_sign(y, x)
+                    y += 1
+        st.visited[:] = 0
+    out = mag.astype(np.int32)
+    out[st.sgn.astype(bool)] *= -1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Tier-2: bit IO with 0xFF stuffing, tag trees, packet headers (§B.10)
+# ---------------------------------------------------------------------------
+
+
+class _BioWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.buf = 0
+        self.ct = 8
+
+    def put(self, bit: int) -> None:
+        self.buf = (self.buf << 1) | (bit & 1)
+        self.ct -= 1
+        if self.ct == 0:
+            self.out.append(self.buf)
+            self.ct = 7 if self.buf == 0xFF else 8
+            self.buf = 0
+
+    def put_bits(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.put((v >> i) & 1)
+
+    def flush(self) -> bytes:
+        while self.ct not in (8, 7) or (self.ct == 7 and False):
+            self.put(0)
+        if self.ct == 7:  # pending 7-bit byte after 0xFF
+            while self.ct != 8:
+                self.put(0)
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0)
+        return bytes(self.out)
+
+
+class _BioReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.ct = 0
+        self.prev_ff = False
+
+    def get(self) -> int:
+        if self.ct == 0:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.ct = 7 if self.prev_ff else 8
+            self.prev_ff = b == 0xFF
+            self.buf = b
+        self.ct -= 1
+        return (self.buf >> self.ct) & 1
+
+    def get_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get()
+        return v
+
+    def align(self) -> int:
+        """Byte-align (consuming the post-0xFF stuffed byte) and return the
+        offset of the next un-read byte."""
+        self.ct = 0
+        if self.prev_ff:
+            self.pos += 1  # stuffed 0x00 after a terminal 0xFF
+            self.prev_ff = False
+        return self.pos
+
+
+class _TagTree:
+    """§B.10.2 tag tree (encoder and decoder share the node walk)."""
+
+    def __init__(self, w: int, h: int) -> None:
+        self.levels = []
+        while True:
+            self.levels.append((w, h))
+            if w == 1 and h == 1:
+                break
+            w, h = (w + 1) // 2, (h + 1) // 2
+        n = sum(w * h for w, h in self.levels)
+        self.value = [999999] * n
+        self.low = [0] * n
+        self.known = [False] * n
+
+    def _path(self, x: int, y: int):
+        idx = []
+        off = 0
+        for (w, h) in self.levels:
+            idx.append(off + y * w + x)
+            off += w * h
+            x, y = x // 2, y // 2
+        return list(reversed(idx))  # root first
+
+    def set(self, x: int, y: int, v: int) -> None:
+        """Leaf values; internal nodes become the min of their children."""
+        off = 0
+        for li, (w, h) in enumerate(self.levels):
+            i = off + y * w + x
+            if li == 0:
+                self.value[i] = v
+            else:
+                self.value[i] = min(self.value[i], v)
+            off += w * h
+            x, y = x // 2, y // 2
+
+    def encode(self, bw: _BioWriter, x: int, y: int, threshold: int) -> None:
+        low = 0
+        for i in self._path(x, y):
+            if low > self.low[i]:
+                self.low[i] = low
+            else:
+                low = self.low[i]
+            while low < threshold:
+                if low >= self.value[i]:
+                    if not self.known[i]:
+                        bw.put(1)
+                        self.known[i] = True
+                    break
+                bw.put(0)
+                low += 1
+            self.low[i] = low
+
+    def decode(self, br: _BioReader, x: int, y: int, threshold: int) -> bool:
+        """True iff leaf value < threshold (value learned incrementally)."""
+        low = 0
+        for i in self._path(x, y):
+            if low > self.low[i]:
+                self.low[i] = low
+            else:
+                low = self.low[i]
+            while low < threshold and low < self.value[i]:
+                if br.get():
+                    self.value[i] = low
+                else:
+                    low += 1
+            self.low[i] = low
+        leaf = self._path(x, y)[-1]
+        return self.value[leaf] < threshold
+
+
+def _put_npasses(bw: _BioWriter, n: int) -> None:
+    if n == 1:
+        bw.put(0)
+    elif n == 2:
+        bw.put_bits(0b10, 2)
+    elif n <= 5:
+        bw.put_bits(0b11, 2)
+        bw.put_bits(n - 3, 2)
+    elif n <= 36:
+        bw.put_bits(0b1111, 4)
+        bw.put_bits(n - 6, 5)
+    else:
+        bw.put_bits(0b111111111, 9)
+        bw.put_bits(n - 37, 7)
+
+
+def _get_npasses(br: _BioReader) -> int:
+    if br.get() == 0:
+        return 1
+    if br.get() == 0:
+        return 2
+    v = br.get_bits(2)
+    if v < 3:
+        return 3 + v
+    v = br.get_bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + br.get_bits(7)
+
+
+# ---------------------------------------------------------------------------
+# Codestream (§A markers) — encode/decode, single tile/component/layer, LRCP
+# ---------------------------------------------------------------------------
+
+_GUARD = 2
+_CB_EXP = 6  # 64x64 code-blocks (SPcod stores exp-2 = 4)
+
+
+def _band_layout(h: int, w: int, levels: int):
+    """Per-resolution band list: [(ori, bh, bw), ...] — res 0 is the LL,
+    res r>=1 carries (HL, LH, HH) coarsest-first; shapes mirror the
+    ceil/floor splits of dwt53_forward."""
+    shapes = []
+    ch, cw = h, w
+    for _ in range(levels):
+        shapes.append(
+            (((ch + 1) // 2, cw // 2), (ch // 2, (cw + 1) // 2), (ch // 2, cw // 2))
+        )
+        ch, cw = (ch + 1) // 2, (cw + 1) // 2
+    res = [[(0, ch, cw)]]  # LL
+    for lvl in range(levels - 1, -1, -1):
+        (hl, lh, hh) = shapes[lvl]
+        res.append([(1, hl[0], hl[1]), (2, lh[0], lh[1]), (3, hh[0], hh[1])])
+    return res
+
+
+def _marker(code: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", code, len(payload) + 2) + payload
+
+
+def _cb_grid(bh: int, bw: int):
+    return (bh + 63) // 64, (bw + 63) // 64
+
+
+def _encode_packet(band_blocks) -> bytes:
+    """One packet (single layer): band_blocks = [(grid_h, grid_w,
+    [(y, x, data, npasses, zbp), ...]), ...] in band order."""
+    bw_ = _BioWriter()
+    any_incl = any(
+        npasses > 0 for _, _, blocks in band_blocks for *_ , npasses, _z in [
+            (b[0], b[1], b[2], b[3], b[4]) for b in blocks
+        ][:0]  # placeholder; computed below
+    )
+    any_incl = any(b[3] > 0 for _, _, blocks in band_blocks for b in blocks)
+    if not any_incl:
+        bw_.put(0)
+        return bw_.flush()
+    bw_.put(1)
+    bodies = []
+    for gh, gw, blocks in band_blocks:
+        incl = _TagTree(gw, gh)
+        zbpt = _TagTree(gw, gh)
+        for (y, x, data, npasses, zbp) in blocks:
+            incl.set(x, y, 0 if npasses > 0 else 1)
+            zbpt.set(x, y, zbp)
+        for (y, x, data, npasses, zbp) in blocks:
+            incl.encode(bw_, x, y, 1)
+            if npasses == 0:
+                continue
+            zbpt.encode(bw_, x, y, 999)
+            _put_npasses(bw_, npasses)
+            lblock = 3
+            nb = lblock + (npasses.bit_length() - 1)
+            need = max(0, len(data).bit_length() - nb)
+            for _ in range(need):
+                bw_.put(1)
+            bw_.put(0)
+            lblock += need
+            bw_.put_bits(len(data), lblock + (npasses.bit_length() - 1))
+            bodies.append(data)
+    return bw_.flush() + b"".join(bodies)
+
+
+def encode(arr: np.ndarray, levels: int = 2) -> bytes:
+    """uint8 grayscale (h, w) -> lossless JPEG 2000 raw codestream."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("grayscale (h, w) arrays only")
+    h, w = arr.shape
+    shifted = arr.astype(np.int32) - 128  # DC level shift (unsigned 8-bit)
+    ll, bands = dwt53_forward(shifted, levels)
+    layout = _band_layout(h, w, levels)
+    # resolution-ordered coefficient arrays matching _band_layout
+    res_arrays = [[ll]]
+    for lvl in range(levels - 1, -1, -1):
+        hl, lh, hh = bands[lvl]
+        res_arrays.append([hl, lh, hh])
+
+    # Tier-1 everything first: per-band eps derives from actual nbps
+    coded = []  # per res: [(gh, gw, blocks)]
+    band_eps = []
+    for r, bl in enumerate(layout):
+        res_entry = []
+        for bi, (ori, bh, bw_sz) in enumerate(bl):
+            cof = res_arrays[r][bi]
+            assert cof.shape == (bh, bw_sz), (cof.shape, bh, bw_sz)
+            gh, gw = _cb_grid(bh, bw_sz)
+            blocks = []
+            band_nbps = 0
+            for cy in range(gh):
+                for cx in range(gw):
+                    cb = cof[cy * 64 : cy * 64 + 64, cx * 64 : cx * 64 + 64]
+                    data, nbps, npasses = t1_encode(cb, ori)
+                    band_nbps = max(band_nbps, nbps)
+                    blocks.append([cy, cx, data, npasses, nbps])
+            eps = max(1, band_nbps + 1 - _GUARD)
+            mb = _GUARD + eps - 1
+            for b in blocks:
+                b[4] = mb - b[4]  # nbps -> zero bit-planes
+            band_eps.append(eps)
+            res_entry.append((gh, gw, [tuple(b) for b in blocks]))
+        coded.append(res_entry)
+
+    packets = b"".join(_encode_packet(res_entry) for res_entry in coded)
+
+    siz = struct.pack(
+        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, 1
+    ) + bytes([7, 1, 1])
+    cod = bytes([0, 0, 0, 1, 0, levels, _CB_EXP - 2, _CB_EXP - 2, 0, 1])
+    qcd = bytes([(_GUARD << 5)]) + bytes(e << 3 for e in band_eps)
+    tile_payload = packets
+    sot = struct.pack(">HIBB", 0, 12 + len(tile_payload) + 2, 0, 1)
+    return (
+        b"\xff\x4f"
+        + _marker(0xFF51, siz)
+        + _marker(0xFF52, cod)
+        + _marker(0xFF5C, qcd)
+        + _marker(0xFF90, sot)
+        + b"\xff\x93"
+        + tile_payload
+        + b"\xff\xd9"
+    )
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Lossless 5/3 codestream (raw or inside a JP2 'jp2c' box) -> uint8."""
+    if data[:4] == b"\x00\x00\x00\x0c" and data[4:8] == b"jP  ":
+        i = data.find(b"jp2c")
+        if i < 0:
+            raise ValueError("JP2 container without a jp2c codestream box")
+        data = data[i + 4 :]
+    if data[:2] != b"\xff\x4f":
+        raise ValueError("not a JPEG 2000 codestream (no SOC)")
+    pos = 2
+    h = w = None
+    levels = None
+    band_eps: List[int] = []
+    guard = _GUARD
+    tile_data = None
+    while pos + 4 <= len(data):
+        code = struct.unpack(">H", data[pos : pos + 2])[0]
+        if code == 0xFFD9:
+            break
+        if code == 0xFF93:  # SOD: rest of tile is packet data until EOC
+            tile_data = data[pos + 2 : data.rfind(b"\xff\xd9")]
+            break
+        ln = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        payload = data[pos + 4 : pos + 2 + ln]
+        if code == 0xFF51:  # SIZ
+            rsiz, xs, ys, xo, yo, xt, yt, xto, yto, ncomp = struct.unpack(
+                ">HIIIIIIIIH", payload[:36]
+            )
+            if ncomp != 1 or xo or yo or (xt, yt) != (xs, ys):
+                raise ValueError("multi-component/offset/tiled JPX unsupported")
+            if payload[36] != 7:
+                raise ValueError("only 8-bit unsigned components")
+            w, h = xs, ys
+        elif code == 0xFF52:  # COD
+            if payload[0] != 0 or payload[1] != 0 or payload[4] != 0:
+                raise ValueError("progression/precinct options unsupported")
+            nlayers = struct.unpack(">H", payload[2:4])[0]
+            if nlayers != 1:
+                raise ValueError("multiple layers unsupported")
+            levels = payload[5]
+            if payload[6] != _CB_EXP - 2 or payload[7] != _CB_EXP - 2:
+                raise ValueError("only 64x64 code-blocks")
+            if payload[8] != 0 or payload[9] != 1:
+                raise ValueError("only default cb style + 5/3 transform")
+        elif code == 0xFF5C:  # QCD
+            guard = payload[0] >> 5
+            if payload[0] & 0x1F:
+                raise ValueError("only no-quantization (reversible) QCD")
+            band_eps = [b >> 3 for b in payload[1:]]
+        pos += 2 + ln
+    if h is None or levels is None or tile_data is None:
+        raise ValueError("missing SIZ/COD/SOD")
+
+    layout = _band_layout(h, w, levels)
+    br_pos = 0
+    res_arrays = []
+    band_idx = 0
+    for bl in layout:
+        res_bands = []
+        br = _BioReader(tile_data[br_pos:])
+        headers = []
+        if br.get() == 0:  # empty packet
+            for (ori, bh, bw_sz) in bl:
+                res_bands.append(np.zeros((bh, bw_sz), dtype=np.int32))
+                band_idx += 1
+            br_pos += br.align()
+            res_arrays.append(res_bands)
+            continue
+        for (ori, bh, bw_sz) in bl:
+            gh, gw = _cb_grid(bh, bw_sz)
+            incl = _TagTree(gw, gh)
+            zbpt = _TagTree(gw, gh)
+            blocks = []
+            for cy in range(gh):
+                for cx in range(gw):
+                    if not incl.decode(br, cx, cy, 1):
+                        blocks.append(None)
+                        continue
+                    t = 1
+                    while not zbpt.decode(br, cx, cy, t):
+                        t += 1
+                    zbp = t - 1
+                    npasses = _get_npasses(br)
+                    lblock = 3
+                    while br.get():
+                        lblock += 1
+                    nb = lblock + (npasses.bit_length() - 1)
+                    cb_len = br.get_bits(nb)
+                    blocks.append((zbp, npasses, cb_len))
+            headers.append(blocks)
+        body_off = br_pos + br.align()
+        for (ori, bh, bw_sz), blocks in zip(bl, headers):
+            eps = band_eps[band_idx] if band_idx < len(band_eps) else 8
+            mb = guard + eps - 1
+            band_idx += 1
+            cof = np.zeros((bh, bw_sz), dtype=np.int32)
+            gh, gw = _cb_grid(bh, bw_sz)
+            k = 0
+            for cy in range(gh):
+                for cx in range(gw):
+                    blk = blocks[k]
+                    k += 1
+                    if blk is None:
+                        continue
+                    zbp, npasses, cb_len = blk
+                    cb_data = tile_data[body_off : body_off + cb_len]
+                    body_off += cb_len
+                    cbh = min(64, bh - cy * 64)
+                    cbw = min(64, bw_sz - cx * 64)
+                    cof[cy * 64 : cy * 64 + cbh, cx * 64 : cx * 64 + cbw] = (
+                        t1_decode(cb_data, cbh, cbw, ori, mb - zbp)
+                    )
+            res_bands.append(cof)
+        br_pos = body_off
+        res_arrays.append(res_bands)
+
+    ll = res_arrays[0][0]
+    bands = []
+    for r in range(1, len(res_arrays)):
+        hl, lh, hh = res_arrays[r]
+        bands.append((hl, lh, hh))
+    bands = list(reversed(bands))  # back to finest-first
+    img = dwt53_inverse(ll, bands) + 128
+    return np.clip(img, 0, 255).astype(np.uint8)

@@ -12,12 +12,12 @@ extracted from the corpus PDFs' image XObjects (content-addressed:
 extraction pipeline — joinable on ``media_ref``).
 
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` kernels. The decode step is REAL for lossless codecs —
-raw/Flate grayscale samples (how actual PDFs store lossless images) and full
-PNG via :mod:`docprompt_spark.png` (zlib+numpy, no external libs). Only
-DCT (JPEG) / JPX decoding, which genuinely needs codec libraries absent from
-this container, falls back to a clearly-marked deterministic stub
-(`_fake_decode`) behind an import-try.
+``mapInPandas`` kernels. The decode step is REAL for every codec the
+corpus ships, with no external libraries: raw/Flate/LZW grayscale, PNG
+(:mod:`png`), JPEG incl. progressive + color (:mod:`jpeg`), CCITT G3/G4
+(:mod:`ccitt`), JBIG2 (:mod:`jbig2`), and JPEG 2000 lossless 5/3
+(:mod:`jpx`). ``decode_or_stub`` degrades to a deterministic fake only for
+CORRUPT payloads or unknown codec tags — no format stubs remain.
 """
 
 from __future__ import annotations
@@ -79,7 +79,7 @@ def _codec_of(xo_dict, resolve) -> str:
     if "JBIG2Decode" in filts:
         return "jbig2" + flags()
     if "JPXDecode" in filts:
-        return "jpx"
+        return "jpx" + flags()
     gray8 = cs == "DeviceGray" and bpc == 8
     if not filts:
         return ("gray8" + flags()) if gray8 else "raw-unknown"
@@ -197,7 +197,7 @@ def media_table(docs_df: DataFrame, pages_per_bucket: int = 16) -> DataFrame:
 # Codec stub
 # ---------------------------------------------------------------------------
 
-try:  # JPX needs an external codec, not in this container
+try:  # optional: only used to cross-check codecs when present
     from PIL import Image  # noqa: F401
 
     _HAVE_PIL = True
@@ -206,9 +206,9 @@ except ImportError:
 
 
 def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB codec for formats needing external libraries (JPX only now):
-    deterministic fake 'pixels' derived from the raw bytes. Real deployment:
-    swap for PIL/turbojpeg. Lossless paths below are REAL."""
+    """Deterministic fallback 'pixels' for CORRUPT payloads only — every
+    shipped codec (raw/Flate/LZW/PNG/JPEG incl. progressive/CCITT/JBIG2/
+    JPEG 2000) now decodes for real; no format stubs remain."""
     w = max(int(width), 1)
     h = max(int(height), 1)
     arr = np.frombuffer(payload, dtype=np.uint8)
@@ -229,9 +229,9 @@ def decode_image(payload: bytes, width: int, height: int, codec: str) -> np.ndar
     Post-decode flags on the tag (see :func:`_codec_of`): ``;d10`` applies
     the /Decode [1 0] inversion; ``;mask`` marks a stencil (pixel values
     unchanged here — compositing is the renderer's job, see
-    :func:`is_stencil`). Only JPX (JPEG 2000) still requires an external
-    codec — it raises NotImplementedError and callers fall back to the
-    documented stub.
+    :func:`is_stencil`). JPEG 2000 (jpx) decodes through the from-scratch
+    lossless 5/3 codec in :mod:`docprompt_spark.jpx` — no codec stubs
+    remain; NotImplementedError fires only for genuinely unknown tags.
     """
     import zlib
 
@@ -281,6 +281,10 @@ def decode_image(payload: bytes, width: int, height: int, codec: str) -> np.ndar
         from docprompt_spark import jbig2 as _jbig2
 
         px = _jbig2.decode_to_gray8(bytes(payload), width, height)
+    elif base == "jpx":
+        from docprompt_spark import jpx as _jpx
+
+        px = _jpx.decode(bytes(payload))
     elif base == "png":
         px = _png.decode(payload)
     elif base == "dct":
@@ -301,7 +305,7 @@ def decode_image(payload: bytes, width: int, height: int, codec: str) -> np.ndar
                 255,
             ).astype(np.uint8)
     else:
-        raise NotImplementedError(f"codec {codec!r} needs an external library")
+        raise NotImplementedError(f"unknown codec tag {codec!r}")
     if invert:
         px = (255 - px.astype(np.int16)).astype(np.uint8)
     return px
@@ -318,12 +322,12 @@ def decode_or_stub(
     payload: bytes, width: int, height: int, codec: str = "unknown"
 ) -> np.ndarray:
     """Real decode when the codec allows it; deterministic stub for codecs
-    needing external libraries (JPX) and for corrupt payloads — feature
+    for corrupt payloads and unknown tags — feature
     jobs degrade per-image instead of failing the task."""
     try:
         return decode_image(payload, width, height, codec)
     except Exception:
-        # NotImplementedError (JPX stub) and any corrupt-payload failure
+        # unknown-tag NotImplementedError and any corrupt-payload failure
         # (zlib.error, IndexError/KeyError/struct.error from truncated
         # PNG/JPEG streams, ValueError) — degrade per-image, never fail
         # the whole Spark task.

@@ -1,0 +1,110 @@
+"""JPEG 2000 lossless 5/3 subset (docprompt_spark.jpx): DWT, EBCOT Tier-1,
+tag trees, full codestream, and PDF integration — the engine's last
+external-codec stub retired."""
+
+import numpy as np
+import pytest
+
+from docprompt_spark import jpx
+
+
+def test_dwt53_roundtrip_exact():
+    rng = np.random.default_rng(0)
+    for shape in [(8, 8), (16, 24), (17, 23), (1, 1), (5, 1), (1, 7), (31, 2)]:
+        img = rng.integers(0, 256, size=shape).astype(np.int32)
+        for levels in (1, 2, 3):
+            ll, bands = jpx.dwt53_forward(img, levels)
+            assert np.array_equal(jpx.dwt53_inverse(ll, bands), img), (shape, levels)
+
+
+def test_tier1_roundtrip_all_orientations():
+    rng = np.random.default_rng(1)
+    for trial in range(24):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        ori = int(rng.integers(0, 4))
+        mode = trial % 3
+        if mode == 0:
+            c = rng.integers(-1000, 1001, size=(h, w)).astype(np.int32)
+        elif mode == 1:
+            c = np.zeros((h, w), np.int32)
+            c[int(rng.integers(0, h)), int(rng.integers(0, w))] = 517
+        else:
+            c = np.zeros((h, w), np.int32)
+        data, nbps, _ = jpx.t1_encode(c, ori)
+        assert np.array_equal(jpx.t1_decode(data, h, w, ori, nbps), c)
+
+
+def test_codestream_roundtrip_exact():
+    rng = np.random.default_rng(2)
+    for shape in [(8, 8), (17, 23), (64, 64), (100, 80)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for levels in (1, 2, 3):
+            out = jpx.decode(jpx.encode(img, levels))
+            assert np.array_equal(out, img), (shape, levels)
+
+
+def test_multi_codeblock_band():
+    """Band > 64px exercises the code-block grid + tag trees over >1 leaf."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(200, 160), dtype=np.uint8)
+    assert np.array_equal(jpx.decode(jpx.encode(img, 1)), img)
+
+
+def test_structured_images():
+    x = np.linspace(0, 255, 80).astype(np.uint8)
+    for img in [np.tile(x, (60, 1)), np.full((32, 32), 7, np.uint8),
+                np.zeros((16, 16), np.uint8)]:
+        assert np.array_equal(jpx.decode(jpx.encode(img, 2)), img)
+
+
+def test_jp2_box_unwrap():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    cs = jpx.encode(img, 1)
+    jp2 = (
+        b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+        + b"\x00\x00\x00\x14ftypjp2 \x00\x00\x00\x00jp2 "
+        + (len(cs) + 8).to_bytes(4, "big") + b"jp2c" + cs
+    )
+    assert np.array_equal(jpx.decode(jp2), img)
+
+
+def test_bitstream_deterministic():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    assert jpx.encode(img, 2) == jpx.encode(img, 2)
+
+
+def test_unsupported_features_raise():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = bytearray(jpx.encode(img, 1))
+    # flip transform byte in COD (last SPcod byte) to 9/7 (0)
+    import struct
+    pos = data.find(struct.pack(">H", 0xFF52))
+    ln = struct.unpack(">H", bytes(data[pos + 2 : pos + 4]))[0]
+    data[pos + 2 + ln - 1] = 0
+    with pytest.raises(ValueError):
+        jpx.decode(bytes(data))
+
+
+def test_pdf_integration_jpx_media_decode():
+    from docprompt_spark import corpus, multimodal, pdfparse
+
+    n = 0
+    for idx in range(40):
+        doc = corpus.gen_doc(idx, seed=42, skew_every=0)
+        _, gen_pages = corpus._gen_doc_pages(idx, 42, 0)
+        gold = {}
+        for page_w, _, images_gt in gen_pages:
+            for gt, wrec in zip(images_gt, page_w["images"]):
+                gold[gt["media_ref"]] = wrec
+        pf = pdfparse.PdfFile(bytes(doc["pdf"]))
+        for i in range(pf.page_count):
+            for im in pf.extract_page(i, with_image_data=True)["images"]:
+                if not im["codec"].startswith("jpx"):
+                    continue
+                px = multimodal.decode_image(
+                    bytes(im["payload"]), im["px_w"], im["px_h"], im["codec"]
+                )
+                assert px.tobytes() == gold[im["media_ref"]]["samples"]
+                n += 1
+    assert n >= 2  # rotation produced JPX figures

@@ -88,13 +88,16 @@ def test_lossless_codecs_decode_real_pixels():
         multimodal.decode_image(zlib.compress(samples), 6, 4, "flate-gray8") == arr
     ).all()
     assert (multimodal.decode_image(png.encode(arr), 6, 4, "png") == arr).all()
-    # dct is REAL now (docprompt_spark.jpeg); jpx still needs external libs
-    from docprompt_spark import jpeg
+    # dct and jpx are both REAL now (docprompt_spark.jpeg / .jpx)
+    from docprompt_spark import jpeg, jpx
 
     jarr = multimodal.decode_image(jpeg.encode(arr, 95), 6, 4, "dct")
     assert jarr.shape == (4, 6)
+    assert (multimodal.decode_image(jpx.encode(arr, 1), 6, 4, "jpx") == arr).all()
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"anything", 2, 2, "jpx")  # garbage payload
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"anything", 2, 2, "jpx")
+        multimodal.decode_image(b"x", 1, 1, "no-such-codec")
     # corrupt payloads fall back to the deterministic stub, not a crash
     fake = multimodal.decode_or_stub(b"\xff\xd8truncated", 2, 2, "dct")
     assert fake.shape == (2, 2)
