@@ -389,13 +389,10 @@ class _BioWriter:
             self.put((v >> i) & 1)
 
     def flush(self) -> bytes:
-        while self.ct not in (8, 7) or (self.ct == 7 and False):
+        while self.ct != 8:  # pad the partial byte (incl. post-0xFF 7-bit)
             self.put(0)
-        if self.ct == 7:  # pending 7-bit byte after 0xFF
-            while self.ct != 8:
-                self.put(0)
         if self.out and self.out[-1] == 0xFF:
-            self.out.append(0)
+            self.out.append(0)  # terminal 0xFF needs its stuffed byte
         return bytes(self.out)
 
 
