@@ -338,6 +338,32 @@ def _gen_doc_pages(
     ]
 
 
+def writer_entry_codec(w: dict) -> str:
+    """The codec tag the media pipeline will assign to a writer image
+    entry — computed by running the REAL classifier over the equivalent
+    XObject dict (oracle side of codec-sensitive queries)."""
+    from docprompt_spark.multimodal import _codec_of
+
+    d: dict = {"Width": w["width"], "Height": w["height"]}
+    if w.get("imagemask"):
+        d["ImageMask"] = True
+        d["BitsPerComponent"] = 1
+    else:
+        d["ColorSpace"] = w.get("colorspace", "DeviceGray")
+        d["BitsPerComponent"] = w.get("bpc", 8)
+    if w.get("decode"):
+        d["Decode"] = [1, 0]
+    if w.get("filter"):
+        d["Filter"] = w["filter"]
+    if w.get("decode_parms"):
+        # the corpus only emits CCITT G4 parms with matching geometry
+        d["DecodeParms"] = {
+            "K": -1, "Columns": w["width"], "Rows": w["height"],
+            "BlackIs1": True,
+        }
+    return _codec_of(d, lambda x: x)
+
+
 def golden_page_layouts(
     n_docs: int, seed: int = 42, skew_every: int = 47, img_codec: str = None
 ):
@@ -356,6 +382,7 @@ def golden_page_layouts(
                 im["samples"] = w["samples"]
                 im["px_w"] = w["width"]
                 im["px_h"] = w["height"]
+                im["codec"] = writer_entry_codec(w)
             yield doc_id, p + 1, kernels.build_page_layout(words_gt), gt
 
 

@@ -75,8 +75,11 @@ _PRIORITY_NAMES = [
     # pinned in-window: unique real-codec oracle that has silently fallen
     # out of the 50-slot window twice before (VERDICT r3 nit #1)
     "media_png_export",
+    # full codec-rotation evidence (jpx/jbig2/ccitt/dct + flag variants)
+    "media_codec_histogram",
 ]
 _LOW_PRIORITY_NAMES = [
+    "fuzzy_term_match",  # (F17) same indel-ratio kernel exercised in-window by provenance_refined_search (D19)
     "size_capped_batching",  # (D3-D5) dup of page_bucket_batching (in-window)
     "avg_word_len_by_lang",  # (A4) dup of q1-family aggs + local oracle
     "bbox_combine_by_brand",  # (A6) kernel + property tests cover combine
@@ -2210,6 +2213,20 @@ def media_inventory(spark, sf_dir):
     )
 
 
+def media_codec_histogram(spark, sf_dir):
+    """Per-codec media counts + byte totals over the full codec rotation —
+    one row per codec tag (gray8/flate/lzw, dct, jpx, jbig2, ccitt, with
+    ;d10 / ;mask flag variants): direct evidence that every from-scratch
+    codec (png/jpeg/ccitt/jbig2/mq/jpx) participates in the pipeline.
+    Oracle: the generator's writer entries classified by the SAME
+    _codec_of over equivalent XObject dicts."""
+    media = _corpus_media(spark)
+    return media.groupBy("codec").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
 def media_image_features(spark, sf_dir):
     """REAL pixel decode (raw/Flate gray8 — docprompt_spark.multimodal.
     decode_image) → per-image intensity/edge features, rounded for the
@@ -2754,6 +2771,7 @@ def _masked_rasters_oracle_sql() -> str:
 
 for _n, _f in [
     ("media_inventory", media_inventory),
+    ("media_codec_histogram", media_codec_histogram),
     ("media_image_features", media_image_features),
     ("media_thumbnails", media_thumbnails),
     ("media_frame_samples", media_frame_samples),
@@ -3471,6 +3489,29 @@ def _page_stats_oracle_sql() -> str:
     )
 
 
+def _media_codec_histogram_oracle_sql() -> str:
+    """Per-codec counts/bytes from the generator ground truth (16 docs,
+    seed 11), codec tags via corpus.writer_entry_codec == the pipeline's
+    classifier."""
+    from collections import defaultdict
+
+    from docprompt_spark.corpus import golden_page_layouts
+
+    agg = defaultdict(lambda: [0, 0])
+    for _d, _pn, _layout, imgs in golden_page_layouts(16, seed=11, skew_every=0):
+        for im in imgs:
+            agg[im["codec"]][0] += 1
+            agg[im["codec"]][1] += im["n_bytes"]
+    rows = [
+        f"({_sql_quote(c)},{n},{b})" for c, (n, b) in sorted(agg.items())
+    ]
+    return (
+        "SELECT codec, CAST(n_media AS BIGINT) AS n_media,"
+        " CAST(total_bytes AS BIGINT) AS total_bytes"
+        " FROM (VALUES " + ",".join(rows) + ") AS t(codec, n_media, total_bytes)"
+    )
+
+
 def _media_inventory_oracle_sql() -> str:
     """media_inventory golden from ground-truth images (16 docs, seed 11)."""
     from collections import defaultdict
@@ -3540,6 +3581,7 @@ def _build_oracle_sql() -> Dict[str, str]:
     out["textblock_block_rollup"] = _textblock_blocks_oracle_sql()
     out["extraction_page_stats"] = _page_stats_oracle_sql()
     out["media_inventory"] = _media_inventory_oracle_sql()
+    out["media_codec_histogram"] = _media_codec_histogram_oracle_sql()
     out["provenance_search"] = _provenance_search_oracle_sql()
     out["mime_sniff_stats"] = _mime_sniff_oracle_sql()
     out["media_image_features"] = _media_features_oracle_sql()
