@@ -206,12 +206,30 @@ def _gen_page(
                 use_jpx = (base >> 3) % 4 == 1 and not is_inline
                 if use_jpx:
                     # JPEG 2000 lossless (JPXDecode — not a legal inline
-                    # filter): real 5/3 codestream, ground truth = the
-                    # original samples exactly
+                    # filter): real 5/3 codestream; odd `base` emits RGB
+                    # (3 components, no MCT) whose ground truth is the
+                    # BT.601 luma of the ORIGINAL rgb (lossless decode,
+                    # same reduction the media pipeline applies)
                     from docprompt_spark import jpx as _jpx
 
-                    data = _jpx.encode(arr, levels=2)
-                    samples_gt = samples
+                    if base % 2 == 1:
+                        rgb = _np.stack(
+                            [arr, _np.roll(arr, 3, axis=1), 255 - arr], axis=-1
+                        )
+                        data = _jpx.encode(rgb, levels=2)
+                        samples_gt = _np.clip(
+                            _np.round(
+                                0.299 * rgb[:, :, 0].astype(_np.float64)
+                                + 0.587 * rgb[:, :, 1]
+                                + 0.114 * rgb[:, :, 2]
+                            ),
+                            0,
+                            255,
+                        ).astype(_np.uint8).tobytes()
+                        cs = "DeviceRGB"
+                    else:
+                        data = _jpx.encode(arr, levels=2)
+                        samples_gt = samples
                 elif base % 2 == 1:
                     rgb = _np.stack(
                         [arr, _np.roll(arr, 3, axis=1), 255 - arr], axis=-1

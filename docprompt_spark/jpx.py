@@ -605,50 +605,73 @@ def _encode_packet(band_blocks) -> bytes:
 
 
 def encode(arr: np.ndarray, levels: int = 2) -> bytes:
-    """uint8 grayscale (h, w) -> lossless JPEG 2000 raw codestream."""
+    """uint8 grayscale (h, w) OR RGB (h, w, 3) -> lossless JPEG 2000 raw
+    codestream (components coded independently, no MCT; LRCP packet order
+    iterates components inside each resolution)."""
     arr = np.asarray(arr, dtype=np.uint8)
-    if arr.ndim != 2:
-        raise ValueError("grayscale (h, w) arrays only")
-    h, w = arr.shape
-    shifted = arr.astype(np.int32) - 128  # DC level shift (unsigned 8-bit)
-    ll, bands = dwt53_forward(shifted, levels)
+    if arr.ndim == 2:
+        comps = [arr]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        comps = [arr[:, :, k] for k in range(3)]
+    else:
+        raise ValueError("grayscale (h, w) or RGB (h, w, 3) arrays only")
+    h, w = comps[0].shape
     layout = _band_layout(h, w, levels)
-    # resolution-ordered coefficient arrays matching _band_layout
-    res_arrays = [[ll]]
-    for lvl in range(levels - 1, -1, -1):
-        hl, lh, hh = bands[lvl]
-        res_arrays.append([hl, lh, hh])
+    n_bands = sum(len(bl) for bl in layout)
 
-    # Tier-1 everything first: per-band eps derives from actual nbps
-    coded = []  # per res: [(gh, gw, blocks)]
-    band_eps = []
-    for r, bl in enumerate(layout):
-        res_entry = []
-        for bi, (ori, bh, bw_sz) in enumerate(bl):
-            cof = res_arrays[r][bi]
-            assert cof.shape == (bh, bw_sz), (cof.shape, bh, bw_sz)
-            gh, gw = _cb_grid(bh, bw_sz)
-            blocks = []
-            band_nbps = 0
-            for cy in range(gh):
-                for cx in range(gw):
-                    cb = cof[cy * 64 : cy * 64 + 64, cx * 64 : cx * 64 + 64]
-                    data, nbps, npasses = t1_encode(cb, ori)
-                    band_nbps = max(band_nbps, nbps)
-                    blocks.append([cy, cx, data, npasses, nbps])
-            eps = max(1, band_nbps + 1 - _GUARD)
-            mb = _GUARD + eps - 1
-            for b in blocks:
-                b[4] = mb - b[4]  # nbps -> zero bit-planes
-            band_eps.append(eps)
-            res_entry.append((gh, gw, [tuple(b) for b in blocks]))
-        coded.append(res_entry)
+    # Tier-1 everything first: QCD is shared across components, so per-band
+    # eps derives from the max nbps over all components
+    coded = []  # per comp: per res: (gh, gw, [[cy,cx,data,npasses,nbps]])
+    band_max = [0] * n_bands
+    for comp in comps:
+        shifted = comp.astype(np.int32) - 128  # DC level shift
+        ll, bands = dwt53_forward(shifted, levels)
+        res_arrays = [[ll]]
+        for lvl in range(levels - 1, -1, -1):
+            res_arrays.append(list(bands[lvl]))
+        comp_coded = []
+        bidx = 0
+        for r, bl in enumerate(layout):
+            res_entry = []
+            for bi, (ori, bh, bw_sz) in enumerate(bl):
+                cof = res_arrays[r][bi]
+                assert cof.shape == (bh, bw_sz), (cof.shape, bh, bw_sz)
+                gh, gw = _cb_grid(bh, bw_sz)
+                blocks = []
+                for cy in range(gh):
+                    for cx in range(gw):
+                        cb = cof[cy * 64 : cy * 64 + 64, cx * 64 : cx * 64 + 64]
+                        data, nbps, npasses = t1_encode(cb, ori)
+                        band_max[bidx] = max(band_max[bidx], nbps)
+                        blocks.append([cy, cx, data, npasses, nbps])
+                res_entry.append((gh, gw, blocks))
+                bidx += 1
+            comp_coded.append(res_entry)
+        coded.append(comp_coded)
 
-    packets = b"".join(_encode_packet(res_entry) for res_entry in coded)
+    band_eps = [max(1, m + 1 - _GUARD) for m in band_max]
+    for comp_coded in coded:
+        bidx = 0
+        for res_entry in comp_coded:
+            for gh, gw, blocks in res_entry:
+                mb = _GUARD + band_eps[bidx] - 1
+                for b in blocks:
+                    b[4] = mb - b[4]  # nbps -> zero bit-planes
+                bidx += 1
+
+    # LRCP, single layer: for each resolution, one packet per component
+    packets = b"".join(
+        _encode_packet(
+            [(gh, gw, [tuple(b) for b in blocks]) for gh, gw, blocks in
+             coded[c][r]]
+        )
+        for r in range(len(layout))
+        for c in range(len(comps))
+    )
 
     siz = struct.pack(
-        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, 1
-    ) + bytes([7, 1, 1])
+        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, len(comps)
+    ) + bytes([7, 1, 1] * len(comps))
     cod = bytes([0, 0, 0, 1, 0, levels, _CB_EXP - 2, _CB_EXP - 2, 0, 1])
     qcd = bytes([(_GUARD << 5)]) + bytes(e << 3 for e in band_eps)
     tile_payload = packets
@@ -693,10 +716,11 @@ def decode(data: bytes) -> np.ndarray:
             rsiz, xs, ys, xo, yo, xt, yt, xto, yto, ncomp = struct.unpack(
                 ">HIIIIIIIIH", payload[:36]
             )
-            if ncomp != 1 or xo or yo or (xt, yt) != (xs, ys):
-                raise ValueError("multi-component/offset/tiled JPX unsupported")
-            if payload[36] != 7:
-                raise ValueError("only 8-bit unsigned components")
+            if ncomp not in (1, 3) or xo or yo or (xt, yt) != (xs, ys):
+                raise ValueError("offset/tiled/odd-component JPX unsupported")
+            for k in range(ncomp):
+                if payload[36 + 3 * k] != 7 or payload[37 + 3 * k] != 1:
+                    raise ValueError("only 8-bit unsigned unsubsampled comps")
             w, h = xs, ys
         elif code == 0xFF52:  # COD
             if payload[0] != 0 or payload[1] != 0 or payload[4] != 0:
@@ -720,72 +744,75 @@ def decode(data: bytes) -> np.ndarray:
 
     layout = _band_layout(h, w, levels)
     br_pos = 0
-    res_arrays = []
-    band_idx = 0
-    for bl in layout:
-        res_bands = []
-        br = _BioReader(tile_data[br_pos:])
-        headers = []
-        if br.get() == 0:  # empty packet
+    res_arrays = [[] for _ in range(ncomp)]  # per comp: per res band list
+    # LRCP with one layer: packets iterate resolution-major, component-minor
+    for r, bl in enumerate(layout):
+        for c in range(ncomp):
+            band_idx = sum(len(layout[rr]) for rr in range(r))
+            res_bands = []
+            br = _BioReader(tile_data[br_pos:])
+            headers = []
+            if br.get() == 0:  # empty packet
+                for (ori, bh, bw_sz) in bl:
+                    res_bands.append(np.zeros((bh, bw_sz), dtype=np.int32))
+                br_pos += br.align()
+                res_arrays[c].append(res_bands)
+                continue
             for (ori, bh, bw_sz) in bl:
-                res_bands.append(np.zeros((bh, bw_sz), dtype=np.int32))
+                gh, gw = _cb_grid(bh, bw_sz)
+                incl = _TagTree(gw, gh)
+                zbpt = _TagTree(gw, gh)
+                blocks = []
+                for cy in range(gh):
+                    for cx in range(gw):
+                        if not incl.decode(br, cx, cy, 1):
+                            blocks.append(None)
+                            continue
+                        t = 1
+                        while not zbpt.decode(br, cx, cy, t):
+                            t += 1
+                        zbp = t - 1
+                        npasses = _get_npasses(br)
+                        lblock = 3
+                        while br.get():
+                            lblock += 1
+                        nb = lblock + (npasses.bit_length() - 1)
+                        cb_len = br.get_bits(nb)
+                        blocks.append((zbp, npasses, cb_len))
+                headers.append(blocks)
+            body_off = br_pos + br.align()
+            for (ori, bh, bw_sz), blocks in zip(bl, headers):
+                eps = band_eps[band_idx] if band_idx < len(band_eps) else 8
+                mb = guard + eps - 1
                 band_idx += 1
-            br_pos += br.align()
-            res_arrays.append(res_bands)
-            continue
-        for (ori, bh, bw_sz) in bl:
-            gh, gw = _cb_grid(bh, bw_sz)
-            incl = _TagTree(gw, gh)
-            zbpt = _TagTree(gw, gh)
-            blocks = []
-            for cy in range(gh):
-                for cx in range(gw):
-                    if not incl.decode(br, cx, cy, 1):
-                        blocks.append(None)
-                        continue
-                    t = 1
-                    while not zbpt.decode(br, cx, cy, t):
-                        t += 1
-                    zbp = t - 1
-                    npasses = _get_npasses(br)
-                    lblock = 3
-                    while br.get():
-                        lblock += 1
-                    nb = lblock + (npasses.bit_length() - 1)
-                    cb_len = br.get_bits(nb)
-                    blocks.append((zbp, npasses, cb_len))
-            headers.append(blocks)
-        body_off = br_pos + br.align()
-        for (ori, bh, bw_sz), blocks in zip(bl, headers):
-            eps = band_eps[band_idx] if band_idx < len(band_eps) else 8
-            mb = guard + eps - 1
-            band_idx += 1
-            cof = np.zeros((bh, bw_sz), dtype=np.int32)
-            gh, gw = _cb_grid(bh, bw_sz)
-            k = 0
-            for cy in range(gh):
-                for cx in range(gw):
-                    blk = blocks[k]
-                    k += 1
-                    if blk is None:
-                        continue
-                    zbp, npasses, cb_len = blk
-                    cb_data = tile_data[body_off : body_off + cb_len]
-                    body_off += cb_len
-                    cbh = min(64, bh - cy * 64)
-                    cbw = min(64, bw_sz - cx * 64)
-                    cof[cy * 64 : cy * 64 + cbh, cx * 64 : cx * 64 + cbw] = (
-                        t1_decode(cb_data, cbh, cbw, ori, mb - zbp)
-                    )
-            res_bands.append(cof)
-        br_pos = body_off
-        res_arrays.append(res_bands)
+                cof = np.zeros((bh, bw_sz), dtype=np.int32)
+                gh, gw = _cb_grid(bh, bw_sz)
+                k = 0
+                for cy in range(gh):
+                    for cx in range(gw):
+                        blk = blocks[k]
+                        k += 1
+                        if blk is None:
+                            continue
+                        zbp, npasses, cb_len = blk
+                        cb_data = tile_data[body_off : body_off + cb_len]
+                        body_off += cb_len
+                        cbh = min(64, bh - cy * 64)
+                        cbw = min(64, bw_sz - cx * 64)
+                        cof[cy * 64 : cy * 64 + cbh, cx * 64 : cx * 64 + cbw] = (
+                            t1_decode(cb_data, cbh, cbw, ori, mb - zbp)
+                        )
+                res_bands.append(cof)
+            br_pos = body_off
+            res_arrays[c].append(res_bands)
 
-    ll = res_arrays[0][0]
-    bands = []
-    for r in range(1, len(res_arrays)):
-        hl, lh, hh = res_arrays[r]
-        bands.append((hl, lh, hh))
-    bands = list(reversed(bands))  # back to finest-first
-    img = dwt53_inverse(ll, bands) + 128
-    return np.clip(img, 0, 255).astype(np.uint8)
+    planes = []
+    for c in range(ncomp):
+        ll = res_arrays[c][0][0]
+        bands = [tuple(res_arrays[c][r]) for r in range(1, len(res_arrays[c]))]
+        bands = list(reversed(bands))  # back to finest-first
+        img = dwt53_inverse(ll, bands) + 128
+        planes.append(np.clip(img, 0, 255).astype(np.uint8))
+    if ncomp == 1:
+        return planes[0]
+    return np.stack(planes, axis=-1)

@@ -285,6 +285,17 @@ def decode_image(payload: bytes, width: int, height: int, codec: str) -> np.ndar
         from docprompt_spark import jpx as _jpx
 
         px = _jpx.decode(bytes(payload))
+        if px.ndim == 3:
+            # RGB JPX -> luma, same BT.601 reduction as color JPEG
+            px = np.clip(
+                np.round(
+                    0.299 * px[:, :, 0]
+                    + 0.587 * px[:, :, 1]
+                    + 0.114 * px[:, :, 2]
+                ),
+                0,
+                255,
+            ).astype(np.uint8)
     elif base == "png":
         px = _png.decode(payload)
     elif base == "dct":

@@ -108,3 +108,30 @@ def test_pdf_integration_jpx_media_decode():
                 assert px.tobytes() == gold[im["media_ref"]]["samples"]
                 n += 1
     assert n >= 2  # rotation produced JPX figures
+
+
+def test_rgb_roundtrip_exact():
+    rng = np.random.default_rng(4)
+    for shape in [(8, 8, 3), (17, 23, 3), (40, 32, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for levels in (1, 2):
+            out = jpx.decode(jpx.encode(img, levels))
+            assert out.shape == img.shape and np.array_equal(out, img)
+
+
+def test_rgb_media_decode_reduces_to_luma():
+    from docprompt_spark import multimodal
+
+    rng = np.random.default_rng(6)
+    rgb = rng.integers(0, 256, size=(12, 20, 3), dtype=np.uint8)
+    px = multimodal.decode_image(jpx.encode(rgb, 1), 20, 12, "jpx")
+    want = np.clip(
+        np.round(
+            0.299 * rgb[:, :, 0].astype(np.float64)
+            + 0.587 * rgb[:, :, 1]
+            + 0.114 * rgb[:, :, 2]
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    assert np.array_equal(px, want)
