@@ -332,15 +332,16 @@ def cff_code_to_name(data: bytes) -> Dict[int, str]:
                     sids.append(int.from_bytes(data[p : p + 2], "big"))
                     p += 2
             elif fmt in (1, 2):
-                step = 1 if fmt == 1 else 2
+                # Range1 = {SID first:2, Card8 nLeft:1} (3 bytes);
+                # Range2 = {SID first:2, Card16 nLeft:2} (4 bytes).
                 while len(sids) < nglyphs:
                     first = int.from_bytes(data[p : p + 2], "big")
                     nleft = (
                         data[p + 2]
                         if fmt == 1
-                        else int.from_bytes(data[p + 3 : p + 5], "big")
+                        else int.from_bytes(data[p + 2 : p + 4], "big")
                     )
-                    p += 2 + (1 if fmt == 1 else 2)
+                    p += 3 if fmt == 1 else 4
                     for k in range(nleft + 1):
                         sids.append(first + k)
             else:
@@ -591,8 +592,6 @@ class _T2Interp:
         """First stack-clearing op: an extra leading operand is the width
         delta from nominalWidthX."""
         if self.width is None:
-            if len(self.stack) % 2 == (1 if even_args % 2 == 0 else 0) and len(self.stack) > 0:
-                pass
             self.width = self.nominal_width  # default: no extra operand
             extra = len(self.stack) - even_args
             if even_args < 0:  # variable arg count (stems): odd count = width
@@ -812,14 +811,16 @@ def cff_glyph_outlines(data: bytes):
                     sids.append(int.from_bytes(data[p : p + 2], "big"))
                     p += 2
             elif fmt in (1, 2):
+                # Range1 = {SID first:2, Card8 nLeft:1} (3 bytes);
+                # Range2 = {SID first:2, Card16 nLeft:2} (4 bytes).
                 while len(sids) < nglyphs:
                     first = int.from_bytes(data[p : p + 2], "big")
                     nleft = (
                         data[p + 2]
                         if fmt == 1
-                        else int.from_bytes(data[p + 3 : p + 5], "big")
+                        else int.from_bytes(data[p + 2 : p + 4], "big")
                     )
-                    p += 3 if fmt == 1 else 5
+                    p += 3 if fmt == 1 else 4
                     for k in range(nleft + 1):
                         sids.append(first + k)
             else:

@@ -134,12 +134,17 @@ def _mk_index(items: Sequence[bytes]) -> bytes:
     return bytes(out)
 
 
-def build_cff(chars: Sequence[str], font_name: str = "DSOutline") -> bytes:
+def build_cff(
+    chars: Sequence[str],
+    font_name: str = "DSOutline",
+    charset_format: int = 0,
+) -> bytes:
     """A complete, real CFF (Type1C) font program: glyph 0 = .notdef, then
     one outline glyph per char (sorted by codepoint), all named uniXXXX,
     encoding format 0 mapping single-byte codes for chars < 256, charset
-    format 0 over custom SIDs, one Private DICT (nominal/default width 0).
-    Round-trips exactly through cff.cff_glyph_outlines."""
+    over custom SIDs (format 0, or 1/2 range-coded — the SIDs are
+    consecutive so ranges are exact), one Private DICT (nominal/default
+    width 0). Round-trips exactly through cff.cff_glyph_outlines."""
     from docprompt_spark.pdfwrite import char_width_pm
 
     chars = sorted(set(chars), key=ord)
@@ -157,10 +162,29 @@ def build_cff(chars: Sequence[str], font_name: str = "DSOutline") -> bytes:
     # reachable by name, which is how the rasterizer harvests them)
     enc_gids = [c for c in chars if ord(c) < 256]
     encoding = bytes([0, len(enc_gids)]) + bytes(ord(c) for c in enc_gids)
-    # charset fmt 0: SID per gid 1..n-1
-    charset = b"\x00" + b"".join(
-        (391 + i).to_bytes(2, "big") for i in range(len(chars))
-    )
+    if charset_format == 0:
+        # fmt 0: SID per gid 1..n-1
+        charset = b"\x00" + b"".join(
+            (391 + i).to_bytes(2, "big") for i in range(len(chars))
+        )
+    elif charset_format in (1, 2):
+        # fmt 1: Range1 {first:2, nLeft:1}; fmt 2: Range2 {first:2, nLeft:2}.
+        # Chunk the consecutive SID run into short ranges so the parser's
+        # range loop and stride are actually exercised (>1 record).
+        chunk = 3
+        parts = [bytes([charset_format])]
+        i = 0
+        while i < len(chars):
+            n = min(chunk, len(chars) - i)
+            parts.append((391 + i).to_bytes(2, "big"))
+            if charset_format == 1:
+                parts.append(bytes([n - 1]))
+            else:
+                parts.append((n - 1).to_bytes(2, "big"))
+            i += n
+        charset = b"".join(parts)
+    else:
+        raise ValueError(f"unsupported charset_format {charset_format}")
     charstrings_index = _mk_index(charstrings)
     private = (
         _dict_num(0) + bytes([20])  # defaultWidthX

@@ -569,11 +569,6 @@ def _encode_packet(band_blocks) -> bytes:
     """One packet (single layer): band_blocks = [(grid_h, grid_w,
     [(y, x, data, npasses, zbp), ...]), ...] in band order."""
     bw_ = _BioWriter()
-    any_incl = any(
-        npasses > 0 for _, _, blocks in band_blocks for *_ , npasses, _z in [
-            (b[0], b[1], b[2], b[3], b[4]) for b in blocks
-        ][:0]  # placeholder; computed below
-    )
     any_incl = any(b[3] > 0 for _, _, blocks in band_blocks for b in blocks)
     if not any_incl:
         bw_.put(0)

@@ -116,3 +116,19 @@ def test_outline_render_deterministic():
     b = rasterize.render_page(words, [], glyphs=pool)
     assert hashlib.md5(a.tobytes()).hexdigest() == hashlib.md5(b.tobytes()).hexdigest()
     assert (a < 255).any()  # ink was laid down
+
+
+def test_charset_format_1_and_2_roundtrip():
+    """Range-coded charsets (Range1 = 3 bytes, Range2 = 4 bytes — nLeft at
+    offset +2 in both) must parse identically to the flat format-0 charset,
+    through BOTH parse paths (outline harvest and code->name decode)."""
+    chars = [chr(c) for c in range(48, 58)] + ["é", "Ω"]
+    blobs = {f: fontgen.build_cff(chars, charset_format=f) for f in (0, 1, 2)}
+    assert blobs[1] != blobs[0] and blobs[2] != blobs[0] and blobs[2] != blobs[1]
+
+    base_outlines = cff.cff_glyph_outlines(blobs[0])
+    base_names = cff.cff_code_to_name(blobs[0])
+    assert base_outlines and base_names
+    for f in (1, 2):
+        assert cff.cff_glyph_outlines(blobs[f]) == base_outlines, f"fmt {f}"
+        assert cff.cff_code_to_name(blobs[f]) == base_names, f"fmt {f}"
