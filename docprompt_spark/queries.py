@@ -46,9 +46,11 @@ def registry() -> Dict[str, Tuple[QueryFn, Optional[str]]]:
 # provenance / textblock queries last and they silently fell outside the
 # window (VERDICT.md r2 "What's missing" #1).  ``_ordered_names`` puts the
 # engine's core — the extraction pipeline and the queries new this round —
-# first, and lets redundant TPC-H-ish entries (whose operator families are
-# double-covered by another in-window query, a fixture-parity test, or the
-# local oracle suite) be the ones that overflow.
+# first, and lets redundant TPC-H-ish entries and secondary variants
+# (each double-covered by another in-window query, a fixture-parity test,
+# or the local oracle suite — noted per entry below) be the ones that
+# overflow.  tests/test_traceability.py asserts OPERATORS.md's counts and
+# the window membership against this registry, so doc drift fails CI.
 _PRIORITY_NAMES = [
     # flagship extraction / provenance / textblock (r2's dropped 8)
     "extraction_spans_flat",
