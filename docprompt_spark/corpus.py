@@ -165,13 +165,21 @@ def _gen_page(
                 if (base >> 6) % 2 == 1 and not is_inline and img_codec is None:
                     # only in the default rotation: a forced 'ccitt' corpus
                     # (extraction_ccitt_spans) stays pure CCITTFaxDecode.
-                    # (base>>7)%2 picks MQ-arithmetic vs MMR generic-region
-                    # coding — both real T.88 profiles.
+                    # (base>>3)%2 (a bit only the dct branch's jpx pick
+                    # reads — free here) picks SYMBOL-coded pages (symbol
+                    # dict + text region, the dominant real-scan profile);
+                    # else (base>>7)%2 picks MQ-arithmetic vs MMR generic-
+                    # region coding — all three real T.88 profiles.
                     from docprompt_spark import jbig2 as _jbig2
 
-                    data = _jbig2.encode_gray8(
-                        arr, arithmetic=(base >> 7) % 2 == 1
-                    )
+                    if (base >> 3) % 2 == 1:
+                        # corpus dims (w%8==0, h%4==0) divide the (4,8)
+                        # tile grid exactly — lossless over the threshold
+                        data = _jbig2.encode_gray8_symbols(arr)
+                    else:
+                        data = _jbig2.encode_gray8(
+                            arr, arithmetic=(base >> 7) % 2 == 1
+                        )
                     filt = "JBIG2Decode"
                     samples_gt = _jbig2.decode_to_gray8(data, px_w, px_h).tobytes()
                 else:
@@ -379,7 +387,7 @@ def writer_entry_codec(w: dict) -> str:
             "K": -1, "Columns": w["width"], "Rows": w["height"],
             "BlackIs1": True,
         }
-    return _codec_of(d, lambda x: x)
+    return _codec_of(d, lambda x: x, w["data"])
 
 
 def golden_page_layouts(

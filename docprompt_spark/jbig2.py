@@ -13,9 +13,16 @@ BOTH generic-region codings:
   over the from-scratch :mod:`docprompt_spark.mq` coder — the coding real
   scanned-document producers emit.
 
+plus SYMBOL-CODED pages — the dominant JBIG2 mode in real scanned PDFs:
+symbol dictionaries (type 0, §6.5) and text regions (types 6/7, §6.4)
+decoded with the Annex-A arithmetic integer procedures (IADH/IADW/IAEX/
+IADT/IAFS/IADS/IAIT and the IAID tree decoder) over the same MQ coder.
+
 Segments produced/consumed:
 
 * page information (type 48, §7.4.8)
+* symbol dictionary (type 0, §7.4.3 — arithmetic profile)
+* immediate (lossless) text region (types 6/7, §7.4.4)
 * immediate lossless generic region (type 39, §7.4.6)
 * end of page (type 49)
 
@@ -23,8 +30,8 @@ Segment header parsing (§7.2) is complete — segment number, flags,
 referred-to segment count + retain bits (incl. the long form), 1- or
 4-byte page association, data length — so foreign embedded streams with
 extra segments are walked correctly. Out of scope (raise): non-zero GB
-templates, non-nominal AT pixels, TPGDON, symbol dictionaries + text
-regions (halftone/refinement likewise).
+templates, non-nominal AT pixels, TPGDON, Huffman-coded dictionaries,
+refinement/aggregate symbol coding, halftone regions.
 
 Bitmap convention: JBIG2 codes 1 = black ink. :func:`decode` returns the
 ink bitmap; the media pipeline maps it to viewer gray via
@@ -152,9 +159,11 @@ def decode(data: bytes, width: Optional[int] = None,
     """Embedded JBIG2 stream -> ink bitmap (1 = black) for the first page.
 
     Generic regions decode through the shared T.6 machinery (MMR=1) or the
-    MQ arithmetic coder (MMR=0, template 0) and composite onto the page at
-    their region offsets (comb op OR — the only op the encoder emits;
-    others reduce to OR for ink-on-blank pages). Symbol/text/halftone
+    MQ arithmetic coder (MMR=0, template 0); SYMBOL-CODED pages decode
+    through symbol dictionary (type 0) + text region (types 6/7) segments
+    (§6.4-6.5, Annex A integer procedures). Regions composite onto the
+    page at their offsets (comb op OR — the only op the encoder emits;
+    others reduce to OR for ink-on-blank pages). Halftone/refinement
     regions raise (out of scope; the reference defers to pdfium)."""
     from docprompt_spark import ccitt
 
@@ -168,7 +177,20 @@ def decode(data: bytes, width: Optional[int] = None,
             else:
                 page_w = w
     regions = []
+    sym_exports = {}  # segment number -> exported symbol bitmaps
     for s in segs:
+        if s.seg_type == SEG_SYMBOL_DICT:
+            sym_exports[s.number] = decode_symbol_dict(s.data)
+            continue
+        if s.seg_type in _TEXT_TYPES:
+            if s.seg_type == 4:
+                raise ValueError("JBIG2 intermediate text regions unsupported")
+            syms: List[np.ndarray] = []
+            for ref in s.referred:
+                syms.extend(sym_exports.get(ref, []))
+            rx, ry, bits = decode_text_region(s.data, syms)
+            regions.append((rx, ry, bits))
+            continue
         if s.seg_type not in _GENERIC_TYPES:
             continue
         rw, rh, rx, ry, _comb = struct.unpack(">IIIIB", s.data[:17])
@@ -187,7 +209,7 @@ def decode(data: bytes, width: Optional[int] = None,
             bits = _decode_generic_arith(s.data[26:], rw, rh)
         regions.append((rx, ry, bits))
     if not regions:
-        raise ValueError("no generic region segment found")
+        raise ValueError("no region segment found")
     if page_w is None or page_h is None:
         page_w = max(rx + b.shape[1] for rx, _, b in regions)
         page_h = max(ry + b.shape[0] for _, ry, b in regions)
@@ -235,15 +257,16 @@ def _row_bits(row, x0: int, n: int, w: int) -> int:
     return v
 
 
-def encode_generic_arith(bits: np.ndarray, page: int = 1) -> bytes:
-    """Ink bitmap -> embedded JBIG2 stream with an MQ-coded (MMR=0,
-    template 0) immediate lossless generic region — the coding real
-    scanned-document producers emit."""
-    from docprompt_spark.mq import MQEncoder
+def _new_cx(n: int) -> list:
+    """A fresh [state, mps] context array for one T.88 context space."""
+    return [[0, 0] for _ in range(n)]
 
-    bits = np.asarray(bits, dtype=np.uint8)
+
+def _generic_encode_into(enc, gb_cx, bits: np.ndarray) -> None:
+    """MQ-encode one template-0 generic bitmap into a shared encoder with
+    a caller-owned GB context array (symbol dictionaries code every symbol
+    bitmap through ONE codestream + ONE context set, §6.5.8.2.1)."""
     h, w = bits.shape
-    enc = MQEncoder(1 << 16)
     zrow = np.zeros(w, dtype=np.uint8)
     for y in range(h):
         r2 = bits[y - 2] if y >= 2 else zrow
@@ -255,7 +278,37 @@ def encode_generic_arith(bits: np.ndarray, page: int = 1) -> bytes:
                 | (_row_bits(r1, x - 3, 7, w) << 4)
                 | _row_bits(r0, x - 4, 4, w)
             )
-            enc.encode(int(r0[x]), ctx)
+            enc.encode(int(r0[x]), ctx, gb_cx)
+
+
+def _generic_decode_from(dec, gb_cx, rw: int, rh: int) -> np.ndarray:
+    """Mirror of :func:`_generic_encode_into` over a shared decoder."""
+    out = np.zeros((rh, rw), dtype=np.uint8)
+    zrow = np.zeros(rw, dtype=np.uint8)
+    for y in range(rh):
+        r2 = out[y - 2] if y >= 2 else zrow
+        r1 = out[y - 1] if y >= 1 else zrow
+        r0 = out[y]
+        for x in range(rw):
+            ctx = (
+                (_row_bits(r2, x - 2, 5, rw) << 11)
+                | (_row_bits(r1, x - 3, 7, rw) << 4)
+                | _row_bits(r0, x - 4, 4, rw)
+            )
+            r0[x] = dec.decode(ctx, gb_cx)
+    return out
+
+
+def encode_generic_arith(bits: np.ndarray, page: int = 1) -> bytes:
+    """Ink bitmap -> embedded JBIG2 stream with an MQ-coded (MMR=0,
+    template 0) immediate lossless generic region — the coding real
+    scanned-document producers emit."""
+    from docprompt_spark.mq import MQEncoder
+
+    bits = np.asarray(bits, dtype=np.uint8)
+    h, w = bits.shape
+    enc = MQEncoder(1)
+    _generic_encode_into(enc, _new_cx(1 << 16), bits)
     mqdata = enc.flush()
 
     page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0, 0)
@@ -273,18 +326,463 @@ def encode_generic_arith(bits: np.ndarray, page: int = 1) -> bytes:
 def _decode_generic_arith(data: bytes, rw: int, rh: int) -> np.ndarray:
     from docprompt_spark.mq import MQDecoder
 
-    dec = MQDecoder(data, 1 << 16)
-    out = np.zeros((rh, rw), dtype=np.uint8)
-    zrow = np.zeros(rw, dtype=np.uint8)
-    for y in range(rh):
-        r2 = out[y - 2] if y >= 2 else zrow
-        r1 = out[y - 1] if y >= 1 else zrow
-        r0 = out[y]
-        for x in range(rw):
-            ctx = (
-                (_row_bits(r2, x - 2, 5, rw) << 11)
-                | (_row_bits(r1, x - 3, 7, rw) << 4)
-                | _row_bits(r0, x - 4, 4, rw)
-            )
-            r0[x] = dec.decode(ctx)
+    return _generic_decode_from(MQDecoder(data, 1), _new_cx(1 << 16), rw, rh)
+
+
+# ---------------------------------------------------------------------------
+# Symbol dictionaries + text regions (T.88 §6.4-6.5, §7.4.3-7.4.4, Annex A)
+# ---------------------------------------------------------------------------
+#
+# Text regions are THE dominant JBIG2 mode in real scanned PDFs: a page is
+# coded as a dictionary of distinct small bitmaps ("symbols", each an MQ
+# generic region sharing one codestream + one GB context set) plus a list
+# of placements decoded with the Annex-A arithmetic INTEGER procedures
+# (IADH/IADW/IAEX for the dictionary; IADT/IAFS/IADS/IAIT/IAID for the
+# region). The reference decodes these through pdfium (_pdfium.py:126-151);
+# here both directions are from scratch over :mod:`docprompt_spark.mq`.
+#
+# Arithmetic profile only (SDHUFF=0, SDREFAGG=0, template 0, nominal AT) —
+# the profile mainstream encoders emit. Huffman-coded dictionaries and
+# refinement/aggregate coding raise.
+
+SEG_SYMBOL_DICT = 0
+SEG_IMM_TEXT = 6
+SEG_IMM_LOSSLESS_TEXT = 7
+_TEXT_TYPES = (4, SEG_IMM_TEXT, SEG_IMM_LOSSLESS_TEXT)
+
+_OOB = None  # Annex A out-of-band return
+
+# REFCORNER codes (§7.4.4.1.1)
+_BOTTOMLEFT, _TOPLEFT, _BOTTOMRIGHT, _TOPRIGHT = 0, 1, 2, 3
+
+
+def _int_decode(dec, cx) -> Optional[int]:
+    """T.88 Annex A.2 arithmetic integer decoding (IAx): a sign bit, a
+    unary-ish bucket prefix, then 2/4/6/8/12/32 magnitude bits, every bit
+    decoded in a PREV-addressed 512-entry context space."""
+    prev = 1
+
+    def bit() -> int:
+        nonlocal prev
+        b = dec.decode(prev, cx)
+        prev = (prev << 1) | b if prev < 256 else ((((prev << 1) | b) & 511) | 256)
+        return b
+
+    def bits(n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | bit()
+        return v
+
+    s = bit()
+    if not bit():
+        v = bits(2)
+    elif not bit():
+        v = bits(4) + 4
+    elif not bit():
+        v = bits(6) + 20
+    elif not bit():
+        v = bits(8) + 84
+    elif not bit():
+        v = bits(12) + 340
+    else:
+        v = bits(32) + 4436
+    if s:
+        return -v if v > 0 else _OOB
+    return v
+
+
+_INT_BUCKETS = ((2, 0), (4, 4), (6, 20), (8, 84), (12, 340), (32, 4436))
+
+
+def _int_encode(enc, cx, value: Optional[int]) -> None:
+    """Annex A.2 mirror. ``None`` encodes OOB (sign 1, magnitude 0)."""
+    prev = 1
+
+    def bit(b: int) -> None:
+        nonlocal prev
+        enc.encode(b, prev, cx)
+        prev = (prev << 1) | b if prev < 256 else ((((prev << 1) | b) & 511) | 256)
+
+    if value is _OOB:
+        s, v = 1, 0
+    else:
+        s, v = (1, -value) if value < 0 else (0, value)
+    bit(s)
+    for i, (n, off) in enumerate(_INT_BUCKETS):
+        hi = off + (1 << n) - 1 if n < 32 else None
+        if hi is None or v <= hi:
+            for _ in range(i):
+                bit(1)
+            if i < len(_INT_BUCKETS) - 1:
+                bit(0)
+            m = v - off
+            for k in range(n - 1, -1, -1):
+                bit((m >> k) & 1)
+            return
+    raise AssertionError("unreachable")
+
+
+def _iaid_decode(dec, cx, symcodelen: int) -> int:
+    """Annex A.3: SYMCODELEN tree-addressed bits; context space is
+    2^(SYMCODELEN+1) entries, PREV never clamps."""
+    prev = 1
+    for _ in range(symcodelen):
+        prev = (prev << 1) | dec.decode(prev, cx)
+    return prev - (1 << symcodelen)
+
+
+def _iaid_encode(enc, cx, symcodelen: int, sym_id: int) -> None:
+    prev = 1
+    for k in range(symcodelen - 1, -1, -1):
+        b = (sym_id >> k) & 1
+        enc.encode(b, prev, cx)
+        prev = (prev << 1) | b
+
+
+def _symcodelen(n_syms: int) -> int:
+    """max(1, ceil(log2(SBNUMSYMS))) — the T.88 amendment form jbig2dec
+    uses; exact for every n >= 1."""
+    n = max(1, n_syms)
+    return max(1, (n - 1).bit_length())
+
+
+def decode_symbol_dict(data: bytes) -> List[np.ndarray]:
+    """Symbol dictionary segment data -> exported symbol bitmaps (§6.5).
+
+    Arithmetic profile: SDHUFF=0, SDREFAGG=0, SDTEMPLATE=0, nominal AT.
+    Height classes decode via IADH/IADW deltas; every symbol bitmap is a
+    template-0 generic region over ONE shared MQ decoder + GB context set;
+    the export list comes from IAEX run lengths (§6.5.10)."""
+    from docprompt_spark.mq import MQDecoder
+
+    (flags,) = struct.unpack(">H", data[:2])
+    pos = 2
+    sdhuff = flags & 1
+    sdrefagg = (flags >> 1) & 1
+    sdtemplate = (flags >> 10) & 3
+    if sdhuff or sdrefagg:
+        raise ValueError("JBIG2 Huffman/refinement symbol dicts unsupported")
+    if sdtemplate != 0:
+        raise ValueError(f"JBIG2 SDTEMPLATE {sdtemplate} unsupported")
+    at = data[pos : pos + 8]
+    pos += 8
+    if at != _NOMINAL_AT:
+        raise ValueError("non-nominal JBIG2 AT pixels unsupported")
+    n_ex, n_new = struct.unpack(">II", data[pos : pos + 8])
+    pos += 8
+
+    dec = MQDecoder(data[pos:], 1)
+    gb = _new_cx(1 << 16)
+    iadh, iadw, iaex = _new_cx(512), _new_cx(512), _new_cx(512)
+
+    new_syms: List[np.ndarray] = []
+    hc_height = 0
+    while len(new_syms) < n_new:
+        dh = _int_decode(dec, iadh)
+        if dh is _OOB:
+            raise ValueError("JBIG2 symbol dict: OOB height-class delta")
+        hc_height += dh
+        sym_width = 0
+        while True:
+            dw = _int_decode(dec, iadw)
+            if dw is _OOB:
+                break
+            sym_width += dw
+            if sym_width <= 0 or hc_height <= 0 or len(new_syms) >= n_new:
+                raise ValueError("JBIG2 symbol dict: invalid symbol size")
+            new_syms.append(_generic_decode_from(dec, gb, sym_width, hc_height))
+
+    # §6.5.10 export flags: alternating no-export/export run lengths
+    exported: List[np.ndarray] = []
+    idx, cur = 0, 0
+    while idx < len(new_syms):
+        run = _int_decode(dec, iaex)
+        if run is _OOB or run < 0:
+            raise ValueError("JBIG2 symbol dict: bad export run")
+        if cur:
+            exported.extend(new_syms[idx : idx + run])
+        idx += run
+        cur = 1 - cur
+    if len(exported) != n_ex:
+        raise ValueError(
+            f"JBIG2 symbol dict: exported {len(exported)} != SDNUMEXSYMS {n_ex}"
+        )
+    return exported
+
+
+def encode_symbol_dict(symbols: List[np.ndarray]) -> bytes:
+    """Symbols (ink bitmaps, EXPORT ORDER = input order after the caller's
+    height/width sort) -> symbol dictionary segment data. Caller must pass
+    symbols sorted by (height, width) so the IADH/IADW deltas are the
+    canonical non-negative ones real encoders emit."""
+    from docprompt_spark.mq import MQEncoder
+
+    enc = MQEncoder(1)
+    gb = _new_cx(1 << 16)
+    iadh, iadw, iaex = _new_cx(512), _new_cx(512), _new_cx(512)
+
+    hc_height = 0
+    i = 0
+    while i < len(symbols):
+        h = symbols[i].shape[0]
+        _int_encode(enc, iadh, h - hc_height)
+        hc_height = h
+        sym_width = 0
+        while i < len(symbols) and symbols[i].shape[0] == h:
+            w = symbols[i].shape[1]
+            _int_encode(enc, iadw, w - sym_width)
+            sym_width = w
+            _generic_encode_into(enc, gb, symbols[i])
+            i += 1
+        _int_encode(enc, iadw, _OOB)
+    # export all symbols: run of 0 non-exported, then run of all exported
+    _int_encode(enc, iaex, 0)
+    _int_encode(enc, iaex, len(symbols))
+    coded = enc.flush()
+
+    flags = 0  # SDHUFF=0 SDREFAGG=0 SDTEMPLATE=0 SDRTEMPLATE=0
+    return (
+        struct.pack(">H", flags)
+        + _NOMINAL_AT
+        + struct.pack(">II", len(symbols), len(symbols))
+        + coded
+    )
+
+
+def decode_text_region(data: bytes, symbols: List[np.ndarray]):
+    """Text region segment data -> (x, y, bitmap) placed region (§6.4).
+
+    Arithmetic symbol IDs (SBHUFF=0), no refinement (SBREFINE=0); all four
+    REFCORNERs and TRANSPOSED supported; SBSTRIPS strips with per-instance
+    CURT; SBDSOFFSET applied; composition onto the region bitmap is OR."""
+    from docprompt_spark.mq import MQDecoder
+
+    rw, rh, rx, ry, _comb = struct.unpack(">IIIIB", data[:17])
+    (flags,) = struct.unpack(">H", data[17:19])
+    pos = 19
+    sbhuff = flags & 1
+    refine = (flags >> 1) & 1
+    log_strips = (flags >> 2) & 3
+    refcorner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    _sbcombop = (flags >> 7) & 3
+    defpixel = (flags >> 9) & 1
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32  # signed 5-bit
+    if sbhuff:
+        raise ValueError("JBIG2 Huffman text regions unsupported")
+    if refine:
+        raise ValueError("JBIG2 refinement text regions unsupported")
+    strips = 1 << log_strips
+    (n_instances,) = struct.unpack(">I", data[pos : pos + 4])
+    pos += 4
+
+    n_syms = len(symbols)
+    if n_syms == 0:
+        raise ValueError("JBIG2 text region with no symbols")
+    symcodelen = _symcodelen(n_syms)
+
+    dec = MQDecoder(data[pos:], 1)
+    iadt, iafs, iads, iait = (_new_cx(512) for _ in range(4))
+    iaid = _new_cx(1 << (symcodelen + 1))
+
+    region = np.full((rh, rw), defpixel, dtype=np.uint8)
+
+    def draw(bm: np.ndarray, x: int, y: int) -> None:
+        h, w = bm.shape
+        y0, x0 = max(y, 0), max(x, 0)
+        y1, x1 = min(y + h, rh), min(x + w, rw)
+        if y0 < y1 and x0 < x1:
+            region[y0:y1, x0:x1] |= bm[y0 - y : y1 - y, x0 - x : x1 - x]
+
+    stript = -_int_decode(dec, iadt) * strips
+    firsts = 0
+    placed = 0
+    while placed < n_instances:
+        stript += _int_decode(dec, iadt) * strips
+        firsts += _int_decode(dec, iafs)
+        curs = firsts
+        first = True
+        while True:
+            if not first:
+                ids = _int_decode(dec, iads)
+                if ids is _OOB:
+                    break
+                curs += ids + dsoffset
+            first = False
+            curt = 0 if strips == 1 else _int_decode(dec, iait)
+            ti = stript + curt
+            sym_id = _iaid_decode(dec, iaid, symcodelen)
+            if sym_id >= n_syms:
+                raise ValueError(f"JBIG2 symbol id {sym_id} out of range")
+            bm = symbols[sym_id]
+            hi, wi = bm.shape
+            # §6.4.5 3(c)(viii-xi): right/bottom corners advance S before
+            # the draw, left/top after; the draw places the reference
+            # corner at (S, T)
+            if not transposed:
+                if refcorner in (_TOPRIGHT, _BOTTOMRIGHT):
+                    curs += wi - 1
+                x = curs - (wi - 1 if refcorner in (_TOPRIGHT, _BOTTOMRIGHT) else 0)
+                y = ti - (hi - 1 if refcorner in (_BOTTOMLEFT, _BOTTOMRIGHT) else 0)
+                draw(bm, x, y)
+                if refcorner in (_TOPLEFT, _BOTTOMLEFT):
+                    curs += wi - 1
+            else:
+                if refcorner in (_BOTTOMLEFT, _BOTTOMRIGHT):
+                    curs += hi - 1
+                y = curs - (hi - 1 if refcorner in (_BOTTOMLEFT, _BOTTOMRIGHT) else 0)
+                x = ti - (wi - 1 if refcorner in (_TOPRIGHT, _BOTTOMRIGHT) else 0)
+                draw(bm, x, y)
+                if refcorner in (_TOPLEFT, _TOPRIGHT):
+                    curs += hi - 1
+            placed += 1
+            if placed >= n_instances:
+                break
+    return rx, ry, region
+
+
+def encode_text_region(
+    symbols: List[np.ndarray],
+    placements: List[Tuple[int, int, int]],
+    width: int,
+    height: int,
+    refcorner: int = _TOPLEFT,
+    transposed: bool = False,
+) -> bytes:
+    """(sym_idx, x, y) placements (x, y = TOP-LEFT pixel of the symbol on
+    the region) -> text region segment data. The encoder simulates the
+    decoder's CURS bookkeeping, so any REFCORNER/TRANSPOSED combination
+    round-trips bit-exactly; strips are SBSTRIPS=1 rows of equal T."""
+    from docprompt_spark.mq import MQEncoder
+
+    n_syms = len(symbols)
+    symcodelen = _symcodelen(n_syms)
+
+    def t_of(sym_idx: int, x: int, y: int) -> int:
+        h, w = symbols[sym_idx].shape
+        if not transposed:
+            return y + (h - 1 if refcorner in (_BOTTOMLEFT, _BOTTOMRIGHT) else 0)
+        return x + (w - 1 if refcorner in (_TOPRIGHT, _BOTTOMRIGHT) else 0)
+
+    def s_edge(sym_idx: int, x: int, y: int) -> Tuple[int, int]:
+        """(leading S the coder targets, trailing S after the instance) —
+        identical for left and right corners (see decode_text_region)."""
+        h, w = symbols[sym_idx].shape
+        if not transposed:
+            return x, x + w - 1
+        return y, y + h - 1
+
+    order = sorted(
+        range(len(placements)),
+        key=lambda k: (t_of(*placements[k]), s_edge(*placements[k])[0]),
+    )
+
+    enc = MQEncoder(1)
+    iadt, iafs, iads, iait = (_new_cx(512) for _ in range(4))
+    iaid = _new_cx(1 << (symcodelen + 1))
+
+    _int_encode(enc, iadt, 0)  # STRIPT init: 0
+    stript = 0
+    firsts = 0
+    i = 0
+    while i < len(order):
+        t = t_of(*placements[order[i]])
+        _int_encode(enc, iadt, t - stript)
+        stript = t
+        # first instance of the strip
+        s0, s_trail = s_edge(*placements[order[i]])
+        _int_encode(enc, iafs, s0 - firsts)
+        firsts = s0
+        _iaid_encode(enc, iaid, symcodelen, placements[order[i]][0])
+        curs = s_trail
+        i += 1
+        while i < len(order) and t_of(*placements[order[i]]) == t:
+            s0, s_trail = s_edge(*placements[order[i]])
+            _int_encode(enc, iads, s0 - curs)
+            _iaid_encode(enc, iaid, symcodelen, placements[order[i]][0])
+            curs = s_trail
+            i += 1
+        _int_encode(enc, iads, _OOB)
+    coded = enc.flush()
+
+    flags = (
+        (0 << 2)  # LOGSBSTRIPS = 0 -> SBSTRIPS 1
+        | (refcorner << 4)
+        | ((1 if transposed else 0) << 6)
+        | (0 << 7)  # SBCOMBOP OR
+        | (0 << 9)  # SBDEFPIXEL
+        | (0 << 10)  # SBDSOFFSET
+    )
+    region_info = struct.pack(">IIIIB", width, height, 0, 0, 0)
+    return (
+        region_info
+        + struct.pack(">H", flags)
+        + struct.pack(">I", len(placements))
+        + coded
+    )
+
+
+def encode_symbol_text(
+    symbols: List[np.ndarray],
+    placements: List[Tuple[int, int, int]],
+    width: int,
+    height: int,
+    page: int = 1,
+    refcorner: int = _TOPLEFT,
+    transposed: bool = False,
+) -> bytes:
+    """Symbols + placements -> full embedded JBIG2 stream: page info +
+    symbol dictionary + immediate lossless text region + end of page.
+    Symbols are height/width-sorted into dictionary order internally;
+    placement indices refer to the INPUT order."""
+    sort_order = sorted(
+        range(len(symbols)),
+        key=lambda k: (symbols[k].shape[0], symbols[k].shape[1], k),
+    )
+    remap = {old: new for new, old in enumerate(sort_order)}
+    dict_syms = [np.asarray(symbols[k], dtype=np.uint8) for k in sort_order]
+    dict_places = [(remap[si], x, y) for si, x, y in placements]
+
+    sd = encode_symbol_dict(dict_syms)
+    tr = encode_text_region(
+        dict_syms, dict_places, width, height,
+        refcorner=refcorner, transposed=transposed,
+    )
+    page_info = struct.pack(">IIIIBH", width, height, 0, 0, 0, 0)
+    out = _segment_header(0, SEG_PAGE_INFO, page, len(page_info)) + page_info
+    out += _segment_header(1, SEG_SYMBOL_DICT, page, len(sd)) + sd
+    out += (
+        _segment_header(2, SEG_IMM_LOSSLESS_TEXT, page, len(tr), referred=(1,))
+        + tr
+    )
+    out += _segment_header(3, SEG_END_OF_PAGE, page, 0)
     return out
+
+
+def encode_gray8_symbols(
+    arr: np.ndarray, threshold: int = 128, tile: Tuple[int, int] = (4, 8)
+) -> bytes:
+    """Threshold gray8 and code it SYMBOL-WISE: the bitmap is cut into a
+    grid of (th, tw) tiles, distinct tiles become dictionary symbols, and
+    the page is a text region of tile placements — the textual-region form
+    real scanned-document encoders emit (lossless here: every tile is a
+    symbol, so decode == threshold exactly)."""
+    bits = (np.asarray(arr) < threshold).astype(np.uint8)
+    h, w = bits.shape
+    th, tw = tile
+    assert h % th == 0 and w % tw == 0, "tile must divide the bitmap"
+    uniq: dict = {}
+    symbols: List[np.ndarray] = []
+    placements: List[Tuple[int, int, int]] = []
+    for y in range(0, h, th):
+        for x in range(0, w, tw):
+            t = bits[y : y + th, x : x + tw]
+            key = t.tobytes()
+            if key not in uniq:
+                uniq[key] = len(symbols)
+                symbols.append(t.copy())
+            placements.append((uniq[key], x, y))
+    return encode_symbol_text(symbols, placements, w, h)

@@ -13,7 +13,7 @@ multi-context streams.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 # (Qe, NMPS, NLPS, SWITCH) — T.88 Table E.1
 QE_TABLE: Tuple[Tuple[int, int, int, int], ...] = (
@@ -88,8 +88,11 @@ class MQEncoder:
                 break
 
     # -- API ----------------------------------------------------------------
-    def encode(self, d: int, cxi: int) -> None:
-        st = self.cx[cxi]
+    def encode(self, d: int, cxi: int, cx: Optional[List[List[int]]] = None) -> None:
+        """``cx`` overrides the context array — JBIG2 symbol/text segments
+        run several independent context spaces (GB, IADH, IADW, IAID, ...)
+        over ONE arithmetic codestream (T.88 §6.4-6.5)."""
+        st = (cx if cx is not None else self.cx)[cxi]
         qe, nmps, nlps, switch = QE_TABLE[st[0]]
         if d == st[1]:  # MPS path
             self.a -= qe
@@ -168,8 +171,8 @@ class MQDecoder:
             if self.a & 0x8000:
                 break
 
-    def decode(self, cxi: int) -> int:
-        st = self.cx[cxi]
+    def decode(self, cxi: int, cx: Optional[List[List[int]]] = None) -> int:
+        st = (cx if cx is not None else self.cx)[cxi]
         qe, nmps, nlps, switch = QE_TABLE[st[0]]
         self.a -= qe
         if ((self.c >> 16) & 0xFFFF) < qe:

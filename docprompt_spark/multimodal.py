@@ -54,12 +54,16 @@ MEDIA_SCHEMA = StructType(
 )
 
 
-def _codec_of(xo_dict, resolve) -> str:
+def _codec_of(xo_dict, resolve, payload=None) -> str:
     """Classify the XObject's encoding for the decode stage. Post-decode
     flags ride as ;-suffixes on the tag: ``;d10`` = /Decode [1 0] inverted
     component mapping (§8.9.5.2), ``;mask`` = /ImageMask stencil
     (§8.9.6.2 — painted where the decoded pixel is ink/black; the
-    renderer composites instead of pasting)."""
+    renderer composites instead of pasting). For JBIG2 the ``payload``
+    (when the caller has it in hand) is segment-header-sniffed and
+    symbol-coded streams (T.88 §6.4-6.5 — the dominant mode in real
+    scanned PDFs) get ``;sym`` so codec-grouping queries can prove the
+    symbol/text path participates."""
     filt = resolve(xo_dict.get("Filter"))
     filts = [str(f) for f in (filt if isinstance(filt, list) else [filt] if filt else [])]
     cs = str(resolve(xo_dict.get("ColorSpace", "")))
@@ -77,7 +81,19 @@ def _codec_of(xo_dict, resolve) -> str:
     if "DCTDecode" in filts:
         return "dct" + flags()
     if "JBIG2Decode" in filts:
-        return "jbig2" + flags()
+        sym = ""
+        if payload is not None:
+            from docprompt_spark import jbig2 as _jbig2
+
+            try:
+                if any(
+                    s.seg_type == _jbig2.SEG_SYMBOL_DICT
+                    for s in _jbig2.parse_segments(bytes(payload))
+                ):
+                    sym = ";sym"
+            except Exception:
+                pass  # malformed stream: classify bare, decode stage reports
+        return "jbig2" + sym + flags()
     if "JPXDecode" in filts:
         return "jpx" + flags()
     gray8 = cs == "DeviceGray" and bpc == 8
@@ -155,7 +171,7 @@ def media_table(docs_df: DataFrame, pages_per_bucket: int = 16) -> DataFrame:
                                 "page_number": i + 1,
                                 "media_ref": hashlib.md5(payload).hexdigest(),
                                 "media_kind": "image",
-                                "codec": _codec_of(xo.dict, pf.resolve),
+                                "codec": _codec_of(xo.dict, pf.resolve, payload),
                                 "payload": payload,
                                 "width": int(pf.resolve(xo.dict.get("Width", 0))),
                                 "height": int(pf.resolve(xo.dict.get("Height", 0))),

@@ -1199,7 +1199,7 @@ def _interpret_content(
                     img["payload"] = tok.raw
                     img["px_w"] = int(tok.dict.get("Width", 0) or 0)
                     img["px_h"] = int(tok.dict.get("Height", 0) or 0)
-                    img["codec"] = _codec_of(tok.dict, resolve)
+                    img["codec"] = _codec_of(tok.dict, resolve, tok.raw)
                 images.append(img)
             else:
                 stack.append(tok)
@@ -1273,7 +1273,7 @@ def _interpret_content(
                         img["payload"] = xo.raw
                         img["px_w"] = int(resolve(xo.dict.get("Width", 0)) or 0)
                         img["px_h"] = int(resolve(xo.dict.get("Height", 0)) or 0)
-                        img["codec"] = _codec_of(xo.dict, resolve)
+                        img["codec"] = _codec_of(xo.dict, resolve, xo.raw)
                     images.append(img)
             stack.clear()
         else:

@@ -164,3 +164,126 @@ def test_nonnominal_at_raises():
     data[idx] = 5
     with pytest.raises(ValueError, match="nominal"):
         jbig2.decode(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# Symbol dictionaries + text regions (T.88 §6.4-6.5, Annex A)
+# ---------------------------------------------------------------------------
+
+def _coder_pair():
+    from docprompt_spark.mq import MQDecoder, MQEncoder
+
+    return MQEncoder, MQDecoder
+
+
+def test_arith_int_roundtrip_bucket_edges():
+    """Annex A.2 IAx: every bucket boundary, signs, OOB — one shared
+    codestream + context space, like a real segment."""
+    MQEncoder, MQDecoder = _coder_pair()
+    values = [
+        0, 1, 2, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436, 4437,
+        100000, 2**31 - 1,
+    ]
+    values += [-v for v in values if v] + [jbig2._OOB, 7, jbig2._OOB, -7]
+    enc = MQEncoder(1)
+    cx = jbig2._new_cx(512)
+    for v in values:
+        jbig2._int_encode(enc, cx, v)
+    data = enc.flush()
+    dec = MQDecoder(data, 1)
+    cx = jbig2._new_cx(512)
+    got = [jbig2._int_decode(dec, cx) for _ in values]
+    assert got == values
+
+
+@pytest.mark.parametrize("n_syms", [1, 2, 3, 4, 5, 8, 9, 16, 100])
+def test_iaid_roundtrip_every_id(n_syms):
+    MQEncoder, MQDecoder = _coder_pair()
+    scl = jbig2._symcodelen(n_syms)
+    ids = list(range(n_syms)) * 3
+    enc = MQEncoder(1)
+    cx = jbig2._new_cx(1 << (scl + 1))
+    for i in ids:
+        jbig2._iaid_encode(enc, cx, scl, i)
+    dec = MQDecoder(enc.flush(), 1)
+    cx = jbig2._new_cx(1 << (scl + 1))
+    assert [jbig2._iaid_decode(dec, cx, scl) for _ in ids] == ids
+
+
+def test_symbol_dict_roundtrip_mixed_sizes():
+    """Height classes with IADH/IADW deltas; one MQ codestream codes every
+    symbol bitmap through a shared GB context set (§6.5.8.2.1)."""
+    rng = np.random.default_rng(11)
+    sizes = [(3, 5), (3, 7), (4, 4), (4, 9), (4, 9), (7, 2), (12, 20)]
+    syms = [(rng.integers(0, 2, size=s)).astype(np.uint8) for s in sizes]
+    out = jbig2.decode_symbol_dict(jbig2.encode_symbol_dict(syms))
+    assert len(out) == len(syms)
+    for a, b in zip(out, syms):
+        assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("refcorner", [0, 1, 2, 3])
+@pytest.mark.parametrize("transposed", [False, True])
+def test_text_region_all_refcorners(refcorner, transposed):
+    """§6.4.5 CURS bookkeeping: every REFCORNER × TRANSPOSED combination
+    places symbols at their exact top-left pixels."""
+    rng = np.random.default_rng(13 + refcorner)
+    syms = [(rng.integers(0, 2, size=(h, w))).astype(np.uint8)
+            for h, w in [(4, 6), (5, 3), (4, 6), (2, 2)]]
+    placements = [(0, 1, 1), (1, 12, 0), (2, 20, 3), (3, 1, 9), (0, 14, 8),
+                  (3, 25, 9)]
+    W, H = 32, 16
+    want = np.zeros((H, W), np.uint8)
+    for si, x, y in placements:
+        s = syms[si]
+        want[y:y + s.shape[0], x:x + s.shape[1]] |= s
+    tr = jbig2.encode_text_region(
+        syms, placements, W, H, refcorner=refcorner, transposed=transposed)
+    rx, ry, got = jbig2.decode_text_region(tr, syms)
+    assert (rx, ry) == (0, 0)
+    assert np.array_equal(got, want)
+
+
+def test_symbol_text_full_stream():
+    """Full embedded stream: page info + symbol dict + text region + EOP;
+    dictionary order is (height, width)-sorted while placements stay in
+    input order."""
+    rng = np.random.default_rng(17)
+    syms = [(rng.integers(0, 2, size=s)).astype(np.uint8)
+            for s in [(9, 4), (3, 11), (6, 6)]]  # deliberately unsorted
+    placements = [(2, 0, 0), (0, 20, 2), (1, 40, 5), (2, 60, 8), (1, 8, 12)]
+    W, H = 72, 22
+    want = np.zeros((H, W), np.uint8)
+    for si, x, y in placements:
+        s = syms[si]
+        want[y:y + s.shape[0], x:x + s.shape[1]] |= s
+    data = jbig2.encode_symbol_text(syms, placements, W, H)
+    segs = jbig2.parse_segments(data)
+    assert [s.seg_type for s in segs] == [
+        jbig2.SEG_PAGE_INFO, jbig2.SEG_SYMBOL_DICT,
+        jbig2.SEG_IMM_LOSSLESS_TEXT, jbig2.SEG_END_OF_PAGE,
+    ]
+    assert tuple(segs[2].referred) == (1,)
+    assert np.array_equal(jbig2.decode(data), want)
+
+
+def test_gray8_symbols_matches_threshold():
+    """Tile-symbol coding is lossless over the thresholded raster: decode
+    == the same np.where the CCITT/JBIG2-generic paths guarantee."""
+    rng = np.random.default_rng(19)
+    arr = (rng.integers(0, 256, size=(16, 24))).astype(np.uint8)
+    data = jbig2.encode_gray8_symbols(arr)
+    back = jbig2.decode_to_gray8(data, 24, 16)
+    assert np.array_equal(back, np.where(arr < 128, 0, 255).astype(np.uint8))
+    # and the stream really is symbol-coded
+    types = [s.seg_type for s in jbig2.parse_segments(data)]
+    assert jbig2.SEG_SYMBOL_DICT in types and jbig2.SEG_IMM_LOSSLESS_TEXT in types
+
+
+def test_symbol_dict_rejects_huffman_and_refinement():
+    import struct as _struct
+
+    for flags in (1, 2):  # SDHUFF / SDREFAGG
+        data = _struct.pack(">H", flags) + jbig2._NOMINAL_AT + _struct.pack(">II", 0, 0)
+        with pytest.raises(ValueError):
+            jbig2.decode_symbol_dict(data)
