@@ -693,6 +693,27 @@ class PdfFile:
             elif "FontFile" in descriptor:
                 raw = self.resolve(descriptor["FontFile"]).data(self.resolve)
                 code_to_name = cff.type1_code_to_name(raw)
+            elif "FontFile2" in descriptor:
+                # TrueType: the embedded cmap maps codes directly to text
+                # (no glyph-name indirection; post v3 carries no names)
+                from docprompt_spark import truetype
+
+                raw = self.resolve(descriptor["FontFile2"]).data(self.resolve)
+                direct = truetype.ttf_code_to_text(raw)
+                enc0 = self.resolve(fd.get("Encoding"))
+                out0 = dict(direct)
+                if isinstance(enc0, dict):
+                    code = 0
+                    for item in self.resolve(enc0.get("Differences", [])) or []:
+                        item = self.resolve(item)
+                        if isinstance(item, (int, float)):
+                            code = int(item)
+                        elif isinstance(item, Name):
+                            t = cff.glyph_name_to_text(str(item))
+                            if t:
+                                out0[code] = t
+                            code += 1
+                return out0
         except Exception:
             code_to_name = {}
         differences: Dict[int, str] = {}
@@ -750,10 +771,12 @@ class PdfFile:
 
     def glyph_outline_pool(self) -> Dict[str, tuple]:
         """char -> (advance width, contours) harvested from every embedded
-        CFF font program (/FontFile3) in the document — the rasterizer's
-        outline source (D7). Glyph names map to text via
-        cff.glyph_name_to_text; first font wins on collisions (the corpus
-        authors identical outlines per codepoint, so order is moot)."""
+        outline font program — CFF (/FontFile3) and TrueType (/FontFile2)
+        — in the document: the rasterizer's outline source (D7). CFF glyph
+        names map to text via cff.glyph_name_to_text; TrueType outlines
+        key by char straight from the embedded cmap. First font wins on
+        collisions (the corpus authors identical outlines per codepoint,
+        so order is moot)."""
         pool: Dict[str, tuple] = {}
         seen: set = set()
         for i in range(self.page_count):
@@ -775,17 +798,30 @@ class PdfFile:
                         descs.append(dd)
                 for desc in descs:
                     ff = self.resolve(desc.get("FontFile3"))
-                    if not isinstance(ff, Stream):
-                        continue
-                    data = ff.data(self.resolve)
-                    key = hashlib.md5(data).digest()
-                    if key in seen:
-                        continue
-                    seen.add(key)
-                    for name, wc in cff.cff_glyph_outlines(data).items():
-                        ch = cff.glyph_name_to_text(name)
-                        if ch and ch not in pool:
-                            pool[ch] = wc
+                    if isinstance(ff, Stream):
+                        data = ff.data(self.resolve)
+                        key = hashlib.md5(data).digest()
+                        if key not in seen:
+                            seen.add(key)
+                            for name, wc in cff.cff_glyph_outlines(data).items():
+                                ch = cff.glyph_name_to_text(name)
+                                if ch and ch not in pool:
+                                    pool[ch] = wc
+                    ff2 = self.resolve(desc.get("FontFile2"))
+                    if isinstance(ff2, Stream):
+                        # TrueType (glyf) program: outlines keyed by char
+                        # straight from the embedded cmap
+                        from docprompt_spark import truetype
+
+                        data = ff2.data(self.resolve)
+                        key = hashlib.md5(data).digest()
+                        if key not in seen:
+                            seen.add(key)
+                            for ch, wc in truetype.ttf_glyph_outlines(
+                                data
+                            ).items():
+                                if ch not in pool:
+                                    pool[ch] = wc
         return pool
 
 

@@ -287,6 +287,7 @@ def write_pdf(
     kids_per_node: int = 8,
     xref_stream: bool = False,
     encrypt: Optional[str] = None,
+    font_format: str = "cff",
 ) -> bytes:
     """Serialize page dicts (see module comment) into PDF bytes.
 
@@ -332,23 +333,38 @@ def write_pdf(
         }
         | {chr(c) for c in range(32, 127)}
     )
-    fontfile = b.add_stream(
-        "/Subtype /Type1C", fontgen.build_cff(doc_chars),
-        compress=compress_streams,
-    )
-    # F1: simple Type1 with explicit /Widths for codes 32..126
+    if font_format == "truetype":
+        # TrueType (glyf) program via /FontFile2 — the other embedded-
+        # outline format real PDFs carry (§9.9); same 1000-upm outlines
+        # as the CFF, so rendering is format-independent
+        from docprompt_spark import truetype
+
+        ttf = truetype.build_ttf(doc_chars)
+        fontfile = b.add_stream(
+            f"/Length1 {len(ttf)}", ttf, compress=compress_streams
+        )
+        ff_entry = f" /FontFile2 {fontfile} 0 R >>"
+        f1_subtype = "TrueType"
+    else:
+        fontfile = b.add_stream(
+            "/Subtype /Type1C", fontgen.build_cff(doc_chars),
+            compress=compress_streams,
+        )
+        ff_entry = f" /FontFile3 {fontfile} 0 R >>"
+        f1_subtype = "Type1"
+    # F1: simple font with explicit /Widths for codes 32..126
     f1_desc = b.add(
         (
             "<< /Type /FontDescriptor /FontName /DSMono /Flags 32"
             f" /Ascent {ASCENT_PM} /Descent {DESCENT_PM} /CapHeight 660"
             " /ItalicAngle 0 /StemV 80 /FontBBox [0 -180 760 720]"
-            f" /FontFile3 {fontfile} 0 R >>"
+            + ff_entry
         ).encode()
     )
     widths = " ".join(str(char_width_pm(chr(c))) for c in range(32, 127))
     f1 = b.add(
         (
-            "<< /Type /Font /Subtype /Type1 /BaseFont /DSMono"
+            f"<< /Type /Font /Subtype /{f1_subtype} /BaseFont /DSMono"
             f" /FirstChar 32 /LastChar 126 /Widths [{widths}]"
             f" /FontDescriptor {f1_desc} 0 R >>"
         ).encode()
