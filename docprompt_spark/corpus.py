@@ -330,8 +330,78 @@ def _gen_page(
             y -= LEADING
         y -= PARA_EXTRA
 
-    page = {"width": PAGE_W, "height": PAGE_H, "text_ops": text_ops, "images": images_w}
+    # deterministic vector decorations (rules/frames/accents/squiggles):
+    # derived arithmetically from already-drawn content — NO extra rng
+    # draws, so text/image geometry is identical with or without them
+    k = (len(words_gt) * 37 + len(images_gt) * 101 + int(round(y))) & 0xFF
+    vec_w, vec_gt = _page_vectors(k)
+    page = {
+        "width": PAGE_W, "height": PAGE_H, "text_ops": text_ops,
+        "images": images_w, "vectors": vec_w, "vectors_gt": vec_gt,
+    }
     return page, words_gt, images_gt
+
+
+def _page_vectors(k: int):
+    """Vector decorations for decoration-key ``k`` -> (writer path specs,
+    parser-equivalent ground truth). The GT mirrors the content-stream
+    interpreter exactly: same contour point order, the shared
+    :func:`rasterize.flatten_cubic` for curves, the same gray/lw
+    expressions — so raster md5 equality proves the author -> embed ->
+    interpret -> fill loop for vector graphics too."""
+    from docprompt_spark.rasterize import flatten_cubic
+
+    writer: List[dict] = []
+    gt: List[dict] = []
+    x0, x1 = float(MARGIN_X), float(PAGE_W - MARGIN_X)
+    # horizontal header rule (every page)
+    lw = 1.0 + float(k % 3)
+    yr = float(TOP_Y + 14 + 2 * ((k >> 3) % 4))
+    writer.append(
+        {"path": [("m", x0, yr), ("l", x1, yr)], "paint": "S", "gray": 0.0,
+         "lw": lw}
+    )
+    gt.append(
+        {"contours": [[(x0, yr), (x1, yr)]], "closed": [False],
+         "paint": "stroke", "gray": 0, "lw": lw}
+    )
+    if k & 1:  # stroked page frame
+        m = 40.0
+        writer.append(
+            {"path": [("re", m, m, PAGE_W - 2 * m, PAGE_H - 2 * m)],
+             "paint": "S", "gray": 0.0, "lw": 2.0}
+        )
+        gt.append(
+            {"contours": [[(m, m), (PAGE_W - m, m), (PAGE_W - m, PAGE_H - m),
+                           (m, PAGE_H - m)]],
+             "closed": [True], "paint": "stroke", "gray": 0, "lw": 2.0}
+        )
+    if k & 2:  # filled accent bar top-right
+        g = 0.5 if (k & 4) else 0.75
+        ax0, ay0, aw, ah = x1 - 90.0, float(TOP_Y + 26), 90.0, 10.0
+        writer.append(
+            {"path": [("re", ax0, ay0, aw, ah)], "paint": "f", "gray": g}
+        )
+        gt.append(
+            {"contours": [[(ax0, ay0), (ax0 + aw, ay0), (ax0 + aw, ay0 + ah),
+                           (ax0, ay0 + ah)]],
+             "closed": [True], "paint": "fill",
+             "gray": int(round(g * 255.0)), "lw": 0.0}
+        )
+    if k & 8:  # footer bezier squiggle
+        p0 = (x0, 60.0)
+        p1 = (x0 + 120.0, 90.0)
+        p2 = (x0 + 240.0, 30.0)
+        p3 = (x0 + 360.0, 60.0)
+        writer.append(
+            {"path": [("m",) + p0, ("c",) + p1 + p2 + p3], "paint": "S",
+             "gray": 0.0, "lw": 1.5}
+        )
+        gt.append(
+            {"contours": [[p0] + flatten_cubic(p0, p1, p2, p3)],
+             "closed": [False], "paint": "stroke", "gray": 0, "lw": 1.5}
+        )
+    return writer, gt
 
 
 def _wrap(pdf: bytes, variant: int) -> bytes:
@@ -391,7 +461,8 @@ def writer_entry_codec(w: dict) -> str:
 
 
 def golden_page_layouts(
-    n_docs: int, seed: int = 42, skew_every: int = 47, img_codec: str = None
+    n_docs: int, seed: int = 42, skew_every: int = 47, img_codec: str = None,
+    with_vectors: bool = False,
 ):
     """Golden per-page layout dicts (kernels.build_page_layout over the
     generator's ground-truth words) plus ground-truth images — the oracle
@@ -409,7 +480,13 @@ def golden_page_layouts(
                 im["px_w"] = w["width"]
                 im["px_h"] = w["height"]
                 im["codec"] = writer_entry_codec(w)
-            yield doc_id, p + 1, kernels.build_page_layout(words_gt), gt
+            if with_vectors:
+                yield (
+                    doc_id, p + 1, kernels.build_page_layout(words_gt), gt,
+                    page_w["vectors_gt"],
+                )
+            else:
+                yield doc_id, p + 1, kernels.build_page_layout(words_gt), gt
 
 
 def gen_doc(

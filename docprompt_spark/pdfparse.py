@@ -25,6 +25,7 @@ import base64
 import binascii
 import gzip
 import hashlib
+import math
 import re
 import zlib
 from typing import Any, Dict, List, Optional, Tuple
@@ -749,7 +750,10 @@ class PdfFile:
 
         contents = page.get("Contents")
         if contents is None:
-            return {"width": pw, "height": ph, "words": [], "images": []}
+            return {
+                "width": pw, "height": ph, "words": [], "images": [],
+                "vectors": [],
+            }
         contents = self.resolve(contents)
         if isinstance(contents, list):
             data = b"\n".join(
@@ -758,7 +762,7 @@ class PdfFile:
         else:
             data = contents.data(self.resolve)
 
-        words, images = _interpret_content(
+        words, images, vectors = _interpret_content(
             data,
             fonts={name: self._load_font(ref) for name, ref in fonts_d.items()},
             xobjects=xobjs_d,
@@ -767,7 +771,13 @@ class PdfFile:
             page_h=ph,
             with_image_data=with_image_data,
         )
-        return {"width": pw, "height": ph, "words": words, "images": images}
+        return {
+            "width": pw,
+            "height": ph,
+            "words": words,
+            "images": images,
+            "vectors": vectors,
+        }
 
     def glyph_outline_pool(self) -> Dict[str, tuple]:
         """char -> (advance width, contours) harvested from every embedded
@@ -1078,6 +1088,59 @@ def _interpret_content(
     tx = 0.0  # text-space pen displacement since last Tm/Td
     words: List[dict] = []
     images: List[dict] = []
+    # vector path state (§8.5): subpaths build in DEVICE points (CTM
+    # applied at construction); painting ops snapshot them into `vectors`
+    vectors: List[dict] = []
+    subpaths: List[List[Tuple[float, float]]] = []
+    sub_closed: List[bool] = []
+    cur_sub: List[Tuple[float, float]] = []
+    fill_g = 0.0  # DeviceGray fill color (black initial, §8.6.8)
+    stroke_g = 0.0
+    line_w = 1.0
+
+    def xy(x: float, y: float) -> Tuple[float, float]:
+        return (
+            ctm[0] * x + ctm[2] * y + ctm[4],
+            ctm[1] * x + ctm[3] * y + ctm[5],
+        )
+
+    def flush_sub() -> None:
+        nonlocal cur_sub
+        if len(cur_sub) >= 2:
+            subpaths.append(cur_sub)
+            sub_closed.append(False)
+        cur_sub = []
+
+    def emit_paint(fill: bool, stroke: bool, close: bool) -> None:
+        nonlocal subpaths, sub_closed, cur_sub
+        closes = close and len(cur_sub) >= 2
+        flush_sub()
+        if closes:
+            sub_closed[-1] = True
+        if subpaths:
+            if fill:
+                vectors.append(
+                    {
+                        "contours": subpaths,
+                        "closed": list(sub_closed),
+                        "paint": "fill",
+                        "gray": int(round(fill_g * 255.0)),
+                        "lw": 0.0,
+                    }
+                )
+            if stroke:
+                # line width scales with the CTM (sqrt |det|, §8.4.3.2)
+                det = abs(ctm[0] * ctm[3] - ctm[1] * ctm[2])
+                vectors.append(
+                    {
+                        "contours": subpaths,
+                        "closed": list(sub_closed),
+                        "paint": "stroke",
+                        "gray": int(round(stroke_g * 255.0)),
+                        "lw": line_w * math.sqrt(det),
+                    }
+                )
+        subpaths, sub_closed = [], []
 
     def begin_line(matrix):
         nonlocal tm, tlm, tx
@@ -1242,10 +1305,95 @@ def _interpret_content(
             continue
         op = tok
         if op == b"q":
-            gs_stack.append(ctm)
+            gs_stack.append((ctm, fill_g, stroke_g, line_w))
         elif op == b"Q":
             if gs_stack:
-                ctm = gs_stack.pop()
+                ctm, fill_g, stroke_g, line_w = gs_stack.pop()
+        elif op == b"m":
+            flush_sub()
+            cur_sub = [xy(float(stack[-2]), float(stack[-1]))]
+            stack.clear()
+        elif op == b"l":
+            if cur_sub:
+                cur_sub.append(xy(float(stack[-2]), float(stack[-1])))
+            stack.clear()
+        elif op in (b"c", b"v", b"y"):
+            if cur_sub:
+                from docprompt_spark.rasterize import flatten_cubic
+
+                p0 = cur_sub[-1]
+                vals = [float(v) for v in stack[-(6 if op == b"c" else 4):]]
+                if op == b"c":
+                    p1, p2, p3 = (
+                        xy(vals[0], vals[1]),
+                        xy(vals[2], vals[3]),
+                        xy(vals[4], vals[5]),
+                    )
+                elif op == b"v":
+                    p2, p3 = xy(vals[0], vals[1]), xy(vals[2], vals[3])
+                    p1 = p0
+                else:  # y
+                    p1, p3 = xy(vals[0], vals[1]), xy(vals[2], vals[3])
+                    p2 = p3
+                cur_sub.extend(flatten_cubic(p0, p1, p2, p3))
+            stack.clear()
+        elif op == b"h":
+            if len(cur_sub) >= 2:
+                subpaths.append(cur_sub)
+                sub_closed.append(True)
+            cur_sub = []
+            stack.clear()
+        elif op == b"re":
+            x0, y0, rw_, rh_ = (float(v) for v in stack[-4:])
+            flush_sub()
+            subpaths.append(
+                [
+                    xy(x0, y0),
+                    xy(x0 + rw_, y0),
+                    xy(x0 + rw_, y0 + rh_),
+                    xy(x0, y0 + rh_),
+                ]
+            )
+            sub_closed.append(True)
+            stack.clear()
+        elif op in (b"f", b"F", b"f*"):
+            emit_paint(True, False, False)
+            stack.clear()
+        elif op == b"S":
+            emit_paint(False, True, False)
+            stack.clear()
+        elif op == b"s":
+            emit_paint(False, True, True)
+            stack.clear()
+        elif op in (b"B", b"B*"):
+            emit_paint(True, True, False)
+            stack.clear()
+        elif op in (b"b", b"b*"):
+            emit_paint(True, True, True)
+            stack.clear()
+        elif op == b"n":
+            flush_sub()
+            subpaths, sub_closed = [], []
+            stack.clear()
+        elif op in (b"W", b"W*"):
+            pass  # clipping intersection unsupported; path survives to paint
+        elif op == b"g":
+            fill_g = float(stack[-1])
+            stack.clear()
+        elif op == b"G":
+            stroke_g = float(stack[-1])
+            stack.clear()
+        elif op == b"rg":
+            r_, g_, b_ = (float(v) for v in stack[-3:])
+            fill_g = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+            stack.clear()
+        elif op == b"RG":
+            r_, g_, b_ = (float(v) for v in stack[-3:])
+            stroke_g = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+            stack.clear()
+        elif op == b"w":
+            line_w = float(stack[-1])
+            stack.clear()
         elif op == b"cm":
             m = tuple(float(v) for v in stack[-6:])
             ctm = _mat_mul(m, ctm)
@@ -1316,7 +1464,7 @@ def _interpret_content(
             # unknown operator: discard operands (defensive)
             stack.clear()
     finalize_pend()
-    return words, images
+    return words, images, vectors
 
 
 # ---------------------------------------------------------------------------

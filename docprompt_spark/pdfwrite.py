@@ -552,6 +552,25 @@ def _render_content(page: dict, cid_of: Dict[str, int]) -> bytes:
                 e=fmt_num(im["x"]), f=fmt_num(im["y"]), paint=paint,
             )
         )
+    # vector graphics (rules, frames, accents): painted after images,
+    # before the text block — the order the interpreter and rasterizer
+    # assume. Each entry: {"path": [("re",x,y,w,h)|("m",x,y)|("l",x,y)|
+    # ("c",x1,y1,x2,y2,x3,y3)|("h",)], "paint": f/f*/S/s/B, "gray": 0..1,
+    # "lw": points}
+    for vec in page.get("vectors", []) or []:
+        seg = ["q"]
+        paint = vec.get("paint", "S")
+        gray = vec.get("gray", 0.0)
+        if paint in ("f", "f*", "B", "B*", "b", "b*"):
+            seg.append(f"{fmt_num(gray)} g")
+        if paint not in ("f", "f*"):
+            seg.append(f"{fmt_num(vec.get('stroke_gray', gray))} G")
+            seg.append(f"{fmt_num(vec.get('lw', 1.0))} w")
+        for op in vec["path"]:
+            seg.append(" ".join(fmt_num(v) for v in op[1:]) + (" " if len(op) > 1 else "") + op[0])
+        seg.append(paint)
+        seg.append("Q")
+        parts.append(" ".join(seg))
     parts.append("BT")
     cur_font = None
     line_start: Optional[Tuple[float, float]] = None

@@ -2726,8 +2726,8 @@ def _golden_raster_rows(n_docs=16, seed=11):
     from docprompt_spark import fontgen
 
     rows = []
-    for doc_id, pn, layout, imgs in golden_page_layouts(
-        n_docs, seed=seed, skew_every=0
+    for doc_id, pn, layout, imgs, vecs in golden_page_layouts(
+        n_docs, seed=seed, skew_every=0, with_vectors=True
     ):
         images = [
             {
@@ -2747,7 +2747,7 @@ def _golden_raster_rows(n_docs=16, seed=11):
             {ch for w in wds for ch in w["text"]}
             | {chr(c) for c in range(32, 127)}
         )
-        canvas = rasterize.render_page(wds, images, glyphs=glyphs)
+        canvas = rasterize.render_page(wds, images, glyphs=glyphs, vectors=vecs)
         masked = rasterize.mask_bboxes(canvas, [w["bbox"] for w in wds])
         rows.append(
             (

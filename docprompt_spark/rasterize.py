@@ -185,6 +185,79 @@ def _paint_word_outlines(canvas: np.ndarray, text: str, rect, glyphs) -> None:
         pen += adv
 
 
+def flatten_cubic(p0, p1, p2, p3, steps: int = 16) -> List[Tuple[float, float]]:
+    """Cubic Bezier -> fixed-step polyline (excludes p0, includes p3).
+    Shared by the content-stream interpreter and the generator-side raster
+    oracle so both flatten identically (deterministic IEEE order)."""
+    out = []
+    for i in range(1, steps + 1):
+        t = i / steps
+        mt = 1.0 - t
+        a = mt * mt * mt
+        b = 3.0 * mt * mt * t
+        c = 3.0 * mt * t * t
+        d = t * t * t
+        out.append(
+            (
+                a * p0[0] + b * p1[0] + c * p2[0] + d * p3[0],
+                a * p0[1] + b * p1[1] + c * p2[1] + d * p3[1],
+            )
+        )
+    return out
+
+
+def _stroke_quads(contour, lw: float, closed: bool) -> List[List[Tuple[float, float]]]:
+    """Polyline -> one lw-wide quad per segment (butt caps, no joins —
+    overlap at corners re-paints the same gray, so fills are idempotent).
+    Exact for the axis-aligned rules/frames real documents draw."""
+    quads = []
+    n = len(contour)
+    m = n if closed else n - 1
+    half = lw / 2.0
+    for i in range(m):
+        x0, y0 = contour[i]
+        x1, y1 = contour[(i + 1) % n]
+        dx, dy = x1 - x0, y1 - y0
+        ln = math.hypot(dx, dy)
+        if ln <= 0:
+            continue
+        nx, ny = -dy / ln * half, dx / ln * half
+        quads.append(
+            [
+                (x0 + nx, y0 + ny),
+                (x1 + nx, y1 + ny),
+                (x1 - nx, y1 - ny),
+                (x0 - nx, y0 - ny),
+            ]
+        )
+    return quads
+
+
+def paint_vectors(
+    canvas: np.ndarray, vectors: List[dict], page_h: float, scale: float
+) -> None:
+    """Paint parsed vector path objects (device points, y-up) onto the
+    raster. ``fill`` scanline-fills even-odd; ``stroke`` expands each
+    segment to a line-width quad; ``fillstroke`` does both."""
+    for v in vectors:
+        gray = int(v.get("gray", 0))
+        pix = [
+            [(x * scale, (page_h - y) * scale) for x, y in c]
+            for c in v["contours"]
+            if len(c) >= 2
+        ]
+        paint = v.get("paint", "fill")
+        closed = v.get("closed")
+        if paint == "fill":
+            fill_contours(canvas, [c for c in pix if len(c) >= 3], gray)
+        elif paint == "stroke":
+            lw_px = max(float(v.get("lw", 1.0)) * scale, 1.0)
+            for i, c in enumerate(pix):
+                cl = closed[i] if isinstance(closed, (list, tuple)) else bool(closed)
+                for quad in _stroke_quads(c, lw_px, cl):
+                    fill_contours(canvas, [quad], gray)
+
+
 def render_page(
     words: List[dict],
     images: List[dict],
@@ -192,6 +265,7 @@ def render_page(
     page_h: float = 792.0,
     dpi: int = DEFAULT_DPI,
     glyphs: Optional[dict] = None,
+    vectors: Optional[List[dict]] = None,
 ) -> np.ndarray:
     """Render one page to a gray8 raster at ``scale = dpi / 72`` (the
     reference's pdfium scale contract, schema/document.py rasterize path).
@@ -199,8 +273,10 @@ def render_page(
     ``words``: layout word dicts ``{text, bbox}`` (normalized bboxes, the
     shape :func:`kernels.build_page_layout` emits per line).
     ``images``: ``{bbox, pixels: np.ndarray}`` placement entries.
-    Paint order is images-under-text, matching the corpus content streams
-    (images are drawn by earlier ``Do`` ops).
+    ``vectors``: parsed path objects (:func:`paint_vectors` shape).
+    Paint order is images, then vector graphics, then text — matching the
+    corpus content streams (images by earlier ``Do`` ops, path painting
+    before the ``BT`` block).
     """
     width_px = max(1, int(round(page_w * dpi / 72.0)))
     height_px = max(1, int(round(page_h * dpi / 72.0)))
@@ -210,6 +286,8 @@ def render_page(
             canvas, im["pixels"], rect_px(im["bbox"], width_px, height_px),
             stencil=bool(im.get("stencil")),
         )
+    if vectors:
+        paint_vectors(canvas, vectors, page_h, dpi / 72.0)
     for wd in words:
         rect = rect_px(wd["bbox"], width_px, height_px)
         if glyphs:
@@ -297,7 +375,7 @@ def _render_kernel(pages_per_bucket: int, dpi: int):
                     wds = layout_words(layout)
                     canvas = render_page(
                         wds, imgs, p["width"], p["height"], dpi=dpi,
-                        glyphs=glyphs,
+                        glyphs=glyphs, vectors=p.get("vectors"),
                     )
                     masked = mask_bboxes(canvas, [w["bbox"] for w in wds])
                     rows.append(

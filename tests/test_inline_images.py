@@ -88,7 +88,7 @@ def test_interpreter_places_inline_image():
         + samples
         + b" EI Q"
     )
-    words, images = pdfparse._interpret_content(
+    words, images, _vecs = pdfparse._interpret_content(
         content, fonts={}, xobjects={}, resolve=lambda x: x,
         page_w=612.0, page_h=792.0, with_image_data=True,
     )
