@@ -224,7 +224,16 @@ def _gen_page(
                         rgb = _np.stack(
                             [arr, _np.roll(arr, 3, axis=1), 255 - arr], axis=-1
                         )
-                        data = _jpx.encode(rgb, levels=2)
+                        # (base>>2)%2 flags the reversible RCT (MCT=1) —
+                        # the color transform real encoders emit; lossless
+                        # either way so the luma ground truth is identical.
+                        # (base>>5)%2 splits the codestream into a tile
+                        # grid (multi-SOT layout of large scanned images).
+                        data = _jpx.encode(
+                            rgb, levels=2, mct=(base >> 2) % 2 == 1,
+                            tile=((px_h // 2, px_w // 2)
+                                  if (base >> 5) % 2 == 1 else None),
+                        )
                         samples_gt = _np.clip(
                             _np.round(
                                 0.299 * rgb[:, :, 0].astype(_np.float64)
@@ -236,7 +245,11 @@ def _gen_page(
                         ).astype(_np.uint8).tobytes()
                         cs = "DeviceRGB"
                     else:
-                        data = _jpx.encode(arr, levels=2)
+                        data = _jpx.encode(
+                            arr, levels=2,
+                            tile=((px_h // 2, px_w // 2)
+                                  if (base >> 5) % 2 == 1 else None),
+                        )
                         samples_gt = samples
                 elif base % 2 == 1:
                     rgb = _np.stack(

@@ -576,6 +576,8 @@ def _encode_packet(band_blocks) -> bytes:
     bw_.put(1)
     bodies = []
     for gh, gw, blocks in band_blocks:
+        if gh == 0 or gw == 0:
+            continue  # zero-size band (tiny edge tile): no code-blocks
         incl = _TagTree(gw, gh)
         zbpt = _TagTree(gw, gh)
         for (y, x, data, npasses, zbp) in blocks:
@@ -599,28 +601,31 @@ def _encode_packet(band_blocks) -> bytes:
     return bw_.flush() + b"".join(bodies)
 
 
-def encode(arr: np.ndarray, levels: int = 2) -> bytes:
-    """uint8 grayscale (h, w) OR RGB (h, w, 3) -> lossless JPEG 2000 raw
-    codestream (components coded independently, no MCT; LRCP packet order
-    iterates components inside each resolution)."""
-    arr = np.asarray(arr, dtype=np.uint8)
-    if arr.ndim == 2:
-        comps = [arr]
-    elif arr.ndim == 3 and arr.shape[2] == 3:
-        comps = [arr[:, :, k] for k in range(3)]
-    else:
-        raise ValueError("grayscale (h, w) or RGB (h, w, 3) arrays only")
-    h, w = comps[0].shape
-    layout = _band_layout(h, w, levels)
-    n_bands = sum(len(bl) for bl in layout)
+def _rct_forward(r: np.ndarray, g: np.ndarray, b: np.ndarray):
+    """Reversible Component Transform (§G.2, the MCT that pairs with the
+    5/3 wavelet): exact integer forward on level-shifted planes."""
+    y = (r + 2 * g + b) >> 2  # floor division, exact inverse below
+    u = b - g
+    v = r - g
+    return y, u, v
 
-    # Tier-1 everything first: QCD is shared across components, so per-band
-    # eps derives from the max nbps over all components
-    coded = []  # per comp: per res: (gh, gw, [[cy,cx,data,npasses,nbps]])
+
+def _rct_inverse(y: np.ndarray, u: np.ndarray, v: np.ndarray):
+    g = y - ((u + v) >> 2)
+    r = v + g
+    b = u + g
+    return r, g, b
+
+
+def _tier1_tile(comps, levels: int, layout):
+    """Tier-1 code one tile's (already transformed int32) component planes.
+    -> (coded, band_max): coded[c][r] = (gh, gw, [[cy,cx,data,npasses,
+    nbps]]); band_max = per-band max nbps for the shared QCD."""
+    n_bands = sum(len(bl) for bl in layout)
+    coded = []
     band_max = [0] * n_bands
-    for comp in comps:
-        shifted = comp.astype(np.int32) - 128  # DC level shift
-        ll, bands = dwt53_forward(shifted, levels)
+    for plane in comps:
+        ll, bands = dwt53_forward(plane, levels)
         res_arrays = [[ll]]
         for lvl in range(levels - 1, -1, -1):
             res_arrays.append(list(bands[lvl]))
@@ -643,48 +648,105 @@ def encode(arr: np.ndarray, levels: int = 2) -> bytes:
                 bidx += 1
             comp_coded.append(res_entry)
         coded.append(comp_coded)
+    return coded, band_max
+
+
+def encode(
+    arr: np.ndarray, levels: int = 2, mct: bool = False,
+    tile: "Optional[Tuple[int, int]]" = None,
+) -> bytes:
+    """uint8 grayscale (h, w) OR RGB (h, w, 3) -> lossless JPEG 2000 raw
+    codestream. ``mct=True`` (RGB only) applies the reversible RCT (§G.2)
+    before the per-component wavelets — the form real encoders emit for
+    color. ``tile=(th, tw)`` splits the image into a tile grid, one
+    SOT..SOD segment per tile — the large-image layout scanned archives
+    carry. LRCP packet order iterates components inside each resolution."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        planes = [arr.astype(np.int32) - 128]
+        if mct:
+            raise ValueError("MCT requires 3 components")
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        planes = [arr[:, :, k].astype(np.int32) - 128 for k in range(3)]
+        if mct:
+            planes = list(_rct_forward(*planes))
+    else:
+        raise ValueError("grayscale (h, w) or RGB (h, w, 3) arrays only")
+    h, w = planes[0].shape
+    th, tw = tile if tile is not None else (h, w)
+    if th <= 0 or tw <= 0:
+        raise ValueError("tile dims must be positive")
+    tiles_y = (h + th - 1) // th
+    tiles_x = (w + tw - 1) // tw
+
+    # Tier-1 every tile first: QCD is shared across tiles AND components,
+    # so per-band eps derives from the global max nbps. Bands are indexed
+    # by the full-tile layout; edge tiles (fewer bands at tiny dims) map
+    # onto its prefix resolution-by-resolution.
+    full_layout = _band_layout(th, tw, levels)
+    tile_entries = []  # (layout, coded)
+    band_max = [0] * sum(len(bl) for bl in full_layout)
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            sub = [
+                p[ty * th : ty * th + th, tx * tw : tx * tw + tw]
+                for p in planes
+            ]
+            lay = _band_layout(sub[0].shape[0], sub[0].shape[1], levels)
+            coded, bmax = _tier1_tile(sub, levels, lay)
+            bidx = 0
+            for r, bl in enumerate(lay):
+                base = sum(len(full_layout[rr]) for rr in range(r))
+                for bi in range(len(bl)):
+                    band_max[base + bi] = max(band_max[base + bi], bmax[bidx])
+                    bidx += 1
+            tile_entries.append((lay, coded))
 
     band_eps = [max(1, m + 1 - _GUARD) for m in band_max]
-    for comp_coded in coded:
-        bidx = 0
-        for res_entry in comp_coded:
-            for gh, gw, blocks in res_entry:
-                mb = _GUARD + band_eps[bidx] - 1
-                for b in blocks:
-                    b[4] = mb - b[4]  # nbps -> zero bit-planes
-                bidx += 1
-
-    # LRCP, single layer: for each resolution, one packet per component
-    packets = b"".join(
-        _encode_packet(
-            [(gh, gw, [tuple(b) for b in blocks]) for gh, gw, blocks in
-             coded[c][r]]
+    body = b""
+    for t, (lay, coded) in enumerate(tile_entries):
+        for comp_coded in coded:
+            for r, res_entry in enumerate(comp_coded):
+                base = sum(len(full_layout[rr]) for rr in range(r))
+                for bi, (gh, gw, blocks) in enumerate(res_entry):
+                    mb = _GUARD + band_eps[base + bi] - 1
+                    for bset in blocks:
+                        bset[4] = mb - bset[4]  # nbps -> zero bit-planes
+        packets = b"".join(
+            _encode_packet(
+                [
+                    (gh, gw, [tuple(bset) for bset in blocks])
+                    for gh, gw, blocks in coded[c][r]
+                ]
+            )
+            for r in range(len(lay))
+            for c in range(len(planes))
         )
-        for r in range(len(layout))
-        for c in range(len(comps))
-    )
+        # Psot: SOT segment (12) + SOD marker (2) + packet data
+        sot = struct.pack(">HIBB", t, 14 + len(packets), 0, 1)
+        body += _marker(0xFF90, sot) + b"\xff\x93" + packets
 
     siz = struct.pack(
-        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, len(comps)
-    ) + bytes([7, 1, 1] * len(comps))
-    cod = bytes([0, 0, 0, 1, 0, levels, _CB_EXP - 2, _CB_EXP - 2, 0, 1])
+        ">HIIIIIIIIH", 0, w, h, 0, 0, tw, th, 0, 0, len(planes)
+    ) + bytes([7, 1, 1] * len(planes))
+    cod = bytes(
+        [0, 0, 0, 1, 1 if mct else 0, levels, _CB_EXP - 2, _CB_EXP - 2, 0, 1]
+    )
     qcd = bytes([(_GUARD << 5)]) + bytes(e << 3 for e in band_eps)
-    tile_payload = packets
-    sot = struct.pack(">HIBB", 0, 12 + len(tile_payload) + 2, 0, 1)
     return (
         b"\xff\x4f"
         + _marker(0xFF51, siz)
         + _marker(0xFF52, cod)
         + _marker(0xFF5C, qcd)
-        + _marker(0xFF90, sot)
-        + b"\xff\x93"
-        + tile_payload
+        + body
         + b"\xff\xd9"
     )
 
 
 def decode(data: bytes) -> np.ndarray:
-    """Lossless 5/3 codestream (raw or inside a JP2 'jp2c' box) -> uint8."""
+    """Lossless 5/3 codestream (raw or inside a JP2 'jp2c' box) -> uint8.
+    Handles single- and multi-tile layouts (SOT walk via Psot) and the
+    reversible RCT (MCT=1) for color."""
     if data[:4] == b"\x00\x00\x00\x0c" and data[4:8] == b"jP  ":
         i = data.find(b"jp2c")
         if i < 0:
@@ -694,35 +756,49 @@ def decode(data: bytes) -> np.ndarray:
         raise ValueError("not a JPEG 2000 codestream (no SOC)")
     pos = 2
     h = w = None
+    th = tw = None
     levels = None
+    mct = False
     band_eps: List[int] = []
     guard = _GUARD
-    tile_data = None
+    tiles: List[Tuple[int, bytes]] = []  # (tile index, packet data)
     while pos + 4 <= len(data):
         code = struct.unpack(">H", data[pos : pos + 2])[0]
         if code == 0xFFD9:
             break
-        if code == 0xFF93:  # SOD: rest of tile is packet data until EOC
-            tile_data = data[pos + 2 : data.rfind(b"\xff\xd9")]
-            break
+        if code == 0xFF90:  # SOT: Psot bounds this tile-part
+            isot, psot, _tpsot, _tnsot = struct.unpack(
+                ">HIBB", data[pos + 4 : pos + 12]
+            )
+            if psot == 0:  # last tile-part extends to EOC
+                end = data.rfind(b"\xff\xd9")
+            else:
+                end = pos + psot
+            if data[pos + 12 : pos + 14] != b"\xff\x93":
+                raise ValueError("SOT without adjacent SOD unsupported")
+            tiles.append((isot, data[pos + 14 : end]))
+            pos = end
+            continue
         ln = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         payload = data[pos + 4 : pos + 2 + ln]
         if code == 0xFF51:  # SIZ
             rsiz, xs, ys, xo, yo, xt, yt, xto, yto, ncomp = struct.unpack(
                 ">HIIIIIIIIH", payload[:36]
             )
-            if ncomp not in (1, 3) or xo or yo or (xt, yt) != (xs, ys):
-                raise ValueError("offset/tiled/odd-component JPX unsupported")
+            if ncomp not in (1, 3) or xo or yo or xto or yto:
+                raise ValueError("offset/odd-component JPX unsupported")
             for k in range(ncomp):
                 if payload[36 + 3 * k] != 7 or payload[37 + 3 * k] != 1:
                     raise ValueError("only 8-bit unsigned unsubsampled comps")
             w, h = xs, ys
+            tw, th = xt, yt
         elif code == 0xFF52:  # COD
-            if payload[0] != 0 or payload[1] != 0 or payload[4] != 0:
+            if payload[0] != 0 or payload[1] != 0:
                 raise ValueError("progression/precinct options unsupported")
             nlayers = struct.unpack(">H", payload[2:4])[0]
             if nlayers != 1:
                 raise ValueError("multiple layers unsupported")
+            mct = payload[4] == 1
             levels = payload[5]
             if payload[6] != _CB_EXP - 2 or payload[7] != _CB_EXP - 2:
                 raise ValueError("only 64x64 code-blocks")
@@ -734,16 +810,48 @@ def decode(data: bytes) -> np.ndarray:
                 raise ValueError("only no-quantization (reversible) QCD")
             band_eps = [b >> 3 for b in payload[1:]]
         pos += 2 + ln
-    if h is None or levels is None or tile_data is None:
+    if h is None or levels is None or not tiles:
         raise ValueError("missing SIZ/COD/SOD")
+    if mct and ncomp != 3:
+        raise ValueError("MCT flagged on a non-3-component codestream")
 
+    tiles_x = (w + tw - 1) // tw
+    full_layout = _band_layout(min(th, h), min(tw, w), levels)
+    out_planes = [np.zeros((h, w), dtype=np.int32) for _ in range(ncomp)]
+    for isot, tile_data in tiles:
+        ty, tx = divmod(isot, tiles_x)
+        y0, x0 = ty * th, tx * tw
+        t_h = min(th, h - y0)
+        t_w = min(tw, w - x0)
+        planes = _decode_tile(
+            tile_data, t_h, t_w, levels, ncomp, band_eps, guard, full_layout
+        )
+        for c in range(ncomp):
+            out_planes[c][y0 : y0 + t_h, x0 : x0 + t_w] = planes[c]
+    if mct:
+        out_planes = list(_rct_inverse(*out_planes))
+    planes8 = [
+        np.clip(p + 128, 0, 255).astype(np.uint8) for p in out_planes
+    ]
+    if ncomp == 1:
+        return planes8[0]
+    return np.stack(planes8, axis=-1)
+
+
+def _decode_tile(
+    tile_data: bytes, h: int, w: int, levels: int, ncomp: int,
+    band_eps: List[int], guard: int, full_layout,
+) -> List[np.ndarray]:
+    """One tile's packet data -> int32 component planes (level-shifted,
+    pre-MCT). Band eps indices map through the FULL-tile layout (edge
+    tiles with fewer bands consume its per-resolution prefix)."""
     layout = _band_layout(h, w, levels)
     br_pos = 0
     res_arrays = [[] for _ in range(ncomp)]  # per comp: per res band list
     # LRCP with one layer: packets iterate resolution-major, component-minor
     for r, bl in enumerate(layout):
         for c in range(ncomp):
-            band_idx = sum(len(layout[rr]) for rr in range(r))
+            band_idx = sum(len(full_layout[rr]) for rr in range(r))
             res_bands = []
             br = _BioReader(tile_data[br_pos:])
             headers = []
@@ -755,6 +863,9 @@ def decode(data: bytes) -> np.ndarray:
                 continue
             for (ori, bh, bw_sz) in bl:
                 gh, gw = _cb_grid(bh, bw_sz)
+                if gh == 0 or gw == 0:
+                    headers.append([])
+                    continue  # zero-size band: nothing in the packet
                 incl = _TagTree(gw, gh)
                 zbpt = _TagTree(gw, gh)
                 blocks = []
@@ -806,8 +917,5 @@ def decode(data: bytes) -> np.ndarray:
         ll = res_arrays[c][0][0]
         bands = [tuple(res_arrays[c][r]) for r in range(1, len(res_arrays[c]))]
         bands = list(reversed(bands))  # back to finest-first
-        img = dwt53_inverse(ll, bands) + 128
-        planes.append(np.clip(img, 0, 255).astype(np.uint8))
-    if ncomp == 1:
-        return planes[0]
-    return np.stack(planes, axis=-1)
+        planes.append(dwt53_inverse(ll, bands))
+    return planes

@@ -135,3 +135,67 @@ def test_rgb_media_decode_reduces_to_luma():
         255,
     ).astype(np.uint8)
     assert np.array_equal(px, want)
+
+
+def test_rct_roundtrip_exact():
+    """Reversible RCT (MCT=1, §G.2): integer-exact forward/inverse, and a
+    full RGB codestream with the MCT flag decodes bit-exactly."""
+    import numpy as np
+
+    from docprompt_spark import jpx
+
+    rng = np.random.RandomState(31)
+    rgb = (rng.rand(24, 40, 3) * 255).astype(np.uint8)
+    planes = [rgb[:, :, k].astype(np.int32) - 128 for k in range(3)]
+    y, u, v = jpx._rct_forward(*planes)
+    r, g, b = jpx._rct_inverse(y, u, v)
+    assert all(np.array_equal(a, b_) for a, b_ in zip(planes, (r, g, b)))
+    enc = jpx.encode(rgb, levels=2, mct=True)
+    # COD SGcod MCT byte flags 1
+    i = enc.find(b"\xff\x52")
+    assert enc[i + 4 + 4] == 1
+    assert np.array_equal(jpx.decode(enc), rgb)
+    # MCT exists to decorrelate: on CORRELATED planes (a gradient with
+    # small per-channel offsets — the photographic case) it must beat
+    # coding the components independently
+    gy, gx = np.mgrid[0:24, 0:40]
+    lum = (4 * gx + 3 * gy).astype(np.int32)
+    corr = np.stack(
+        [np.clip(lum + d, 0, 255) for d in (0, 7, 13)], axis=-1
+    ).astype(np.uint8)
+    assert len(jpx.encode(corr, levels=2, mct=True)) < len(
+        jpx.encode(corr, levels=2)
+    )
+
+
+def test_multi_tile_roundtrip():
+    """Tile grid (multi-SOT codestream): ragged edge tiles, gray + RGB,
+    with and without MCT — all bit-exact, and the stream really carries
+    one SOT per tile."""
+    import numpy as np
+
+    from docprompt_spark import jpx
+
+    rng = np.random.RandomState(33)
+    g = (rng.rand(50, 70) * 255).astype(np.uint8)
+    enc = jpx.encode(g, levels=2, tile=(32, 32))
+    assert enc.count(b"\xff\x90") == 6  # 2x3 grid
+    assert np.array_equal(jpx.decode(enc), g)
+    rgb = (rng.rand(36, 40, 3) * 255).astype(np.uint8)
+    enc2 = jpx.encode(rgb, levels=2, tile=(18, 20), mct=True)
+    assert enc2.count(b"\xff\x90") == 4
+    assert np.array_equal(jpx.decode(enc2), rgb)
+
+
+def test_tiny_edge_tile_zero_size_bands():
+    """A 2-row image at 2 decomposition levels yields zero-height bands —
+    the packet coder must skip them, not hang (round-5 regression)."""
+    import numpy as np
+
+    from docprompt_spark import jpx
+
+    rng = np.random.RandomState(35)
+    tiny = (rng.rand(2, 96) * 255).astype(np.uint8)
+    assert np.array_equal(jpx.decode(jpx.encode(tiny, levels=2)), tiny)
+    tall = (rng.rand(96, 2) * 255).astype(np.uint8)
+    assert np.array_equal(jpx.decode(jpx.encode(tall, levels=2)), tall)
