@@ -79,6 +79,12 @@ _BBOX_FIELDS = [
     StructField("top", DoubleType()),
     StructField("x1", DoubleType()),
     StructField("bottom", DoubleType()),
+    # BoundingPoly carry-through (reference schema/layout.py:202-213 /
+    # from_bounding_poly:152-157): 4 normalized vertices flattened in the
+    # reference's order top_left, top_right, bottom_right, bottom_left.
+    # Axis-aligned providers emit the degenerate (rectangular) quad; a
+    # rotated-quad provider would populate the same column.
+    StructField("poly", ArrayType(DoubleType())),
 ]
 
 # TextBlock hierarchy (SURVEY §1.3: OcrPageResult.word/line/block_level_blocks,
@@ -226,6 +232,11 @@ def _route_and_map(buckets_df, fn, schema, parallelism, skew_page_threshold):
 def _layout_to_block_row(doc_id: str, page_number: int, layout: dict) -> dict:
     """kernels.build_page_layout output → one BLOCKS_SCHEMA row."""
     word_blocks, line_blocks, block_blocks = [], [], []
+
+    def _poly(bb):
+        # reference vertex order: TL, TR, BR, BL (layout.py:152-157)
+        return [bb[0], bb[1], bb[2], bb[1], bb[2], bb[3], bb[0], bb[3]]
+
     for ln in layout["lines"]:
         bb = ln["bbox"]
         line_blocks.append(
@@ -233,6 +244,7 @@ def _layout_to_block_row(doc_id: str, page_number: int, layout: dict) -> dict:
                 "text": ln["text"], "start": ln["start"],
                 "end": ln["start"] + len(ln["text"]), "n_words": len(ln["words"]),
                 "x0": bb[0], "top": bb[1], "x1": bb[2], "bottom": bb[3],
+                "poly": _poly(bb),
             }
         )
         for w in ln["words"]:
@@ -242,6 +254,7 @@ def _layout_to_block_row(doc_id: str, page_number: int, layout: dict) -> dict:
                     "text": w["text"], "start": w["start"],
                     "end": w["start"] + len(w["text"]),
                     "x0": wb[0], "top": wb[1], "x1": wb[2], "bottom": wb[3],
+                    "poly": _poly(wb),
                 }
             )
     for b in layout["blocks"]:
@@ -250,6 +263,7 @@ def _layout_to_block_row(doc_id: str, page_number: int, layout: dict) -> dict:
             {
                 "start": b["start"], "end": b["end"], "n_lines": len(b["line_idx"]),
                 "x0": bb[0], "top": bb[1], "x1": bb[2], "bottom": bb[3],
+                "poly": _poly(bb),
             }
         )
     return {

@@ -79,8 +79,11 @@ _PRIORITY_NAMES = [
     "media_png_export",
     # full codec-rotation evidence (jpx/jbig2/ccitt/dct + flag variants)
     "media_codec_histogram",
+    # round-5 additions
+    "textblock_bounding_polys",
 ]
 _LOW_PRIORITY_NAMES = [
+    "q5_supplier_volume_by_nation",  # TPC-H redundancy: q1+q3 stay in-window; q5 still bench-timed + local oracle
     "fuzzy_term_match",  # (F17) same indel-ratio kernel exercised in-window by provenance_refined_search (D19)
     "size_capped_batching",  # (D3-D5) dup of page_bucket_batching (in-window)
     "avg_word_len_by_lang",  # (A4) dup of q1-family aggs + local oracle
@@ -3395,8 +3398,66 @@ def _textblock_blocks_oracle_sql() -> str:
     )
 
 
+def textblock_bounding_polys(spark, sf_dir):
+    """BoundingPoly carry-through (reference schema/layout.py:202-213):
+    every block-level block's 4-vertex normalized quad — vertex order
+    top_left, top_right, bottom_right, bottom_left, the order
+    NormBBox.from_bounding_poly consumes (layout.py:152-157) — survives to
+    the provenance surface as a first-class column, not a derived bbox.
+    Oracle: golden layouts, the quad recomputed from ground-truth
+    geometry."""
+    from docprompt_spark import pipeline
+
+    docs = pipeline.corpus_df(spark, _FLAGSHIP_DOCS, seed=_FLAGSHIP_SEED, skew_every=0)
+    blocks = pipeline.page_blocks(
+        pipeline.salt_page_buckets(docs.select("doc_id", "pdf", "n_pages"))
+    )
+    exploded = blocks.select(
+        "doc_id",
+        "page_number",
+        F.posexplode("block_blocks").alias("block_idx", "b"),
+    )
+    sel = [
+        "doc_id",
+        F.col("page_number").cast("int").alias("page_number"),
+        F.col("block_idx").cast("int").alias("block_idx"),
+    ]
+    names = ["tl_x", "tl_y", "tr_x", "tr_y", "br_x", "br_y", "bl_x", "bl_y"]
+    for i, nm in enumerate(names):
+        # round(v, 5): the reference's json_encoders precision (layout.py:35)
+        sel.append(F.round(F.col("b.poly").getItem(i), 5).alias(nm))
+    return exploded.select(*sel)
+
+
+def _textblock_polys_oracle_sql() -> str:
+    from docprompt_spark.corpus import golden_page_layouts
+
+    rows = []
+    for doc_id, page_number, layout, _imgs in golden_page_layouts(
+        _FLAGSHIP_DOCS, seed=_FLAGSHIP_SEED, skew_every=0
+    ):
+        for bi, b in enumerate(layout["blocks"]):
+            x0, top, x1, bottom = b["bbox"]
+            quad = [x0, top, x1, top, x1, bottom, x0, bottom]
+            rows.append(
+                f"({_sql_quote(doc_id)},{page_number},{bi},"
+                + ",".join(str(round(v, 5)) for v in quad)
+                + ")"
+            )
+    values = ",\n".join(rows)
+    cols = ["tl_x", "tl_y", "tr_x", "tr_y", "br_x", "br_y", "bl_x", "bl_y"]
+    casts = ", ".join(f"CAST({c} AS DOUBLE) AS {c}" for c in cols)
+    return (
+        "SELECT doc_id, CAST(page_number AS INT) AS page_number,"
+        " CAST(block_idx AS INT) AS block_idx, " + casts
+        + " FROM (VALUES\n" + values + "\n) AS t(doc_id, page_number,"
+        " block_idx, " + ", ".join(cols) + ")"
+    )
+
+
 _REGISTRY["textblock_line_geometry"] = (textblock_line_geometry, None)
 _REGISTRY["textblock_block_rollup"] = (textblock_block_rollup, None)
+_REGISTRY["textblock_bounding_polys"] = (textblock_bounding_polys, None)
 
 
 _FIXTURE_OCR = "/root/reference/tests/fixtures/1_ocr.json"
@@ -3601,6 +3662,7 @@ def _build_oracle_sql() -> Dict[str, str]:
     out["line_block_word_assignment"] = _line_block_assignment_oracle_sql()
     out["textblock_line_geometry"] = _textblock_lines_oracle_sql()
     out["textblock_block_rollup"] = _textblock_blocks_oracle_sql()
+    out["textblock_bounding_polys"] = _textblock_polys_oracle_sql()
     out["extraction_page_stats"] = _page_stats_oracle_sql()
     out["media_inventory"] = _media_inventory_oracle_sql()
     out["media_codec_histogram"] = _media_codec_histogram_oracle_sql()
