@@ -177,9 +177,15 @@ def _gen_page(
                         # tile grid exactly — lossless over the threshold
                         data = _jbig2.encode_gray8_symbols(arr)
                     else:
-                        data = _jbig2.encode_gray8(
-                            arr, arithmetic=(base >> 7) % 2 == 1
-                        )
+                        # arith slots: (base>>4)%2 turns on TPGDON (typical
+                        # prediction, §6.2.5.7 — jbig2enc's default)
+                        if (base >> 7) % 2 == 1:
+                            data = _jbig2.encode_generic_arith(
+                                (arr < 128).astype(_np.uint8),
+                                tpgdon=(base >> 4) % 2 == 1,
+                            )
+                        else:
+                            data = _jbig2.encode_gray8(arr)
                     filt = "JBIG2Decode"
                     samples_gt = _jbig2.decode_to_gray8(data, px_w, px_h).tobytes()
                 else:

@@ -195,9 +195,9 @@ def decode(data: bytes, width: Optional[int] = None,
             continue
         rw, rh, rx, ry, _comb = struct.unpack(">IIIIB", s.data[:17])
         gflags = s.data[17]
-        if gflags & 0x08:
-            raise ValueError("JBIG2 TPGDON unsupported")
-        if gflags & 1:  # MMR: shared T.6 machinery
+        if gflags & 1:  # MMR: shared T.6 machinery (TPGDON n/a for MMR)
+            if gflags & 0x08:
+                raise ValueError("JBIG2 TPGDON is invalid with MMR=1")
             bits = ccitt.decode(s.data[18:], rw, rh)
         else:  # MQ arithmetic, GB template 0, nominal AT pixels
             template = (gflags >> 1) & 3
@@ -206,7 +206,9 @@ def decode(data: bytes, width: Optional[int] = None,
             at = s.data[18:26]
             if at != _NOMINAL_AT:
                 raise ValueError("non-nominal JBIG2 AT pixels unsupported")
-            bits = _decode_generic_arith(s.data[26:], rw, rh)
+            bits = _decode_generic_arith(
+                s.data[26:], rw, rh, tpgdon=bool(gflags & 0x08)
+            )
         regions.append((rx, ry, bits))
     if not regions:
         raise ValueError("no region segment found")
@@ -262,16 +264,32 @@ def _new_cx(n: int) -> list:
     return [[0, 0] for _ in range(n)]
 
 
-def _generic_encode_into(enc, gb_cx, bits: np.ndarray) -> None:
+# pseudo-pixel context for the TPGDON SLTP bit, GB template 0 (§6.2.5.7;
+# value under the same 16-bit context composition pdf.js/jbig2dec use)
+_TPGDON_CTX0 = 0x9B25
+
+
+def _generic_encode_into(enc, gb_cx, bits: np.ndarray, tpgdon: bool = False) -> None:
     """MQ-encode one template-0 generic bitmap into a shared encoder with
     a caller-owned GB context array (symbol dictionaries code every symbol
-    bitmap through ONE codestream + ONE context set, §6.5.8.2.1)."""
+    bitmap through ONE codestream + ONE context set, §6.5.8.2.1).
+    ``tpgdon`` enables typical-prediction (§6.2.5.7): each row leads with
+    an SLTP bit in the pseudo-pixel context; rows equal to their
+    predecessor are skipped entirely — the dominant savings on scanned
+    text's blank rows."""
     h, w = bits.shape
     zrow = np.zeros(w, dtype=np.uint8)
+    ltp = 0
     for y in range(h):
         r2 = bits[y - 2] if y >= 2 else zrow
         r1 = bits[y - 1] if y >= 1 else zrow
         r0 = bits[y]
+        if tpgdon:
+            typical = int(np.array_equal(r0, r1))
+            enc.encode(typical ^ ltp, _TPGDON_CTX0, gb_cx)
+            ltp = typical
+            if ltp:
+                continue  # row == previous row: not coded
         for x in range(w):
             ctx = (
                 (_row_bits(r2, x - 2, 5, w) << 11)
@@ -281,14 +299,22 @@ def _generic_encode_into(enc, gb_cx, bits: np.ndarray) -> None:
             enc.encode(int(r0[x]), ctx, gb_cx)
 
 
-def _generic_decode_from(dec, gb_cx, rw: int, rh: int) -> np.ndarray:
+def _generic_decode_from(
+    dec, gb_cx, rw: int, rh: int, tpgdon: bool = False
+) -> np.ndarray:
     """Mirror of :func:`_generic_encode_into` over a shared decoder."""
     out = np.zeros((rh, rw), dtype=np.uint8)
     zrow = np.zeros(rw, dtype=np.uint8)
+    ltp = 0
     for y in range(rh):
         r2 = out[y - 2] if y >= 2 else zrow
         r1 = out[y - 1] if y >= 1 else zrow
         r0 = out[y]
+        if tpgdon:
+            ltp ^= dec.decode(_TPGDON_CTX0, gb_cx)
+            if ltp:
+                out[y] = r1  # typical row: copy of the previous row
+                continue
         for x in range(rw):
             ctx = (
                 (_row_bits(r2, x - 2, 5, rw) << 11)
@@ -299,21 +325,25 @@ def _generic_decode_from(dec, gb_cx, rw: int, rh: int) -> np.ndarray:
     return out
 
 
-def encode_generic_arith(bits: np.ndarray, page: int = 1) -> bytes:
+def encode_generic_arith(
+    bits: np.ndarray, page: int = 1, tpgdon: bool = False
+) -> bytes:
     """Ink bitmap -> embedded JBIG2 stream with an MQ-coded (MMR=0,
     template 0) immediate lossless generic region — the coding real
-    scanned-document producers emit."""
+    scanned-document producers emit. ``tpgdon`` turns on typical
+    prediction (flags bit 3), the option jbig2enc enables by default."""
     from docprompt_spark.mq import MQEncoder
 
     bits = np.asarray(bits, dtype=np.uint8)
     h, w = bits.shape
     enc = MQEncoder(1)
-    _generic_encode_into(enc, _new_cx(1 << 16), bits)
+    _generic_encode_into(enc, _new_cx(1 << 16), bits, tpgdon=tpgdon)
     mqdata = enc.flush()
 
     page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0, 0)
     region_info = struct.pack(">IIIIB", w, h, 0, 0, 0)
-    generic = region_info + bytes([0]) + _NOMINAL_AT + mqdata  # flags: MMR=0
+    gflags = 0x08 if tpgdon else 0  # MMR=0, template 0
+    generic = region_info + bytes([gflags]) + _NOMINAL_AT + mqdata
     out = _segment_header(0, SEG_PAGE_INFO, page, len(page_info)) + page_info
     out += (
         _segment_header(1, SEG_IMM_LOSSLESS_GENERIC, page, len(generic))
@@ -323,10 +353,14 @@ def encode_generic_arith(bits: np.ndarray, page: int = 1) -> bytes:
     return out
 
 
-def _decode_generic_arith(data: bytes, rw: int, rh: int) -> np.ndarray:
+def _decode_generic_arith(
+    data: bytes, rw: int, rh: int, tpgdon: bool = False
+) -> np.ndarray:
     from docprompt_spark.mq import MQDecoder
 
-    return _generic_decode_from(MQDecoder(data, 1), _new_cx(1 << 16), rw, rh)
+    return _generic_decode_from(
+        MQDecoder(data, 1), _new_cx(1 << 16), rw, rh, tpgdon=tpgdon
+    )
 
 
 # ---------------------------------------------------------------------------

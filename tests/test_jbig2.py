@@ -287,3 +287,34 @@ def test_symbol_dict_rejects_huffman_and_refinement():
         data = _struct.pack(">H", flags) + jbig2._NOMINAL_AT + _struct.pack(">II", 0, 0)
         with pytest.raises(ValueError):
             jbig2.decode_symbol_dict(data)
+
+
+@pytest.mark.parametrize("tpgdon", [False, True])
+def test_tpgdon_roundtrip(tpgdon):
+    """§6.2.5.7 typical prediction: SLTP bit per row in the pseudo-pixel
+    context (0x9B25 under the pdf.js 16-bit composition), typical rows
+    copied not coded — exact either way, flags bit 3 set iff enabled."""
+    rng = np.random.default_rng(47)
+    bits = np.zeros((40, 64), np.uint8)
+    bits[8:10, 4:60] = 1
+    bits[20] = (rng.integers(0, 2, 64)).astype(np.uint8)
+    bits[21] = bits[20]  # typical row
+    data = jbig2.encode_generic_arith(bits, tpgdon=tpgdon)
+    segs = jbig2.parse_segments(data)
+    gflags = segs[1].data[17]
+    assert bool(gflags & 0x08) == tpgdon
+    assert np.array_equal(jbig2.decode(data), bits)
+
+
+def test_tpgdon_wins_on_blank_heavy_ink():
+    """On scanned-text-like content (mostly blank/repeated rows) TPGDON
+    must not lose to plain coding — that's why producers enable it."""
+    rng = np.random.default_rng(49)
+    bits = np.zeros((60, 80), np.uint8)
+    for r in (10, 11, 12, 30, 31, 32):
+        bits[r, 5:75] = (rng.integers(0, 2, 70)).astype(np.uint8)
+    bits[40:44] = bits[30:34]  # repeated band: typical rows
+    plain = jbig2.encode_generic_arith(bits)
+    tp = jbig2.encode_generic_arith(bits, tpgdon=True)
+    assert len(tp) < len(plain)
+    assert np.array_equal(jbig2.decode(tp), bits)
