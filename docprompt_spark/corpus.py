@@ -234,12 +234,19 @@ def _gen_page(
                         # the color transform real encoders emit; lossless
                         # either way so the luma ground truth is identical.
                         # (base>>5)%2 splits the codestream into a tile
-                        # grid (multi-SOT layout of large scanned images).
+                        # grid (multi-SOT layout of large scanned images);
+                        # (base>>6)%2 switches to the LOSSY 9/7 profile
+                        # (ICT replaces RCT when mct) — ground truth is
+                        # then the decode of the encode, like DCT.
+                        lossy97 = (base >> 6) % 2 == 1
                         data = _jpx.encode(
                             rgb, levels=2, mct=(base >> 2) % 2 == 1,
                             tile=((px_h // 2, px_w // 2)
                                   if (base >> 5) % 2 == 1 else None),
+                            irreversible=1.0 if lossy97 else None,
                         )
+                        if lossy97:
+                            rgb = _jpx.decode(data).astype(_np.int32)
                         samples_gt = _np.clip(
                             _np.round(
                                 0.299 * rgb[:, :, 0].astype(_np.float64)
@@ -251,12 +258,16 @@ def _gen_page(
                         ).astype(_np.uint8).tobytes()
                         cs = "DeviceRGB"
                     else:
+                        lossy97 = (base >> 6) % 2 == 1
                         data = _jpx.encode(
                             arr, levels=2,
                             tile=((px_h // 2, px_w // 2)
                                   if (base >> 5) % 2 == 1 else None),
+                            irreversible=1.0 if lossy97 else None,
                         )
-                        samples_gt = samples
+                        samples_gt = (
+                            _jpx.decode(data).tobytes() if lossy97 else samples
+                        )
                 elif base % 2 == 1:
                     rgb = _np.stack(
                         [arr, _np.roll(arr, 3, axis=1), 255 - arr], axis=-1

@@ -5,10 +5,15 @@ OpenJPEG).
 
 Scope (a legal, self-consistent codestream profile):
 
-* raw codestream (SOC..EOC — what PDF embeds most often), single tile,
-  single 8-bit unsigned component, no subsampling
-* 5/3 reversible wavelet (lifting, symmetric extension), any number of
-  decomposition levels
+* raw codestream (SOC..EOC — what PDF embeds most often), 8-bit unsigned
+  components, no subsampling; 1 or 3 components
+* single-tile AND multi-tile layouts (SOT/Psot walk, ragged edge tiles)
+* 5/3 reversible wavelet (integer lifting) — lossless — and the 9/7
+  irreversible wavelet (float lifting) + scalar deadzone quantization
+  (Sqcd=2 expounded, midpoint reconstruction) — the lossy profile real
+  scanned archives dominate with
+* multi-component transforms: reversible RCT (§G.2) with 5/3, float ICT
+  (§G.3) with 9/7
 * EBCOT Tier-1 over the shared :mod:`docprompt_spark.mq` coder: the three
   coding passes (significance propagation, magnitude refinement, cleanup
   with run mode), standard ZC/SC/MR context tables per band orientation
@@ -16,19 +21,21 @@ Scope (a legal, self-consistent codestream profile):
   code-blocks, tag-tree coded inclusion/zero-bitplanes, Lblock length
   signalling, packet-header bit stuffing
 
-Out of scope (raise): multi-component/ICT, 9/7 irreversible, multiple
-tiles/layers, precinct partitions, arithmetic bypass/termination options,
-JP2 box wrapping (a JP2 container is unwrapped to its codestream first).
+Out of scope (raise): multiple layers, precinct partitions, arithmetic
+bypass/termination options, component subsampling. A JP2 container is
+unwrapped to its codestream first.
 
-Determinism: integer lifting + the MQ state machine — encode and decode
-are bit-stable across hosts, so media oracles can recompute pixels
-driver-side exactly like every other codec here.
+Determinism: integer lifting + the MQ state machine are bit-stable by
+construction; the 9/7 path is fixed-order IEEE float64 arithmetic — the
+same bytes decode to the same pixels on every host, so media oracles can
+recompute pixels driver-side exactly like every other codec here.
 """
 
 from __future__ import annotations
 
+import math
 import struct
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -102,6 +109,98 @@ def dwt53_inverse(ll: np.ndarray, bands) -> np.ndarray:
         lo = _inv1d(cur, hl, w)
         hi = _inv1d(lh, hh, w)
         cur = _inv1d(lo.T, hi.T, h).T
+    return cur
+
+
+# ---------------------------------------------------------------------------
+# 9/7 irreversible wavelet (§F.4.8.2) — float lifting, same whole-sample
+# symmetric extension (clip-mirror on the lifted subsequences), scaling
+# convention low *= 1/K, high *= K (gains folded into the quantizer)
+# ---------------------------------------------------------------------------
+
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _fwd97_1d(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    n = x.shape[-1]
+    x = np.asarray(x, dtype=np.float64)
+    if n == 1:
+        return x.copy(), x[..., :0]
+    nd = n // 2
+    ns = (n + 1) // 2
+
+    def X(i):
+        i = np.abs(i)
+        i = np.where(i >= n, 2 * (n - 1) - i, i)
+        return x[..., i]
+
+    ks = np.arange(nd)
+    kl = np.arange(ns)
+    d1 = X(2 * ks + 1) + _A97 * (X(2 * ks) + X(2 * ks + 2))
+    s1 = X(2 * kl) + _B97 * (
+        d1[..., np.clip(kl - 1, 0, nd - 1)] + d1[..., np.clip(kl, 0, nd - 1)]
+    )
+    d2 = d1 + _G97 * (
+        s1[..., np.clip(ks, 0, ns - 1)] + s1[..., np.clip(ks + 1, 0, ns - 1)]
+    )
+    s2 = s1 + _D97 * (
+        d2[..., np.clip(kl - 1, 0, nd - 1)] + d2[..., np.clip(kl, 0, nd - 1)]
+    )
+    return s2 * (1.0 / _K97), d2 * _K97
+
+
+def _inv97_1d(s: np.ndarray, d: np.ndarray, n: int) -> np.ndarray:
+    if n == 1:
+        return np.asarray(s, dtype=np.float64).copy()
+    ns, nd = s.shape[-1], d.shape[-1]
+    s2 = np.asarray(s, dtype=np.float64) * _K97
+    d2 = np.asarray(d, dtype=np.float64) * (1.0 / _K97)
+    kl = np.arange(ns)
+    ks = np.arange(nd)
+    s1 = s2 - _D97 * (
+        d2[..., np.clip(kl - 1, 0, nd - 1)] + d2[..., np.clip(kl, 0, nd - 1)]
+    )
+    d1 = d2 - _G97 * (
+        s1[..., np.clip(ks, 0, ns - 1)] + s1[..., np.clip(ks + 1, 0, ns - 1)]
+    )
+    even = s1 - _B97 * (
+        d1[..., np.clip(kl - 1, 0, nd - 1)] + d1[..., np.clip(kl, 0, nd - 1)]
+    )
+    kd = np.arange(nd)
+    odd = d1 - _A97 * (
+        even[..., np.clip(kd, 0, ns - 1)] + even[..., np.clip(kd + 1, 0, ns - 1)]
+    )
+    out = np.zeros(s.shape[:-1] + (n,), dtype=np.float64)
+    out[..., 0::2] = even
+    out[..., 1::2] = odd
+    return out
+
+
+def dwt97_forward(img: np.ndarray, levels: int):
+    cur = np.asarray(img, dtype=np.float64)
+    bands = []
+    for _ in range(levels):
+        lo, hi = _fwd97_1d(cur.T)
+        lo, hi = lo.T, hi.T
+        ll, hl = _fwd97_1d(lo)
+        lh, hh = _fwd97_1d(hi)
+        bands.append((hl, lh, hh))
+        cur = ll
+    return cur, bands
+
+
+def dwt97_inverse(ll: np.ndarray, bands) -> np.ndarray:
+    cur = np.asarray(ll, dtype=np.float64)
+    for hl, lh, hh in reversed(bands):
+        h = lh.shape[0] + cur.shape[0]
+        w = hl.shape[1] + cur.shape[1]
+        lo = _inv97_1d(cur, hl, w)
+        hi = _inv97_1d(lh, hh, w)
+        cur = _inv97_1d(lo.T, hi.T, h).T
     return cur
 
 
@@ -617,18 +716,77 @@ def _rct_inverse(y: np.ndarray, u: np.ndarray, v: np.ndarray):
     return r, g, b
 
 
-def _tier1_tile(comps, levels: int, layout):
-    """Tier-1 code one tile's (already transformed int32) component planes.
-    -> (coded, band_max): coded[c][r] = (gh, gw, [[cy,cx,data,npasses,
-    nbps]]); band_max = per-band max nbps for the shared QCD."""
+def _ict_forward(r, g, b):
+    """Irreversible Color Transform (§G.3) — the float YCbCr that pairs
+    with the 9/7 wavelet."""
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _ict_inverse(y, cb, cr):
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return r, g, b
+
+
+def _step_to_eps_mu(step: float, r_b: int) -> Tuple[int, int, float]:
+    """Quantizer step -> the (eps, mu) 16-bit QCD representation
+    (Δ = 2^(R_b - eps) · (1 + mu/2^11), §E.1.1) and the EFFECTIVE Δ both
+    sides recompute from it — the encoder quantizes with the recovered
+    value so the codestream is self-consistent."""
+    e2 = math.floor(math.log2(step))
+    eps = max(0, min(31, r_b - e2))
+    frac = step / (2.0 ** (r_b - eps))
+    mu = max(0, min(2047, int(round((frac - 1.0) * 2048.0))))
+    delta = (2.0 ** (r_b - eps)) * (1.0 + mu / 2048.0)
+    return eps, mu, delta
+
+
+_BAND_GAIN = {0: 0, 1: 1, 2: 1, 3: 2}  # log2 nominal range gain per ori
+
+
+def _quantize(cof: np.ndarray, delta: float) -> np.ndarray:
+    """Scalar deadzone quantizer (§E.2): sign-magnitude floor(|c|/Δ)."""
+    mag = np.floor(np.abs(cof) / delta).astype(np.int64)
+    return (np.sign(cof) * mag).astype(np.int32)
+
+
+def _dequantize(q: np.ndarray, delta: float) -> np.ndarray:
+    """Midpoint reconstruction (r = 1/2, §E.1.1.2)."""
+    out = np.where(
+        q > 0, (q + 0.5) * delta, np.where(q < 0, (q - 0.5) * delta, 0.0)
+    )
+    return out.astype(np.float64)
+
+
+def _tier1_tile(comps, levels: int, layout, local_steps=None):
+    """Tier-1 code one tile's component planes -> (coded, band_max):
+    coded[c][r] = (gh, gw, [[cy,cx,data,npasses,nbps]]); band_max =
+    per-band max nbps for the shared QCD. ``local_steps`` (flattened per
+    local band) switches to the irreversible path: 9/7 float wavelet +
+    scalar deadzone quantization; None = reversible int 5/3."""
     n_bands = sum(len(bl) for bl in layout)
     coded = []
     band_max = [0] * n_bands
     for plane in comps:
-        ll, bands = dwt53_forward(plane, levels)
+        if local_steps is None:
+            ll, bands = dwt53_forward(plane, levels)
+        else:
+            ll, bands = dwt97_forward(plane, levels)
         res_arrays = [[ll]]
         for lvl in range(levels - 1, -1, -1):
             res_arrays.append(list(bands[lvl]))
+        if local_steps is not None:
+            flat = 0
+            for r in range(len(res_arrays)):
+                for bi in range(len(res_arrays[r])):
+                    res_arrays[r][bi] = _quantize(
+                        res_arrays[r][bi], local_steps[flat]
+                    )
+                    flat += 1
         comp_coded = []
         bidx = 0
         for r, bl in enumerate(layout):
@@ -654,24 +812,38 @@ def _tier1_tile(comps, levels: int, layout):
 def encode(
     arr: np.ndarray, levels: int = 2, mct: bool = False,
     tile: "Optional[Tuple[int, int]]" = None,
+    irreversible: Optional[float] = None,
 ) -> bytes:
-    """uint8 grayscale (h, w) OR RGB (h, w, 3) -> lossless JPEG 2000 raw
-    codestream. ``mct=True`` (RGB only) applies the reversible RCT (§G.2)
-    before the per-component wavelets — the form real encoders emit for
-    color. ``tile=(th, tw)`` splits the image into a tile grid, one
-    SOT..SOD segment per tile — the large-image layout scanned archives
-    carry. LRCP packet order iterates components inside each resolution."""
+    """uint8 grayscale (h, w) OR RGB (h, w, 3) -> JPEG 2000 raw
+    codestream. ``mct=True`` (RGB only) applies the multi-component
+    transform — reversible RCT (§G.2) in the lossless path, float ICT
+    (§G.3) in the irreversible one. ``tile=(th, tw)`` splits the image
+    into a tile grid, one SOT..SOD segment per tile — the large-image
+    layout scanned archives carry. ``irreversible`` switches to the LOSSY
+    profile real archives dominate with: 9/7 float wavelet + scalar
+    deadzone quantization with the given base step (e.g. 0.5-4.0; larger
+    = smaller/lossier). LRCP packet order iterates components inside each
+    resolution."""
     arr = np.asarray(arr, dtype=np.uint8)
+    lossy = irreversible is not None
+    if lossy and irreversible <= 0:
+        raise ValueError("irreversible step must be positive")
     if arr.ndim == 2:
-        planes = [arr.astype(np.int32) - 128]
         if mct:
             raise ValueError("MCT requires 3 components")
+        planes = [arr.astype(np.int32) - 128]
     elif arr.ndim == 3 and arr.shape[2] == 3:
         planes = [arr[:, :, k].astype(np.int32) - 128 for k in range(3)]
         if mct:
-            planes = list(_rct_forward(*planes))
+            planes = (
+                list(_ict_forward(*[p.astype(np.float64) for p in planes]))
+                if lossy
+                else list(_rct_forward(*planes))
+            )
     else:
         raise ValueError("grayscale (h, w) or RGB (h, w, 3) arrays only")
+    if lossy:
+        planes = [np.asarray(p, dtype=np.float64) for p in planes]
     h, w = planes[0].shape
     th, tw = tile if tile is not None else (h, w)
     if th <= 0 or tw <= 0:
@@ -684,8 +856,22 @@ def encode(
     # by the full-tile layout; edge tiles (fewer bands at tiny dims) map
     # onto its prefix resolution-by-resolution.
     full_layout = _band_layout(th, tw, levels)
+    n_full_bands = sum(len(bl) for bl in full_layout)
+    # irreversible: fix per-band (eps, mu, Δ) up front from the base step —
+    # both sides recompute Δ from the QCD 16-bit fields, so quantize with
+    # the RECOVERED value
+    q_eps, q_mu, q_delta = [], [], []
+    if lossy:
+        for bl in full_layout:
+            for (ori, _bh, _bw) in bl:
+                e_, m_, d_ = _step_to_eps_mu(
+                    float(irreversible), 8 + _BAND_GAIN[ori]
+                )
+                q_eps.append(e_)
+                q_mu.append(m_)
+                q_delta.append(d_)
     tile_entries = []  # (layout, coded)
-    band_max = [0] * sum(len(bl) for bl in full_layout)
+    band_max = [0] * n_full_bands
     for ty in range(tiles_y):
         for tx in range(tiles_x):
             sub = [
@@ -693,7 +879,15 @@ def encode(
                 for p in planes
             ]
             lay = _band_layout(sub[0].shape[0], sub[0].shape[1], levels)
-            coded, bmax = _tier1_tile(sub, levels, lay)
+            local_steps = None
+            if lossy:
+                local_steps = []
+                for r, bl in enumerate(lay):
+                    base = sum(len(full_layout[rr]) for rr in range(r))
+                    local_steps.extend(
+                        q_delta[base + bi] for bi in range(len(bl))
+                    )
+            coded, bmax = _tier1_tile(sub, levels, lay, local_steps)
             bidx = 0
             for r, bl in enumerate(lay):
                 base = sum(len(full_layout[rr]) for rr in range(r))
@@ -702,14 +896,25 @@ def encode(
                     bidx += 1
             tile_entries.append((lay, coded))
 
-    band_eps = [max(1, m + 1 - _GUARD) for m in band_max]
+    if lossy:
+        # Mb = guard + eps_b - 1 must bound every coded magnitude (§E.1):
+        # eps is pinned by Δ, so the GLOBAL guard absorbs the slack
+        guard = max(
+            [2] + [band_max[i] + 1 - q_eps[i] for i in range(n_full_bands)]
+        )
+        if guard > 7:
+            raise ValueError("irreversible step too small for 3-bit guard")
+        band_eps = list(q_eps)
+    else:
+        guard = _GUARD
+        band_eps = [max(1, m + 1 - _GUARD) for m in band_max]
     body = b""
     for t, (lay, coded) in enumerate(tile_entries):
         for comp_coded in coded:
             for r, res_entry in enumerate(comp_coded):
                 base = sum(len(full_layout[rr]) for rr in range(r))
                 for bi, (gh, gw, blocks) in enumerate(res_entry):
-                    mb = _GUARD + band_eps[base + bi] - 1
+                    mb = guard + band_eps[base + bi] - 1
                     for bset in blocks:
                         bset[4] = mb - bset[4]  # nbps -> zero bit-planes
         packets = b"".join(
@@ -730,9 +935,17 @@ def encode(
         ">HIIIIIIIIH", 0, w, h, 0, 0, tw, th, 0, 0, len(planes)
     ) + bytes([7, 1, 1] * len(planes))
     cod = bytes(
-        [0, 0, 0, 1, 1 if mct else 0, levels, _CB_EXP - 2, _CB_EXP - 2, 0, 1]
+        [0, 0, 0, 1, 1 if mct else 0, levels, _CB_EXP - 2, _CB_EXP - 2, 0,
+         0 if lossy else 1]
     )
-    qcd = bytes([(_GUARD << 5)]) + bytes(e << 3 for e in band_eps)
+    if lossy:
+        # Sqcd = 2: scalar expounded, 16-bit (eps<<11 | mu) per band
+        qcd = bytes([2 | (guard << 5)]) + b"".join(
+            struct.pack(">H", (q_eps[i] << 11) | q_mu[i])
+            for i in range(n_full_bands)
+        )
+    else:
+        qcd = bytes([(guard << 5)]) + bytes(e << 3 for e in band_eps)
     return (
         b"\xff\x4f"
         + _marker(0xFF51, siz)
@@ -759,7 +972,10 @@ def decode(data: bytes) -> np.ndarray:
     th = tw = None
     levels = None
     mct = False
+    lossy = False
     band_eps: List[int] = []
+    band_mu: List[int] = []
+    band_deltas: Optional[List[float]] = None
     guard = _GUARD
     tiles: List[Tuple[int, bytes]] = []  # (tile index, packet data)
     while pos + 4 <= len(data):
@@ -802,13 +1018,24 @@ def decode(data: bytes) -> np.ndarray:
             levels = payload[5]
             if payload[6] != _CB_EXP - 2 or payload[7] != _CB_EXP - 2:
                 raise ValueError("only 64x64 code-blocks")
-            if payload[8] != 0 or payload[9] != 1:
-                raise ValueError("only default cb style + 5/3 transform")
+            if payload[8] != 0 or payload[9] not in (0, 1):
+                raise ValueError("only default cb style + 5/3 or 9/7")
+            lossy = payload[9] == 0
         elif code == 0xFF5C:  # QCD
             guard = payload[0] >> 5
-            if payload[0] & 0x1F:
-                raise ValueError("only no-quantization (reversible) QCD")
-            band_eps = [b >> 3 for b in payload[1:]]
+            sq = payload[0] & 0x1F
+            if sq == 0:  # no quantization (reversible 5/3)
+                band_eps = [b >> 3 for b in payload[1:]]
+                band_deltas = None
+            elif sq == 2:  # scalar expounded (irreversible 9/7)
+                vals = struct.unpack(
+                    f">{(len(payload) - 1) // 2}H", payload[1:]
+                )
+                band_eps = [v >> 11 for v in vals]
+                band_mu = [v & 0x7FF for v in vals]
+                band_deltas = None  # resolved once band order is known
+            else:
+                raise ValueError("scalar-derived QCD unsupported")
         pos += 2 + ln
     if h is None or levels is None or not tiles:
         raise ValueError("missing SIZ/COD/SOD")
@@ -817,22 +1044,39 @@ def decode(data: bytes) -> np.ndarray:
 
     tiles_x = (w + tw - 1) // tw
     full_layout = _band_layout(min(th, h), min(tw, w), levels)
-    out_planes = [np.zeros((h, w), dtype=np.int32) for _ in range(ncomp)]
+    if lossy:
+        oris = [ori for bl in full_layout for (ori, _b, _c) in bl]
+        band_deltas = [
+            (2.0 ** (8 + _BAND_GAIN[oris[i]] - band_eps[i]))
+            * (1.0 + band_mu[i] / 2048.0)
+            for i in range(len(oris))
+        ]
+    dt = np.float64 if lossy else np.int32
+    out_planes = [np.zeros((h, w), dtype=dt) for _ in range(ncomp)]
     for isot, tile_data in tiles:
         ty, tx = divmod(isot, tiles_x)
         y0, x0 = ty * th, tx * tw
         t_h = min(th, h - y0)
         t_w = min(tw, w - x0)
         planes = _decode_tile(
-            tile_data, t_h, t_w, levels, ncomp, band_eps, guard, full_layout
+            tile_data, t_h, t_w, levels, ncomp, band_eps, guard, full_layout,
+            band_deltas,
         )
         for c in range(ncomp):
             out_planes[c][y0 : y0 + t_h, x0 : x0 + t_w] = planes[c]
     if mct:
-        out_planes = list(_rct_inverse(*out_planes))
-    planes8 = [
-        np.clip(p + 128, 0, 255).astype(np.uint8) for p in out_planes
-    ]
+        out_planes = list(
+            _ict_inverse(*out_planes) if lossy else _rct_inverse(*out_planes)
+        )
+    if lossy:
+        planes8 = [
+            np.clip(np.round(p + 128.0), 0, 255).astype(np.uint8)
+            for p in out_planes
+        ]
+    else:
+        planes8 = [
+            np.clip(p + 128, 0, 255).astype(np.uint8) for p in out_planes
+        ]
     if ncomp == 1:
         return planes8[0]
     return np.stack(planes8, axis=-1)
@@ -841,10 +1085,13 @@ def decode(data: bytes) -> np.ndarray:
 def _decode_tile(
     tile_data: bytes, h: int, w: int, levels: int, ncomp: int,
     band_eps: List[int], guard: int, full_layout,
+    band_deltas: Optional[List[float]] = None,
 ) -> List[np.ndarray]:
-    """One tile's packet data -> int32 component planes (level-shifted,
-    pre-MCT). Band eps indices map through the FULL-tile layout (edge
-    tiles with fewer bands consume its per-resolution prefix)."""
+    """One tile's packet data -> component planes (level-shifted,
+    pre-MCT): int32 for the reversible path, float64 (dequantized + 9/7
+    synthesis) when ``band_deltas`` is given. Band eps indices map through
+    the FULL-tile layout (edge tiles with fewer bands consume its
+    per-resolution prefix)."""
     layout = _band_layout(h, w, levels)
     br_pos = 0
     res_arrays = [[] for _ in range(ncomp)]  # per comp: per res band list
@@ -914,8 +1161,21 @@ def _decode_tile(
 
     planes = []
     for c in range(ncomp):
+        if band_deltas is not None:
+            flat = 0
+            for r in range(len(res_arrays[c])):
+                base = sum(len(full_layout[rr]) for rr in range(r))
+                for bi in range(len(res_arrays[c][r])):
+                    res_arrays[c][r][bi] = _dequantize(
+                        res_arrays[c][r][bi], band_deltas[base + bi]
+                    )
+                    flat += 1
         ll = res_arrays[c][0][0]
         bands = [tuple(res_arrays[c][r]) for r in range(1, len(res_arrays[c]))]
         bands = list(reversed(bands))  # back to finest-first
-        planes.append(dwt53_inverse(ll, bands))
+        planes.append(
+            dwt97_inverse(ll, bands)
+            if band_deltas is not None
+            else dwt53_inverse(ll, bands)
+        )
     return planes

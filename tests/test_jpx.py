@@ -76,12 +76,18 @@ def test_bitstream_deterministic():
 
 def test_unsupported_features_raise():
     img = np.arange(64, dtype=np.uint8).reshape(8, 8)
-    data = bytearray(jpx.encode(img, 1))
-    # flip transform byte in COD (last SPcod byte) to 9/7 (0)
     import struct
+
+    # RLCP progression (SGcod byte 0 = 1) is out of profile
+    data = bytearray(jpx.encode(img, 1))
     pos = data.find(struct.pack(">H", 0xFF52))
-    ln = struct.unpack(">H", bytes(data[pos + 2 : pos + 4]))[0]
-    data[pos + 2 + ln - 1] = 0
+    data[pos + 4 + 1] = 1
+    with pytest.raises(ValueError):
+        jpx.decode(bytes(data))
+    # scalar-derived quantization (Sqcd & 0x1f == 1) is out of profile
+    data = bytearray(jpx.encode(img, 1))
+    pos = data.find(struct.pack(">H", 0xFF5C))
+    data[pos + 4] = (data[pos + 4] & 0xE0) | 1
     with pytest.raises(ValueError):
         jpx.decode(bytes(data))
 
@@ -199,3 +205,47 @@ def test_tiny_edge_tile_zero_size_bands():
     assert np.array_equal(jpx.decode(jpx.encode(tiny, levels=2)), tiny)
     tall = (rng.rand(96, 2) * 255).astype(np.uint8)
     assert np.array_equal(jpx.decode(jpx.encode(tall, levels=2)), tall)
+
+
+def test_irreversible_97_roundtrip_quality():
+    """9/7 float wavelet + scalar deadzone quantization (Sqcd=2): bounded
+    error that shrinks with the step, deterministic decode-of-encode, and
+    a properly flagged codestream (COD transform byte 0)."""
+    import numpy as np
+
+    from docprompt_spark import jpx
+
+    rng = np.random.RandomState(51)
+    gy, gx = np.mgrid[0:40, 0:56]
+    img = np.clip(2 * gx + 3 * gy + rng.randint(0, 16, (40, 56)), 0, 255).astype(np.uint8)
+    prev_err = None
+    for step in (2.0, 1.0, 0.5):
+        enc = jpx.encode(img, levels=2, irreversible=step)
+        i = enc.find(b"\xff\x52")
+        assert enc[i + 4 + 9] == 0  # 9/7 transform
+        dec = jpx.decode(enc)
+        err = np.abs(dec.astype(int) - img.astype(int)).mean()
+        if prev_err is not None:
+            assert err <= prev_err  # finer step -> no worse
+        prev_err = err
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+        assert np.array_equal(
+            jpx.decode(jpx.encode(img, levels=2, irreversible=step)), dec
+        )
+
+
+def test_irreversible_ict_and_tiles():
+    """Lossy color: ICT (not RCT) pairs with 9/7; multi-tile lossy streams
+    reconstruct within the same error envelope."""
+    import numpy as np
+
+    from docprompt_spark import jpx
+
+    gy, gx = np.mgrid[0:36, 0:40]
+    base = np.clip(3 * gx + 2 * gy, 0, 255).astype(np.uint8)
+    rgb = np.stack([base, np.roll(base, 3, axis=1), 255 - base], axis=-1)
+    enc = jpx.encode(rgb, levels=2, irreversible=1.0, mct=True, tile=(18, 20))
+    assert enc.count(b"\xff\x90") == 4
+    dec = jpx.decode(enc)
+    assert dec.shape == rgb.shape
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 8
