@@ -501,6 +501,10 @@ def _contour_to_polygon(pts, on) -> Contour:
     return poly
 
 
+from docprompt_spark.cff import memo_bytes_fn
+
+
+@memo_bytes_fn
 def ttf_glyph_outlines(data: bytes) -> Dict[str, Tuple[float, List[Contour]]]:
     """char -> (advance width, contours) from a TrueType font program,
     coordinates scaled to the pool's 1000-units/em contract. Empty dict on
@@ -564,6 +568,7 @@ def ttf_glyph_outlines(data: bytes) -> Dict[str, Tuple[float, List[Contour]]]:
         return {}
 
 
+@memo_bytes_fn
 def ttf_code_to_text(data: bytes) -> Dict[int, str]:
     """byte code -> text for a simple TrueType font: codes that the
     embedded cmap maps are their own unicode (the (3,1) convention);
