@@ -29,9 +29,11 @@ Segments produced/consumed:
 Segment header parsing (§7.2) is complete — segment number, flags,
 referred-to segment count + retain bits (incl. the long form), 1- or
 4-byte page association, data length — so foreign embedded streams with
-extra segments are walked correctly. Out of scope (raise): non-zero GB
-templates, non-nominal AT pixels, TPGDON, Huffman-coded dictionaries,
-refinement/aggregate symbol coding, halftone regions.
+extra segments are walked correctly. TPGDON (typical prediction,
+§6.2.5.7) is supported on generic regions in both directions. Out of
+scope (raise): non-zero GB templates, non-nominal AT pixels,
+Huffman-coded dictionaries, refinement/aggregate symbol coding, halftone
+regions.
 
 Bitmap convention: JBIG2 codes 1 = black ink. :func:`decode` returns the
 ink bitmap; the media pipeline maps it to viewer gray via

@@ -1309,6 +1309,72 @@ def _interpret_content(
         elif op == b"Q":
             if gs_stack:
                 ctm, fill_g, stroke_g, line_w = gs_stack.pop()
+        elif op == b"cm":
+            m = tuple(float(v) for v in stack[-6:])
+            ctm = _mat_mul(m, ctm)
+            stack.clear()
+        elif op == b"BT":
+            begin_line(_ID)
+            stack.clear()
+        elif op == b"ET":
+            stack.clear()
+        elif op == b"Tf":
+            size = float(stack[-1])
+            font = fonts[str(stack[-2])]
+            stack.clear()
+        elif op == b"TL":
+            tl = float(stack[-1])
+            stack.clear()
+        elif op == b"Td":
+            dx, dy = float(stack[-2]), float(stack[-1])
+            begin_line((tlm[0], tlm[1], tlm[2], tlm[3], tlm[4] + dx, tlm[5] + dy))
+            stack.clear()
+        elif op == b"TD":
+            dx, dy = float(stack[-2]), float(stack[-1])
+            tl = -dy
+            begin_line((tlm[0], tlm[1], tlm[2], tlm[3], tlm[4] + dx, tlm[5] + dy))
+            stack.clear()
+        elif op == b"Tm":
+            m = tuple(float(v) for v in stack[-6:])
+            begin_line(m)
+            stack.clear()
+        elif op == b"T*":
+            begin_line((tlm[0], tlm[1], tlm[2], tlm[3], tlm[4], tlm[5] - tl))
+            stack.clear()
+        elif op == b"Tj":
+            show([stack[-1]])
+            stack.clear()
+        elif op == b"'":
+            begin_line((tlm[0], tlm[1], tlm[2], tlm[3], tlm[4], tlm[5] - tl))
+            show([stack[-1]])
+            stack.clear()
+        elif op == b"TJ":
+            show(list(stack[-1]))
+            stack.clear()
+        elif op == b"Do":
+            name = str(stack[-1])
+            ref = xobjects.get(name)
+            if ref is not None:
+                xo = resolve(ref)
+                if xo.dict.get("Subtype") == "Image":
+                    a, d, e, f = ctm[0], ctm[3], ctm[4], ctm[5]
+                    bbox = norm_rect_bbox(e, f, a, d, page_w, page_h)
+                    img = {
+                        "media_ref": hashlib.md5(xo.raw).hexdigest(),
+                        "bbox": bbox,
+                    }
+                    if with_image_data:
+                        # rasterization path (D7): the renderer needs the
+                        # raw payload + codec + pixel dims; the span path
+                        # never carries bytes past this kernel
+                        from docprompt_spark.multimodal import _codec_of
+
+                        img["payload"] = xo.raw
+                        img["px_w"] = int(resolve(xo.dict.get("Width", 0)) or 0)
+                        img["px_h"] = int(resolve(xo.dict.get("Height", 0)) or 0)
+                        img["codec"] = _codec_of(xo.dict, resolve, xo.raw)
+                    images.append(img)
+            stack.clear()
         elif op == b"m":
             flush_sub()
             cur_sub = [xy(float(stack[-2]), float(stack[-1]))]
@@ -1393,72 +1459,6 @@ def _interpret_content(
             stack.clear()
         elif op == b"w":
             line_w = float(stack[-1])
-            stack.clear()
-        elif op == b"cm":
-            m = tuple(float(v) for v in stack[-6:])
-            ctm = _mat_mul(m, ctm)
-            stack.clear()
-        elif op == b"BT":
-            begin_line(_ID)
-            stack.clear()
-        elif op == b"ET":
-            stack.clear()
-        elif op == b"Tf":
-            size = float(stack[-1])
-            font = fonts[str(stack[-2])]
-            stack.clear()
-        elif op == b"TL":
-            tl = float(stack[-1])
-            stack.clear()
-        elif op == b"Td":
-            dx, dy = float(stack[-2]), float(stack[-1])
-            begin_line((tlm[0], tlm[1], tlm[2], tlm[3], tlm[4] + dx, tlm[5] + dy))
-            stack.clear()
-        elif op == b"TD":
-            dx, dy = float(stack[-2]), float(stack[-1])
-            tl = -dy
-            begin_line((tlm[0], tlm[1], tlm[2], tlm[3], tlm[4] + dx, tlm[5] + dy))
-            stack.clear()
-        elif op == b"Tm":
-            m = tuple(float(v) for v in stack[-6:])
-            begin_line(m)
-            stack.clear()
-        elif op == b"T*":
-            begin_line((tlm[0], tlm[1], tlm[2], tlm[3], tlm[4], tlm[5] - tl))
-            stack.clear()
-        elif op == b"Tj":
-            show([stack[-1]])
-            stack.clear()
-        elif op == b"'":
-            begin_line((tlm[0], tlm[1], tlm[2], tlm[3], tlm[4], tlm[5] - tl))
-            show([stack[-1]])
-            stack.clear()
-        elif op == b"TJ":
-            show(list(stack[-1]))
-            stack.clear()
-        elif op == b"Do":
-            name = str(stack[-1])
-            ref = xobjects.get(name)
-            if ref is not None:
-                xo = resolve(ref)
-                if xo.dict.get("Subtype") == "Image":
-                    a, d, e, f = ctm[0], ctm[3], ctm[4], ctm[5]
-                    bbox = norm_rect_bbox(e, f, a, d, page_w, page_h)
-                    img = {
-                        "media_ref": hashlib.md5(xo.raw).hexdigest(),
-                        "bbox": bbox,
-                    }
-                    if with_image_data:
-                        # rasterization path (D7): the renderer needs the
-                        # raw payload + codec + pixel dims; the span path
-                        # never carries bytes past this kernel
-                        from docprompt_spark.multimodal import _codec_of
-
-                        img["payload"] = xo.raw
-                        img["px_w"] = int(resolve(xo.dict.get("Width", 0)) or 0)
-                        img["px_h"] = int(resolve(xo.dict.get("Height", 0)) or 0)
-                        img["codec"] = _codec_of(xo.dict, resolve, xo.raw)
-                    images.append(img)
             stack.clear()
         else:
             # unknown operator: discard operands (defensive)

@@ -84,6 +84,7 @@ _PRIORITY_NAMES = [
 ]
 _LOW_PRIORITY_NAMES = [
     "q5_supplier_volume_by_nation",  # TPC-H redundancy: q1+q3 stay in-window; q5 still bench-timed + local oracle
+    "answer_parse_data_uri",  # (F18/F19) pure column expressions; local oracle covers
     "fuzzy_term_match",  # (F17) same indel-ratio kernel exercised in-window by provenance_refined_search (D19)
     "size_capped_batching",  # (D3-D5) dup of page_bucket_batching (in-window)
     "avg_word_len_by_lang",  # (A4) dup of q1-family aggs + local oracle
@@ -1437,6 +1438,94 @@ def fuzzy_term_match(spark, sf_dir):
         .withColumn("dist", F.levenshtein("q", "tok"))
         .filter(F.col("dist") <= 2)
         .select("q", "tok", "dist")
+    )
+
+
+_DATA_URI_PREFIX = "data:image/png;base64,"
+
+
+@query(
+    "answer_parse_data_uri",
+    r"""
+    WITH t AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents WHERE doc_id % 7 = 0
+    ), s AS (
+      SELECT doc_id,
+        CAST(('0x' || substr(h, 1, 2))::BIGINT % 3 AS INT) AS qsel,
+        CASE CAST(('0x' || substr(h, 1, 2))::BIGINT % 3 AS INT)
+          WHEN 0 THEN 'invoice' WHEN 1 THEN 'report' ELSE 'letter' END AS label,
+        '0.' || CAST(('0x' || substr(h, 3, 2))::BIGINT AS VARCHAR) AS conf_str,
+        substr(h, 1, 16) AS payload
+      FROM t
+    ), txt AS (
+      SELECT doc_id,
+        'Reasoning: page reviewed.' || chr(10) || 'Answer: '
+          || CASE qsel WHEN 0 THEN '''' WHEN 1 THEN '"' ELSE '' END || label
+          || CASE qsel WHEN 0 THEN '''' WHEN 1 THEN '"' ELSE '' END
+          || chr(10) || 'Confidence: ' || conf_str AS out_text,
+        CASE WHEN doc_id % 2 = 0
+          THEN 'data:image/png;base64,' || payload ELSE payload END AS uri
+      FROM s
+    )
+    SELECT doc_id,
+      regexp_extract(out_text,
+        '(?m)Answer:\s*[''"]?(.+?)[''"]?\s*$', 1) AS answer,
+      CAST(regexp_extract(out_text, 'Confidence: (.+)', 1) AS DOUBLE)
+        AS confidence,
+      CASE WHEN starts_with(uri, 'data:image/png;base64,') THEN uri
+        ELSE 'data:image/png;base64,' || uri END AS uri_ensured,
+      CASE WHEN starts_with(uri, 'data:image/png;base64,')
+        THEN substr(uri, 23) ELSE uri END AS uri_stripped
+    FROM txt
+    """,
+)
+def answer_parse_data_uri(spark, sf_dir):
+    """F18 + F19: the LLM-answer regex parse (reference
+    tasks/classification/anthropic.py:79-100 — ``Answer:`` line with
+    optional quoting, MULTILINE anchor, plus the ``Confidence:`` capture)
+    and the data-URI prefix ensure/strip pair (tasks/message.py:11-24) —
+    over deterministic synthetic completions derived from the documents
+    table (no LLM calls: the PARSERS are the operator, exercised on the
+    exact output format the reference's providers emit)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    h = F.md5(F.col("doc_id").cast("string"))
+    qsel = (F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") % 3).cast("int")
+    label = (
+        F.when(qsel == 0, F.lit("invoice"))
+        .when(qsel == 1, F.lit("report"))
+        .otherwise(F.lit("letter"))
+    )
+    conf_str = F.concat(
+        F.lit("0."), F.conv(F.substring(h, 3, 2), 16, 10).cast("bigint").cast("string")
+    )
+    quote = F.when(qsel == 0, F.lit("'")).when(qsel == 1, F.lit('"')).otherwise(F.lit(""))
+    out_text = F.concat(
+        F.lit("Reasoning: page reviewed.\n"),
+        F.lit("Answer: "), quote, label, quote,
+        F.lit("\nConfidence: "), conf_str,
+    )
+    payload = F.substring(h, 1, 16)
+    uri = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.lit(_DATA_URI_PREFIX), payload)
+    ).otherwise(payload)
+    base = docs.select("doc_id", out_text.alias("out_text"), uri.alias("uri"))
+    return base.select(
+        "doc_id",
+        F.regexp_extract(
+            "out_text", r"(?m)Answer:\s*['\"]?(.+?)['\"]?\s*$", 1
+        ).alias("answer"),
+        F.regexp_extract("out_text", r"Confidence: (.+)", 1)
+        .cast("double")
+        .alias("confidence"),
+        F.when(
+            F.col("uri").startswith(_DATA_URI_PREFIX), F.col("uri")
+        ).otherwise(F.concat(F.lit(_DATA_URI_PREFIX), F.col("uri")))
+        .alias("uri_ensured"),
+        F.when(
+            F.col("uri").startswith(_DATA_URI_PREFIX),
+            F.expr(f"substring(uri, {len(_DATA_URI_PREFIX) + 1})"),
+        ).otherwise(F.col("uri")).alias("uri_stripped"),
     )
 
 
