@@ -420,6 +420,36 @@ def run_extraction(
     return doc_spans(all_pages)
 
 
+def cache_proportion(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    checkpoint_dir: str,
+    pages_per_bucket: int = DEFAULT_PAGES_PER_BUCKET,
+) -> float:
+    """A8 ``cache_proportion`` (reference rasterizer.py:299-303): the
+    fraction of the corpus's (doc_id, page_bucket) work units already
+    present in the checkpoint table — the progress metric a resumed run
+    reports before deciding how much work remains. 0.0 when no checkpoint
+    exists yet; computed with one distinct + one semi-join count, no
+    driver-side iteration."""
+    buckets = salt_page_buckets(docs_df, pages_per_bucket).select(
+        "doc_id", "page_bucket"
+    )
+    total = buckets.count()
+    if total == 0:
+        return 0.0
+    try:
+        done = (
+            spark.read.parquet(f"{checkpoint_dir}/pages")
+            .select("doc_id", "page_bucket")
+            .distinct()
+        )
+    except Exception:
+        return 0.0
+    cached = buckets.join(done, ["doc_id", "page_bucket"], "left_semi").count()
+    return cached / total
+
+
 def spans_exploded(doc_spans_df: DataFrame) -> DataFrame:
     """(doc_id, spans) → flat rows (doc_id, seq, kind, text, media_ref, offset)."""
     return doc_spans_df.select(

@@ -85,6 +85,7 @@ _PRIORITY_NAMES = [
 _LOW_PRIORITY_NAMES = [
     "q5_supplier_volume_by_nation",  # TPC-H redundancy: q1+q3 stay in-window; q5 still bench-timed + local oracle
     "answer_parse_data_uri",  # (F18/F19) pure column expressions; local oracle covers
+    "block_type_dispatch",  # (P7) typed-block routing; local oracle covers; window full
     "fuzzy_term_match",  # (F17) same indel-ratio kernel exercised in-window by provenance_refined_search (D19)
     "size_capped_batching",  # (D3-D5) dup of page_bucket_batching (in-window)
     "avg_word_len_by_lang",  # (A4) dup of q1-family aggs + local oracle
@@ -3518,6 +3519,97 @@ def textblock_bounding_polys(spark, sf_dir):
     return exploded.select(*sel)
 
 
+def block_type_dispatch(spark, sf_dir):
+    """P7 block-type dispatch (reference tasks/ocr/amazon.py:91-105: route
+    provider blocks by ``BlockType in (WORD, LINE)`` into typed lists and
+    splice page text from the WORD stream): the typed block arrays union
+    under a block_type discriminator, filter to (word, line) exactly like
+    the reference, and the WORD branch rebuilds page text. Oracle: golden
+    layouts."""
+    from docprompt_spark import pipeline
+
+    docs = pipeline.corpus_df(spark, _FLAGSHIP_DOCS, seed=_FLAGSHIP_SEED, skew_every=0)
+    blocks = pipeline.page_blocks(
+        pipeline.salt_page_buckets(docs.select("doc_id", "pdf", "n_pages"))
+    )
+    words = blocks.select(
+        "doc_id", "page_number", F.lit("word").alias("block_type"),
+        F.explode("word_blocks").alias("b"),
+    ).select(
+        "doc_id", "page_number", "block_type",
+        F.col("b.text").alias("text"), F.col("b.start").alias("start"),
+    )
+    lines = blocks.select(
+        "doc_id", "page_number", F.lit("line").alias("block_type"),
+        F.explode("line_blocks").alias("b"),
+    ).select(
+        "doc_id", "page_number", "block_type",
+        F.col("b.text").alias("text"), F.col("b.start").alias("start"),
+    )
+    # the reference's dispatch keeps WORD and LINE block types only;
+    # block-level entries reuse LINE blocks (amazon.py:101-105)
+    routed = words.unionByName(lines).filter(
+        F.col("block_type").isin("word", "line")
+    )
+    page_text = (
+        words.groupBy("doc_id", "page_number")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("start", "text")))
+                .getField("text")
+            ).alias("page_text_ws")
+        )
+    )
+    return (
+        routed.groupBy(
+            "doc_id", F.col("page_number").cast("int").alias("page_number"),
+            "block_type",
+        )
+        .agg(
+            F.count("*").cast("int").alias("n_blocks"),
+            F.sum(F.length("text")).cast("int").alias("total_chars"),
+        )
+        .join(
+            page_text.select(
+                "doc_id", F.col("page_number").cast("int").alias("page_number"),
+                F.length("page_text_ws").cast("int").alias("word_splice_len"),
+            ),
+            ["doc_id", "page_number"],
+        )
+    )
+
+
+def _block_type_dispatch_oracle_sql() -> str:
+    from docprompt_spark.corpus import golden_page_layouts
+
+    rows = []
+    for doc_id, page_number, layout, _imgs in golden_page_layouts(
+        _FLAGSHIP_DOCS, seed=_FLAGSHIP_SEED, skew_every=0
+    ):
+        words = [w for ln in layout["lines"] for w in ln["words"]]
+        lines = layout["lines"]
+        splice_len = len(" ".join(w["text"] for w in sorted(words, key=lambda x: x["start"])))
+        if words:
+            rows.append(
+                f"({_sql_quote(doc_id)},{page_number},'word',{len(words)},"
+                f"{sum(len(w['text']) for w in words)},{splice_len})"
+            )
+        if lines:
+            rows.append(
+                f"({_sql_quote(doc_id)},{page_number},'line',{len(lines)},"
+                f"{sum(len(ln['text']) for ln in lines)},{splice_len})"
+            )
+    values = ",\n".join(rows)
+    return (
+        "SELECT doc_id, CAST(page_number AS INT) AS page_number, block_type,"
+        " CAST(n_blocks AS INT) AS n_blocks,"
+        " CAST(total_chars AS INT) AS total_chars,"
+        " CAST(word_splice_len AS INT) AS word_splice_len"
+        " FROM (VALUES\n" + values + "\n) AS t(doc_id, page_number,"
+        " block_type, n_blocks, total_chars, word_splice_len)"
+    )
+
+
 def _textblock_polys_oracle_sql() -> str:
     from docprompt_spark.corpus import golden_page_layouts
 
@@ -3547,6 +3639,7 @@ def _textblock_polys_oracle_sql() -> str:
 _REGISTRY["textblock_line_geometry"] = (textblock_line_geometry, None)
 _REGISTRY["textblock_block_rollup"] = (textblock_block_rollup, None)
 _REGISTRY["textblock_bounding_polys"] = (textblock_bounding_polys, None)
+_REGISTRY["block_type_dispatch"] = (block_type_dispatch, None)
 
 
 _FIXTURE_OCR = "/root/reference/tests/fixtures/1_ocr.json"
@@ -3752,6 +3845,7 @@ def _build_oracle_sql() -> Dict[str, str]:
     out["textblock_line_geometry"] = _textblock_lines_oracle_sql()
     out["textblock_block_rollup"] = _textblock_blocks_oracle_sql()
     out["textblock_bounding_polys"] = _textblock_polys_oracle_sql()
+    out["block_type_dispatch"] = _block_type_dispatch_oracle_sql()
     out["extraction_page_stats"] = _page_stats_oracle_sql()
     out["media_inventory"] = _media_inventory_oracle_sql()
     out["media_codec_histogram"] = _media_codec_histogram_oracle_sql()

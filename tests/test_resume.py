@@ -49,3 +49,23 @@ def test_checkpoint_resume_exact(spark, tmp_path):
     result3 = pipeline.run_extraction(spark, docs, checkpoint_dir=ckpt, run_id="run3")
     assert _spans_map(result3) == expected
     assert spark.read.parquet(f"{ckpt}/pages").count() == before
+
+
+def test_cache_proportion_progress_metric(spark, tmp_path):
+    """A8 cache_proportion (reference rasterizer.py:299-303): 0 before any
+    checkpoint, 1.0 after a full run, and strictly between for a partial
+    corpus superset."""
+    from docprompt_spark import pipeline
+
+    ck = str(tmp_path / "ck")
+    docs = pipeline.corpus_df(spark, 6, seed=21, skew_every=0)
+    sel = docs.select("doc_id", "pdf", "n_pages")
+    assert pipeline.cache_proportion(spark, sel, ck) == 0.0
+    pipeline.run_extraction(spark, sel, checkpoint_dir=ck).count()
+    assert pipeline.cache_proportion(spark, sel, ck) == 1.0
+    # superset corpus: the original 6 docs are cached, the 4 new are not
+    bigger = pipeline.corpus_df(spark, 10, seed=21, skew_every=0).select(
+        "doc_id", "pdf", "n_pages"
+    )
+    frac = pipeline.cache_proportion(spark, bigger, ck)
+    assert 0.0 < frac < 1.0
