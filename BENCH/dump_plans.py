@@ -64,6 +64,11 @@ def main() -> None:
         "extraction_inline_image_spans",
         "extraction_encrypted_r6_spans",
         "media_image_features",
+        # round-5 additions
+        "textblock_bounding_polys",
+        "block_type_dispatch",
+        "answer_parse_data_uri",
+        "media_codec_histogram",
     ]:
         sections.append((name, formatted(reg[name][0](spark, sf))))
 
