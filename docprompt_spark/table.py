@@ -97,17 +97,11 @@ def _json_safe(v: Any) -> Any:
     return str(v)
 
 
-def write_table(
-    df: DataFrame,
-    path: str,
-    stat_cols: Optional[List[str]] = None,
-    mode: str = "overwrite",
-) -> int:
-    """Write ``df`` as a new snapshot. ``mode='append'`` keeps the previous
-    snapshot's files and adds the new ones; ``'overwrite'`` starts a fresh
-    file list (old files stay on disk for time travel). Returns the new
-    snapshot id."""
-    stat_cols = stat_cols or []
+def _stage_files(
+    df: DataFrame, path: str, stat_cols: List[str]
+) -> List[dict]:
+    """Write ``df`` to a staging dir, move the parquet parts into ``data/``
+    under immutable names, and return their manifest entries with stats."""
     os.makedirs(_meta_dir(path), exist_ok=True)
     staging = os.path.join(path, f"_stage_{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(staging)
@@ -126,6 +120,36 @@ def write_table(
     for leftover in os.listdir(staging):
         os.remove(os.path.join(staging, leftover))
     os.rmdir(staging)
+    return new_files
+
+
+def _commit_snapshot(path: str, snap: dict) -> int:
+    """Atomic metadata commit: full snapshot file, then version-hint swap
+    via os.replace — a torn write leaves the previous snapshot current."""
+    sid = snap["snapshot_id"]
+    tmp = _snap_path(path, sid) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(snap, f)
+    os.replace(tmp, _snap_path(path, sid))
+    hint_tmp = os.path.join(_meta_dir(path), "version-hint.tmp")
+    with open(hint_tmp, "w") as f:
+        f.write(str(sid))
+    os.replace(hint_tmp, os.path.join(_meta_dir(path), "version-hint.text"))
+    return sid
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    stat_cols: Optional[List[str]] = None,
+    mode: str = "overwrite",
+) -> int:
+    """Write ``df`` as a new snapshot. ``mode='append'`` keeps the previous
+    snapshot's files and adds the new ones; ``'overwrite'`` starts a fresh
+    file list (old files stay on disk for time travel). Returns the new
+    snapshot id."""
+    stat_cols = stat_cols or []
+    new_files = _stage_files(df, path, stat_cols)
 
     prev = current_snapshot_id(path)
     files = list(new_files)
@@ -143,15 +167,75 @@ def write_table(
         "files": files,
         "total_rows": sum(f["rows"] for f in files),
     }
-    tmp = _snap_path(path, sid) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(snap, f)
-    os.replace(tmp, _snap_path(path, sid))
-    hint_tmp = os.path.join(_meta_dir(path), "version-hint.tmp")
-    with open(hint_tmp, "w") as f:
-        f.write(str(sid))
-    os.replace(hint_tmp, os.path.join(_meta_dir(path), "version-hint.text"))
-    return sid
+    return _commit_snapshot(path, snap)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_rows: int = 1_000_000,
+    small_file_rows: Optional[int] = None,
+) -> int:
+    """Bin-pack small data files into ~``target_file_rows``-row files as a
+    NEW snapshot (Iceberg's ``rewrite_data_files``) — the maintenance op
+    that keeps a 10^12-row table of streaming appends scannable (every
+    append snapshot adds task-count files; unchecked, file-count growth
+    makes planning, not data, the bottleneck). Files at or above
+    ``small_file_rows`` (default: target) are carried over untouched; only
+    the small tail is rewritten, through Spark, never the driver. Old
+    files stay on disk for time travel until :func:`expire_snapshots`.
+    Returns the new snapshot id (the current one when there is nothing to
+    compact)."""
+    prev = current_snapshot_id(path)
+    if prev is None:
+        raise FileNotFoundError(f"no snapshot at {path}")
+    snap = _load_snapshot(path, prev)
+    threshold = small_file_rows if small_file_rows is not None else target_file_rows
+    small = [f for f in snap["files"] if f["rows"] < threshold]
+    if len(small) <= 1:
+        return prev
+    keep = [f for f in snap["files"] if f["rows"] >= threshold]
+    df = spark.read.parquet(*[os.path.join(path, f["path"]) for f in small])
+    n_rows = sum(f["rows"] for f in small)
+    n_out = max(1, -(-n_rows // target_file_rows))
+    new_files = _stage_files(df.repartition(n_out), path, snap["stat_cols"])
+    out = {
+        "snapshot_id": prev + 1,
+        "parent_id": prev,
+        "operation": "replace",
+        "schema": snap["schema"],
+        "stat_cols": snap["stat_cols"],
+        "files": keep + new_files,
+        "total_rows": snap["total_rows"],
+    }
+    return _commit_snapshot(path, out)
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> Dict[str, int]:
+    """Drop all but the newest ``keep_last`` snapshots and DELETE data
+    files no retained snapshot references (Iceberg's ``expire_snapshots``
+    — the GC that bounds storage under time travel). Returns counts."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    sids = sorted(
+        int(fn[5:-5])
+        for fn in os.listdir(_meta_dir(path))
+        if fn.startswith("snap-") and fn.endswith(".json")
+    )
+    expire, retain = sids[:-keep_last], sids[-keep_last:]
+    referenced = {
+        f["path"] for sid in retain for f in _load_snapshot(path, sid)["files"]
+    }
+    removed_files = 0
+    for sid in expire:
+        for f in _load_snapshot(path, sid)["files"]:
+            if f["path"] not in referenced:
+                fp = os.path.join(path, f["path"])
+                if os.path.exists(fp):
+                    os.remove(fp)
+                    removed_files += 1
+        os.remove(_snap_path(path, sid))
+    return {"expired_snapshots": len(expire), "removed_files": removed_files}
 
 
 def read_table(

@@ -99,3 +99,68 @@ def test_date_and_binary_stat_cols_are_json_safe(spark, tmp_path):
     assert bounds["d"] == ["2024-01-01", "2024-01-03"]
     assert "b" not in bounds  # binary stats dropped, not crashed
     assert table.read_table(spark, p).count() == 3
+
+
+def test_compact_table_binpacks_small_files(spark, tmp_path):
+    """compact_table (Iceberg rewrite_data_files analog): many small
+    append files collapse into ~target-row files in a new 'replace'
+    snapshot; rows and values are untouched; big files carry over."""
+    from docprompt_spark import table
+
+    path = str(tmp_path / "t")
+    # 6 appends of 100 rows each, deliberately multi-file (repartition 4)
+    for k in range(6):
+        df = spark.range(k * 100, (k + 1) * 100).withColumnRenamed("id", "v")
+        table.write_table(
+            df.repartition(4), path, stat_cols=["v"],
+            mode="overwrite" if k == 0 else "append",
+        )
+    before = table.snapshots(path)[-1]
+    assert before["n_files"] == 24
+    sid = table.compact_table(spark, path, target_file_rows=300)
+    after = [s for s in table.snapshots(path) if s["snapshot_id"] == sid][0]
+    assert after["operation"] == "replace"
+    assert after["n_files"] == 2  # 600 rows / 300-target
+    assert after["total_rows"] == 600
+    got = sorted(
+        r["v"] for r in table.read_table(spark, path).collect()
+    )
+    assert got == list(range(600))
+    # time travel to the pre-compaction snapshot still works
+    old = table.read_table(spark, path, snapshot_id=before["snapshot_id"])
+    assert old.count() == 600
+
+
+def test_compact_noop_when_files_are_big_enough(spark, tmp_path):
+    from docprompt_spark import table
+
+    path = str(tmp_path / "t")
+    table.write_table(spark.range(100).coalesce(1), path)
+    sid0 = table.current_snapshot_id(path)
+    assert table.compact_table(spark, path, target_file_rows=50) == sid0
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    """expire_snapshots: old snapshots drop, unreferenced data files are
+    deleted from disk, the retained snapshot still reads fully."""
+    import os
+
+    from docprompt_spark import table
+
+    path = str(tmp_path / "t")
+    for k in range(4):
+        table.write_table(
+            spark.range(k * 10, (k + 1) * 10).coalesce(1), path,
+            mode="overwrite" if k == 0 else "append",
+        )
+    table.compact_table(spark, path, target_file_rows=1000)
+    n_data_before = len(os.listdir(os.path.join(path, "data")))
+    out = table.expire_snapshots(path, keep_last=1)
+    assert out["expired_snapshots"] == 4
+    assert out["removed_files"] > 0
+    n_data_after = len(os.listdir(os.path.join(path, "data")))
+    assert n_data_after < n_data_before
+    assert sorted(
+        r["id"] for r in table.read_table(spark, path).collect()
+    ) == list(range(40))
+    assert len(table.snapshots(path)) == 1
