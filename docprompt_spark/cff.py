@@ -851,3 +851,190 @@ def cff_glyph_outlines(data: bytes):
         return out
     except (IndexError, KeyError, ValueError):
         return {}
+
+
+# --------------------------------------------------------------------------
+# Type1 charstring interpretation -> glyph outlines (for the rasterizer)
+# --------------------------------------------------------------------------
+
+_T1_CS_RE = re.compile(rb"/([A-Za-z0-9._]+)\s+(\d+)\s+(?:RD|-\|)[ ]")
+_T1_SUBR_RE = re.compile(rb"dup\s+(\d+)\s+(\d+)\s+(?:RD|-\|)[ ]")
+_T1_LENIV_RE = re.compile(rb"/lenIV\s+(\d+)")
+
+
+class _Type1Interp:
+    """Minimal Type1 charstring machine (Adobe Type 1 spec §6): hsbw,
+    absolute/relative move/line, all three curveto forms, closepath,
+    callsubr/return, div. Flex/hint-replacement OtherSubrs and seac raise
+    (the caller skips those glyphs; our authored fonts never emit them)."""
+
+    def __init__(self, subrs) -> None:
+        self.subrs = subrs
+        self.stack: List[float] = []
+        self.x = self.y = 0.0
+        self.width = 0.0
+        self.contours: List[list] = []
+        self.cur: List[tuple] = []
+        self.done = False
+
+    def _close(self) -> None:
+        if len(self.cur) >= 3:
+            self.contours.append(self.cur)
+        self.cur = []
+
+    def _moveto(self, dx, dy) -> None:
+        # Type1 closepath leaves the current point; a following rmoveto
+        # starts the next subpath relative to it
+        if self.cur:
+            self._close()
+        self.x += dx
+        self.y += dy
+        self.cur = [(self.x, self.y)]
+
+    def _lineto(self, dx, dy) -> None:
+        self.x += dx
+        self.y += dy
+        self.cur.append((self.x, self.y))
+
+    def _curveto(self, d1x, d1y, d2x, d2y, d3x, d3y) -> None:
+        p0 = (self.x, self.y)
+        p1 = (p0[0] + d1x, p0[1] + d1y)
+        p2 = (p1[0] + d2x, p1[1] + d2y)
+        p3 = (p2[0] + d3x, p2[1] + d3y)
+        self.cur.extend(_flatten_cubic(p0, p1, p2, p3))
+        self.x, self.y = p3
+
+    def run(self, code: bytes, depth: int = 0) -> None:
+        if depth > 10:
+            raise ValueError("Type1 subr recursion too deep")
+        i = 0
+        n = len(code)
+        while i < n and not self.done:
+            b = code[i]
+            if b >= 32 or b == 255:
+                if 32 <= b <= 246:
+                    self.stack.append(b - 139)
+                    i += 1
+                elif 247 <= b <= 250:
+                    self.stack.append((b - 247) * 256 + code[i + 1] + 108)
+                    i += 2
+                elif 251 <= b <= 254:
+                    self.stack.append(-(b - 251) * 256 - code[i + 1] - 108)
+                    i += 2
+                else:  # 255: 32-bit
+                    self.stack.append(
+                        int.from_bytes(code[i + 1 : i + 5], "big", signed=True)
+                    )
+                    i += 5
+                continue
+            i += 1
+            if b == 13:  # hsbw: sbx wx
+                sbx, self.width = self.stack[0], self.stack[1]
+                self.x, self.y = sbx, 0.0
+                self.stack.clear()
+            elif b == 21:
+                self._moveto(self.stack[-2], self.stack[-1])
+                self.stack.clear()
+            elif b == 22:
+                self._moveto(self.stack[-1], 0)
+                self.stack.clear()
+            elif b == 4:
+                self._moveto(0, self.stack[-1])
+                self.stack.clear()
+            elif b == 5:
+                self._lineto(self.stack[-2], self.stack[-1])
+                self.stack.clear()
+            elif b == 6:
+                self._lineto(self.stack[-1], 0)
+                self.stack.clear()
+            elif b == 7:
+                self._lineto(0, self.stack[-1])
+                self.stack.clear()
+            elif b == 8:
+                self._curveto(*self.stack[-6:])
+                self.stack.clear()
+            elif b == 30:  # vhcurveto
+                d = self.stack[-4:]
+                self._curveto(0, d[0], d[1], d[2], d[3], 0)
+                self.stack.clear()
+            elif b == 31:  # hvcurveto
+                d = self.stack[-4:]
+                self._curveto(d[0], 0, d[1], d[2], 0, d[3])
+                self.stack.clear()
+            elif b == 9:  # closepath: subpath closes, current point stays
+                if len(self.cur) >= 3:
+                    self.contours.append(self.cur)
+                self.cur = [(self.x, self.y)]
+                self.stack.clear()
+            elif b == 1 or b == 3:  # hstem / vstem
+                self.stack.clear()
+            elif b == 10:  # callsubr
+                idx = int(self.stack.pop())
+                self.run(self.subrs[idx], depth + 1)
+            elif b == 11:  # return
+                return
+            elif b == 14:  # endchar
+                self._close()
+                self.done = True
+            elif b == 12:
+                b2 = code[i]
+                i += 1
+                if b2 == 12:  # div
+                    bv = self.stack.pop()
+                    av = self.stack.pop()
+                    self.stack.append(av / bv)
+                elif b2 == 7:  # sbw: sbx sby wx wy
+                    self.x, self.y = self.stack[0], self.stack[1]
+                    self.width = self.stack[2]
+                    self.stack.clear()
+                elif b2 in (0, 1, 2, 33):  # dotsection/vstem3/hstem3/setcp
+                    self.stack.clear()
+                else:  # seac, callothersubr, pop, ...
+                    raise ValueError(f"Type1 escape op {b2} unsupported")
+            else:
+                raise ValueError(f"Type1 op {b} unsupported")
+
+
+@memo_bytes_fn
+def type1_glyph_outlines(data: bytes):
+    """glyph name -> (advance width, contours) from a Type1 font program
+    (/FontFile): eexec-decrypt the body, decrypt each charstring (lenIV
+    from /Private, default 4), interpret. Glyphs using flex/seac
+    OtherSubrs are skipped (cell fallback); empty dict on structurally
+    surprising fonts."""
+    try:
+        head, sep, tail = data.partition(b"eexec")
+        if not sep:
+            return {}
+        plain = _eexec_tail_plaintext(tail)
+        m = _T1_LENIV_RE.search(plain)
+        leniv = int(m.group(1)) if m else 4
+        # Subrs entries precede CharStrings: "dup <idx> <len> RD <bin> NP"
+        subrs: Dict[int, bytes] = {}
+        cs_start = plain.find(b"/CharStrings")
+        subr_zone = plain[:cs_start] if cs_start >= 0 else plain
+        if b"/Subrs" in subr_zone:
+            for sm in _T1_SUBR_RE.finditer(subr_zone):
+                idx, ln = int(sm.group(1)), int(sm.group(2))
+                raw = subr_zone[sm.end() : sm.end() + ln]
+                subrs[idx] = eexec_decrypt(raw, r=4330, skip=leniv)
+        out = {}
+        zone = plain[cs_start:] if cs_start >= 0 else plain
+        for cm in _T1_CS_RE.finditer(zone):
+            name = cm.group(1).decode("latin-1")
+            ln = int(cm.group(2))
+            cs = eexec_decrypt(
+                zone[cm.end() : cm.end() + ln], r=4330, skip=leniv
+            )
+            try:
+                interp = _Type1Interp(subrs)
+                interp.run(cs)
+            except Exception:
+                continue  # flex/seac glyph: fall back to cells
+            out[name] = (
+                interp.width,
+                [[(float(x), float(y)) for x, y in c] for c in interp.contours],
+            )
+        return out
+    except Exception:
+        return {}

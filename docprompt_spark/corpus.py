@@ -567,11 +567,12 @@ def gen_doc(
         compress_streams=comp,
         xref_stream=use_xref_stream,
         encrypt=enc_mode,
-        # a third of the corpus embeds its outline font as a TrueType
-        # (glyf) program via /FontFile2 instead of CFF /FontFile3 — both
-        # author identical 1000-upm outlines, so rasters are format-
-        # independent while the parse path proves both loops
-        font_format="truetype" if idx % 3 == 2 else "cff",
+        # the corpus rotates ALL THREE embedded outline-font formats —
+        # CFF /FontFile3, original Type1 /FontFile (eexec), TrueType
+        # (glyf) /FontFile2 — authoring identical 1000-upm outlines, so
+        # rasters are format-independent while the parse path proves all
+        # three loops
+        font_format=("cff", "type1", "truetype")[idx % 3],
     )
     wrapped = _wrap(pdf, idx % 4)
     golden = kernels.assemble_doc_spans(page_results)

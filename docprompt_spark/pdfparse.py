@@ -832,6 +832,20 @@ class PdfFile:
                             ).items():
                                 if ch not in pool:
                                     pool[ch] = wc
+                    ff1 = self.resolve(desc.get("FontFile"))
+                    if isinstance(ff1, Stream):
+                        # original Type1 program: eexec + charstring
+                        # decrypt, Type1 op interpretation
+                        data = ff1.data(self.resolve)
+                        key = hashlib.md5(data).digest()
+                        if key not in seen:
+                            seen.add(key)
+                            for name, wc in cff.type1_glyph_outlines(
+                                data
+                            ).items():
+                                ch = cff.glyph_name_to_text(name)
+                                if ch and ch not in pool:
+                                    pool[ch] = wc
         return pool
 
 

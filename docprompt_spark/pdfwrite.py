@@ -345,6 +345,18 @@ def write_pdf(
         )
         ff_entry = f" /FontFile2 {fontfile} 0 R >>"
         f1_subtype = "TrueType"
+    elif font_format == "type1":
+        # original Type1 program via /FontFile (§9.9 Table 127):
+        # cleartext header + eexec body + zeros trailer, with the
+        # Length1/2/3 split declared on the stream dict
+        l1, l2, l3 = fontgen.build_type1_parts(doc_chars)
+        fontfile = b.add_stream(
+            f"/Length1 {len(l1)} /Length2 {len(l2)} /Length3 {len(l3)}",
+            l1 + l2 + l3,
+            compress=compress_streams,
+        )
+        ff_entry = f" /FontFile {fontfile} 0 R >>"
+        f1_subtype = "Type1"
     else:
         fontfile = b.add_stream(
             "/Subtype /Type1C", fontgen.build_cff(doc_chars),

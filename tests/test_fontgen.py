@@ -132,3 +132,90 @@ def test_charset_format_1_and_2_roundtrip():
     for f in (1, 2):
         assert cff.cff_glyph_outlines(blobs[f]) == base_outlines, f"fmt {f}"
         assert cff.cff_code_to_name(blobs[f]) == base_names, f"fmt {f}"
+
+
+class TestType1Authoring:
+    """build_type1 -> type1_glyph_outlines: the third embedded-format
+    loop (original Type1 /FontFile, eexec + charstring encryption)."""
+
+    def test_roundtrip_exact_outlines(self):
+        from docprompt_spark import cff, fontgen
+        from docprompt_spark.pdfwrite import char_width_pm
+
+        chars = [chr(c) for c in range(32, 127)] + ["é"]
+        pool = cff.type1_glyph_outlines(fontgen.build_type1(chars))
+        assert ".notdef" in pool
+        for ch in chars:
+            w, contours = pool[f"uni{ord(ch):04X}"]
+            assert w == char_width_pm(ch)
+            want = [
+                [(float(x), float(y)) for x, y in c]
+                for c in fontgen.glyph_contours(ch)
+            ]
+            assert contours == want, ch
+
+    def test_parts_split_matches_pdf_lengths(self):
+        from docprompt_spark import fontgen
+
+        l1, l2, l3 = fontgen.build_type1_parts("Hello")
+        assert l1.startswith(b"%!FontType1-1.0")
+        assert l1.endswith(b"currentfile eexec\n")
+        assert l3.endswith(b"cleartomark\n")
+        assert fontgen.build_type1("Hello") == l1 + l2 + l3
+
+    def test_encoding_decodes_via_header(self):
+        from docprompt_spark import cff, fontgen
+
+        data = fontgen.build_type1("AB z")
+        m = cff.type1_code_to_name(data)
+        assert m[ord("A")] == "uni0041" and m[ord("z")] == "uni007A"
+
+    def test_interp_curves_and_subr_machinery(self):
+        """Hand-built charstring with rrcurveto + closepath subr: curve
+        flattening matches the shared cubic flattener; callsubr works."""
+        from docprompt_spark import cff
+
+        # subr 0: closepath return
+        subrs = {0: bytes([9, 11])}
+        cs = (
+            cff._eexec_noop() if False else b""
+        )  # placeholder; build manually below
+        from docprompt_spark.fontgen import _t1_num
+
+        code = (
+            _t1_num(0) + _t1_num(600) + bytes([13])  # hsbw
+            + _t1_num(100) + _t1_num(100) + bytes([21])  # rmoveto
+            + _t1_num(50) + _t1_num(0) + _t1_num(50) + _t1_num(50)
+            + _t1_num(0) + _t1_num(50) + bytes([8])  # rrcurveto
+            + _t1_num(0) + bytes([10])  # callsubr 0
+            + bytes([14])  # endchar
+        )
+        it = cff._Type1Interp(subrs)
+        it.run(code)
+        assert it.width == 600
+        want = [(100.0, 100.0)] + cff._flatten_cubic(
+            (100.0, 100.0), (150.0, 100.0), (200.0, 150.0), (200.0, 200.0)
+        )
+        assert it.contours == [want]
+
+    def test_pdf_embed_renders_same_ink_as_cff(self):
+        from docprompt_spark import pdfparse, pdfwrite
+
+        pages = [{
+            "width": 612.0, "height": 792.0, "images": [],
+            "text_ops": [{"font": "F1", "size": 12.0, "x": 72.0, "y": 700.0,
+                          "segments": ["Type one"], "mode": "Tm"}],
+        }]
+        pdf_t1 = pdfwrite.write_pdf(pages, font_format="type1")
+        pdf_cff = pdfwrite.write_pdf(pages, font_format="cff")
+        assert b"/FontFile " in pdf_t1 and b"Length2" in pdf_t1
+        pool_t1 = pdfparse.PdfFile(pdf_t1).glyph_outline_pool()
+        pool_cff = pdfparse.PdfFile(pdf_cff).glyph_outline_pool()
+        assert set(pool_t1) == set(pool_cff)
+        for ch in pool_cff:
+            assert pool_t1[ch][0] == pool_cff[ch][0]
+            assert [
+                [(float(x), float(y)) for x, y in c] for c in pool_t1[ch][1]
+            ] == [
+                [(float(x), float(y)) for x, y in c] for c in pool_cff[ch][1]
+            ]
