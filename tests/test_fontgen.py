@@ -177,9 +177,6 @@ class TestType1Authoring:
 
         # subr 0: closepath return
         subrs = {0: bytes([9, 11])}
-        cs = (
-            cff._eexec_noop() if False else b""
-        )  # placeholder; build manually below
         from docprompt_spark.fontgen import _t1_num
 
         code = (
