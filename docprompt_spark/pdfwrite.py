@@ -322,6 +322,10 @@ def write_pdf(
     # pdfium, _pdfium.py:126-135).
     from docprompt_spark import fontgen
 
+    # SUBSET the embedded program to the document's used charset — what
+    # real PDF producers emit (ABCDEF+Name subsets): glyph coverage equals
+    # word content, and font streams stay small enough that stream-filter
+    # decode doesn't dominate parse time on font-heavy envelopes
     doc_chars = sorted(
         {
             ch
@@ -331,7 +335,7 @@ def write_pdf(
             if isinstance(seg, str)
             for ch in seg
         }
-        | {chr(c) for c in range(32, 127)}
+        | {" "}
     )
     if font_format == "truetype":
         # TrueType (glyf) program via /FontFile2 — the other embedded-
