@@ -173,9 +173,17 @@ def _gen_page(
                     from docprompt_spark import jbig2 as _jbig2
 
                     if (base >> 3) % 2 == 1:
-                        # corpus dims (w%8==0, h%4==0) divide the (4,8)
-                        # tile grid exactly — lossless over the threshold
-                        data = _jbig2.encode_gray8_symbols(arr)
+                        if (base >> 4) % 2 == 1:
+                            # HALFTONE pages (§6.6-6.7): pattern dict +
+                            # Gray-coded bitplanes — JBIG2's grayscale
+                            # mode; GT is the deterministic clustered-dot
+                            # dither decode(encode) computes on both sides
+                            data = _jbig2.encode_gray8_halftone(arr)
+                        else:
+                            # corpus dims (w%8==0, h%4==0) divide the (4,8)
+                            # tile grid exactly — lossless over the
+                            # threshold
+                            data = _jbig2.encode_gray8_symbols(arr)
                     else:
                         # arith slots: (base>>4)%2 turns on TPGDON (typical
                         # prediction, §6.2.5.7 — jbig2enc's default)
@@ -184,6 +192,20 @@ def _gen_page(
                                 (arr < 128).astype(_np.uint8),
                                 tpgdon=(base >> 4) % 2 == 1,
                             )
+                        elif (base >> 4) % 2 == 1:
+                            # REFINEMENT organization (§6.3): a coarse
+                            # 2x2-majority base generic region corrected
+                            # to the exact threshold bitmap by a
+                            # GRTEMPLATE=1 refinement region — lossless
+                            bits = (arr < 128).astype(_np.uint8)
+                            blk = bits.reshape(
+                                px_h // 2, 2, px_w // 2, 2
+                            ).sum(axis=(1, 3))
+                            coarse = _np.kron(
+                                (blk >= 2).astype(_np.uint8),
+                                _np.ones((2, 2), dtype=_np.uint8),
+                            )
+                            data = _jbig2.encode_refined(bits, coarse)
                         else:
                             data = _jbig2.encode_gray8(arr)
                     filt = "JBIG2Decode"
@@ -567,12 +589,12 @@ def gen_doc(
         compress_streams=comp,
         xref_stream=use_xref_stream,
         encrypt=enc_mode,
-        # the corpus rotates ALL THREE embedded outline-font formats —
-        # CFF /FontFile3, original Type1 /FontFile (eexec), TrueType
-        # (glyf) /FontFile2 — authoring identical 1000-upm outlines, so
-        # rasters are format-independent while the parse path proves all
-        # three loops
-        font_format=("cff", "type1", "truetype")[idx % 3],
+        # the corpus rotates ALL FOUR embedded font formats — CFF
+        # /FontFile3, original Type1 /FontFile (eexec), TrueType (glyf)
+        # /FontFile2, and Type3 /CharProcs (glyphs authored as content
+        # streams) — all carrying identical 1000-upm outlines, so rasters
+        # are format-independent while the parse path proves all four loops
+        font_format=("cff", "type1", "truetype", "type3")[idx % 4],
     )
     wrapped = _wrap(pdf, idx % 4)
     golden = kernels.assemble_doc_spans(page_results)

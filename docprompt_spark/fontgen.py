@@ -334,3 +334,25 @@ def build_type1_parts(
     encrypted = eexec_encrypt(private, salt=b"t1ds")
     trailer = (b"0" * 64 + b"\n") * 8 + b"cleartomark\n"
     return header, encrypted, trailer
+
+
+# ---------------------------------------------------------------------------
+# Type3 font authoring (PDF 32000 §9.6.5: glyphs ARE content streams — the
+# FOURTH embedded format; reference renders these via pdfium's Type3 path,
+# _pdfium.py:126-135)
+# ---------------------------------------------------------------------------
+
+
+def type3_charproc(ch: str) -> bytes:
+    """Glyph procedure for a Type3 /CharProcs entry: ``wx 0 d0`` then one
+    ``re`` per rectilinear contour and a single fill — identical geometry
+    (glyph space == 1000-upm em under FontMatrix [0.001 0 0 0.001 0 0]) to
+    every other embedded format, so rasters stay format-independent."""
+    from docprompt_spark.pdfwrite import char_width_pm
+
+    parts = [f"{char_width_pm(ch)} 0 d0"]
+    for con in glyph_contours(ch):
+        (xa, ya), (xb, yb) = con[0], con[2]
+        parts.append(f"{xa} {ya} {xb - xa} {yb - ya} re")
+    parts.append("f")
+    return " ".join(parts).encode("ascii")

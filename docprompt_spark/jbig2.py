@@ -16,13 +16,20 @@ BOTH generic-region codings:
 plus SYMBOL-CODED pages — the dominant JBIG2 mode in real scanned PDFs:
 symbol dictionaries (type 0, §6.5) and text regions (types 6/7, §6.4)
 decoded with the Annex-A arithmetic integer procedures (IADH/IADW/IAEX/
-IADT/IAFS/IADS/IAIT and the IAID tree decoder) over the same MQ coder.
+IADT/IAFS/IADS/IAIT and the IAID tree decoder) over the same MQ coder;
+HALFTONE pages — JBIG2's grayscale mode: pattern dictionaries (type 16,
+§6.7) + halftone regions (types 22/23, §6.6) with Annex C.5 Gray-coded
+bitplanes and fixed-point 24.8 grid placement; and generic REFINEMENT
+regions (types 42/43, §6.3, GRTEMPLATE=1 + TPGRON) that re-code a page
+window against its already-decoded content.
 
 Segments produced/consumed:
 
 * page information (type 48, §7.4.8)
 * symbol dictionary (type 0, §7.4.3 — arithmetic profile)
 * immediate (lossless) text region (types 6/7, §7.4.4)
+* pattern dictionary (type 16, §7.4.4) + halftone region (types 22/23)
+* immediate (lossless) refinement region (types 42/43, §7.4.7)
 * immediate lossless generic region (type 39, §7.4.6)
 * end of page (type 49)
 
@@ -31,9 +38,10 @@ referred-to segment count + retain bits (incl. the long form), 1- or
 4-byte page association, data length — so foreign embedded streams with
 extra segments are walked correctly. TPGDON (typical prediction,
 §6.2.5.7) is supported on generic regions in both directions. Out of
-scope (raise): non-zero GB templates, non-nominal AT pixels,
-Huffman-coded dictionaries, refinement/aggregate symbol coding, halftone
-regions.
+scope (raise): non-zero GB/GR templates, non-nominal AT pixels outside
+the pattern-dictionary AT1=(-HDPW,0) profile, Huffman-coded
+dictionaries, aggregate (refinement-within-dictionary) symbol coding,
+MMR halftones, skip bitmaps.
 
 Bitmap convention: JBIG2 codes 1 = black ink. :func:`decode` returns the
 ink bitmap; the media pipeline maps it to viewer gray via
@@ -163,10 +171,13 @@ def decode(data: bytes, width: Optional[int] = None,
     Generic regions decode through the shared T.6 machinery (MMR=1) or the
     MQ arithmetic coder (MMR=0, template 0); SYMBOL-CODED pages decode
     through symbol dictionary (type 0) + text region (types 6/7) segments
-    (§6.4-6.5, Annex A integer procedures). Regions composite onto the
-    page at their offsets (comb op OR — the only op the encoder emits;
-    others reduce to OR for ink-on-blank pages). Halftone/refinement
-    regions raise (out of scope; the reference defers to pdfium)."""
+    (§6.4-6.5, Annex A integer procedures); HALFTONE pages through
+    pattern dictionary (type 16) + halftone region (types 22/23) segments
+    (§6.6-6.7, Gray-coded bitplanes); REFINEMENT regions (types 42/43,
+    §6.3) re-code their window against the page content beneath them and
+    REPLACE it. Other regions composite onto the page at their offsets in
+    segment order (comb op OR — the only op the encoder emits; others
+    reduce to OR for ink-on-blank pages)."""
     from docprompt_spark import ccitt
 
     segs = parse_segments(data)
@@ -180,9 +191,24 @@ def decode(data: bytes, width: Optional[int] = None,
                 page_w = w
     regions = []
     sym_exports = {}  # segment number -> exported symbol bitmaps
+    pat_exports = {}  # segment number -> pattern dictionary bitmaps
     for s in segs:
         if s.seg_type == SEG_SYMBOL_DICT:
             sym_exports[s.number] = decode_symbol_dict(s.data)
+            continue
+        if s.seg_type == SEG_PATTERN_DICT:
+            pat_exports[s.number] = decode_pattern_dict(s.data)
+            continue
+        if s.seg_type in _HALFTONE_TYPES:
+            if s.seg_type == 20:
+                raise ValueError(
+                    "JBIG2 intermediate halftone regions unsupported"
+                )
+            pats: List[np.ndarray] = []
+            for ref in s.referred:
+                pats.extend(pat_exports.get(ref, []))
+            rx, ry, bits = decode_halftone_region(s.data, pats)
+            regions.append((rx, ry, bits, "or"))
             continue
         if s.seg_type in _TEXT_TYPES:
             if s.seg_type == 4:
@@ -191,7 +217,17 @@ def decode(data: bytes, width: Optional[int] = None,
             for ref in s.referred:
                 syms.extend(sym_exports.get(ref, []))
             rx, ry, bits = decode_text_region(s.data, syms)
-            regions.append((rx, ry, bits))
+            regions.append((rx, ry, bits, "or"))
+            continue
+        if s.seg_type in _REFINEMENT_TYPES:
+            if s.seg_type == 40:
+                raise ValueError(
+                    "JBIG2 intermediate refinement regions unsupported"
+                )
+            # defer: the reference is the page content as composited so
+            # far, only available during the sequential composite pass
+            rw, rh, rx, ry = struct.unpack(">IIII", s.data[:16])
+            regions.append((rx, ry, (rw, rh, s.data), "refine"))
             continue
         if s.seg_type not in _GENERIC_TYPES:
             continue
@@ -211,14 +247,27 @@ def decode(data: bytes, width: Optional[int] = None,
             bits = _decode_generic_arith(
                 s.data[26:], rw, rh, tpgdon=bool(gflags & 0x08)
             )
-        regions.append((rx, ry, bits))
+        regions.append((rx, ry, bits, "or"))
     if not regions:
         raise ValueError("no region segment found")
     if page_w is None or page_h is None:
-        page_w = max(rx + b.shape[1] for rx, _, b in regions)
-        page_h = max(ry + b.shape[0] for _, ry, b in regions)
+        page_w = max(
+            rx + (b[0] if op == "refine" else b.shape[1])
+            for rx, _, b, op in regions
+        )
+        page_h = max(
+            ry + (b[1] if op == "refine" else b.shape[0])
+            for _, ry, b, op in regions
+        )
     page = np.zeros((page_h, page_w), dtype=np.uint8)
-    for rx, ry, bits in regions:
+    for rx, ry, bits, op in regions:
+        if op == "refine":
+            rw, rh, seg_data = bits
+            ref = page[ry : ry + rh, rx : rx + rw]
+            _, _, refined = decode_refinement_region(seg_data, ref)
+            # external comb op REPLACE (§7.4.7.5): refined content stands
+            page[ry : ry + rh, rx : rx + rw] = refined[: page_h - ry, : page_w - rx]
+            continue
         h, w = bits.shape
         page[ry : ry + h, rx : rx + w] |= bits[: page_h - ry, : page_w - rx]
     return page
@@ -271,16 +320,24 @@ def _new_cx(n: int) -> list:
 _TPGDON_CTX0 = 0x9B25
 
 
-def _generic_encode_into(enc, gb_cx, bits: np.ndarray, tpgdon: bool = False) -> None:
+def _generic_encode_into(
+    enc, gb_cx, bits: np.ndarray, tpgdon: bool = False,
+    at1: Tuple[int, int] = (3, -1),
+) -> None:
     """MQ-encode one template-0 generic bitmap into a shared encoder with
     a caller-owned GB context array (symbol dictionaries code every symbol
     bitmap through ONE codestream + ONE context set, §6.5.8.2.1).
     ``tpgdon`` enables typical-prediction (§6.2.5.7): each row leads with
     an SLTP bit in the pseudo-pixel context; rows equal to their
     predecessor are skipped entirely — the dominant savings on scanned
-    text's blank rows."""
+    text's blank rows. ``at1`` relocates the first adaptive pixel (its
+    nominal slot is (3,-1), the LSB of the middle row group): pattern-
+    dictionary collective bitmaps decode with AT1=(-HDPW,0) (§6.7.5) so
+    each pattern predicts from its left neighbour."""
     h, w = bits.shape
     zrow = np.zeros(w, dtype=np.uint8)
+    nominal_at1 = at1 == (3, -1)
+    a1x, a1y = at1
     ltp = 0
     for y in range(h):
         r2 = bits[y - 2] if y >= 2 else zrow
@@ -292,21 +349,37 @@ def _generic_encode_into(enc, gb_cx, bits: np.ndarray, tpgdon: bool = False) -> 
             ltp = typical
             if ltp:
                 continue  # row == previous row: not coded
-        for x in range(w):
-            ctx = (
-                (_row_bits(r2, x - 2, 5, w) << 11)
-                | (_row_bits(r1, x - 3, 7, w) << 4)
-                | _row_bits(r0, x - 4, 4, w)
-            )
-            enc.encode(int(r0[x]), ctx, gb_cx)
+        if nominal_at1:
+            for x in range(w):
+                ctx = (
+                    (_row_bits(r2, x - 2, 5, w) << 11)
+                    | (_row_bits(r1, x - 3, 7, w) << 4)
+                    | _row_bits(r0, x - 4, 4, w)
+                )
+                enc.encode(int(r0[x]), ctx, gb_cx)
+        else:
+            ra = bits[y + a1y] if 0 <= y + a1y < h else zrow
+            for x in range(w):
+                xa = x + a1x
+                a1 = int(ra[xa]) if 0 <= xa < w else 0
+                ctx = (
+                    (_row_bits(r2, x - 2, 5, w) << 11)
+                    | (_row_bits(r1, x - 3, 6, w) << 5)
+                    | (a1 << 4)
+                    | _row_bits(r0, x - 4, 4, w)
+                )
+                enc.encode(int(r0[x]), ctx, gb_cx)
 
 
 def _generic_decode_from(
-    dec, gb_cx, rw: int, rh: int, tpgdon: bool = False
+    dec, gb_cx, rw: int, rh: int, tpgdon: bool = False,
+    at1: Tuple[int, int] = (3, -1),
 ) -> np.ndarray:
     """Mirror of :func:`_generic_encode_into` over a shared decoder."""
     out = np.zeros((rh, rw), dtype=np.uint8)
     zrow = np.zeros(rw, dtype=np.uint8)
+    nominal_at1 = at1 == (3, -1)
+    a1x, a1y = at1
     ltp = 0
     for y in range(rh):
         r2 = out[y - 2] if y >= 2 else zrow
@@ -317,13 +390,26 @@ def _generic_decode_from(
             if ltp:
                 out[y] = r1  # typical row: copy of the previous row
                 continue
-        for x in range(rw):
-            ctx = (
-                (_row_bits(r2, x - 2, 5, rw) << 11)
-                | (_row_bits(r1, x - 3, 7, rw) << 4)
-                | _row_bits(r0, x - 4, 4, rw)
-            )
-            r0[x] = dec.decode(ctx, gb_cx)
+        if nominal_at1:
+            for x in range(rw):
+                ctx = (
+                    (_row_bits(r2, x - 2, 5, rw) << 11)
+                    | (_row_bits(r1, x - 3, 7, rw) << 4)
+                    | _row_bits(r0, x - 4, 4, rw)
+                )
+                r0[x] = dec.decode(ctx, gb_cx)
+        else:
+            ra = out[y + a1y] if 0 <= y + a1y < rh else zrow
+            for x in range(rw):
+                xa = x + a1x
+                a1 = int(ra[xa]) if 0 <= xa < rw else 0
+                ctx = (
+                    (_row_bits(r2, x - 2, 5, rw) << 11)
+                    | (_row_bits(r1, x - 3, 6, rw) << 5)
+                    | (a1 << 4)
+                    | _row_bits(r0, x - 4, 4, rw)
+                )
+                r0[x] = dec.decode(ctx, gb_cx)
     return out
 
 
@@ -822,3 +908,369 @@ def encode_gray8_symbols(
                 symbols.append(t.copy())
             placements.append((uniq[key], x, y))
     return encode_symbol_text(symbols, placements, w, h)
+
+
+# ---------------------------------------------------------------------------
+# Pattern dictionaries + halftone regions (T.88 §6.6-6.7, §7.4.4-7.4.5)
+# ---------------------------------------------------------------------------
+#
+# Halftone regions are how JBIG2 codes GRAYSCALE: a pattern dictionary
+# (one collective generic bitmap cut into HDPW-wide cells) plus a gray-
+# scale image coded as Gray-coded bitplanes (Annex C.5), each bitplane a
+# template-0 generic region sharing ONE MQ codestream + context set; each
+# grid cell then stamps pattern HPATS[gray] onto the page. Arithmetic
+# profile only (HMMR=0, template 0, no skip bitmap), unskewed grids on the
+# encoder side; the decoder honours the full fixed-point 24.8 grid vectors
+# the way jbig2dec/pdf.js do: x = (HGX + mg*HRY + ng*HRX) >> 8,
+# y = (HGY + mg*HRX - ng*HRY) >> 8.
+
+SEG_PATTERN_DICT = 16
+SEG_IMM_HALFTONE = 22
+SEG_IMM_LOSSLESS_HALFTONE = 23
+_HALFTONE_TYPES = (20, SEG_IMM_HALFTONE, SEG_IMM_LOSSLESS_HALFTONE)
+
+
+def decode_pattern_dict(data: bytes) -> List[np.ndarray]:
+    """Pattern dictionary segment payload -> list of HDPH x HDPW bitmaps.
+
+    §6.7.5: the patterns arrive as ONE collective generic bitmap of width
+    (GRAYMAX+1)*HDPW decoded with AT1=(-HDPW, 0) (each pattern predicts
+    from its left neighbour), then sliced column-wise."""
+    flags = data[0]
+    if flags & 1:
+        raise ValueError("JBIG2 MMR pattern dictionaries unsupported")
+    if (flags >> 1) & 3:
+        raise ValueError("JBIG2 HD template != 0 unsupported")
+    hdpw, hdph = data[1], data[2]
+    graymax = struct.unpack(">I", data[3:7])[0]
+    from docprompt_spark.mq import MQDecoder
+
+    collective = _generic_decode_from(
+        MQDecoder(data[7:], 1), _new_cx(1 << 16),
+        (graymax + 1) * hdpw, hdph, at1=(-hdpw, 0),
+    )
+    return [
+        collective[:, i * hdpw : (i + 1) * hdpw].copy()
+        for i in range(graymax + 1)
+    ]
+
+
+def encode_pattern_dict(patterns: List[np.ndarray]) -> bytes:
+    """Patterns (equal HDPH x HDPW bitmaps) -> pattern dictionary payload."""
+    from docprompt_spark.mq import MQEncoder
+
+    hdph, hdpw = patterns[0].shape
+    collective = np.concatenate(patterns, axis=1)
+    enc = MQEncoder(1)
+    _generic_encode_into(enc, _new_cx(1 << 16), collective, at1=(-hdpw, 0))
+    return (
+        bytes([0, hdpw, hdph])
+        + struct.pack(">I", len(patterns) - 1)
+        + enc.flush()
+    )
+
+
+def _gray_planes_decode(dec, gb_cx, gw: int, gh: int, bpp: int) -> np.ndarray:
+    """Annex C.5 gray-scale image decoding: bitplanes MSB->LSB through one
+    decoder; plane j (j < bpp-1) holds GRAY code and XORs with the already-
+    decoded bit above it."""
+    vals = np.zeros((gh, gw), dtype=np.int64)
+    prev = None
+    for j in range(bpp - 1, -1, -1):
+        plane = _generic_decode_from(dec, gb_cx, gw, gh, tpgdon=False)
+        if prev is not None:
+            plane ^= prev
+        vals |= plane.astype(np.int64) << j
+        prev = plane
+    return vals
+
+
+def _gray_planes_encode(enc, gb_cx, vals: np.ndarray, bpp: int) -> None:
+    """Mirror of :func:`_gray_planes_decode`: code C_{bpp-1}=B_{bpp-1} and
+    C_j = B_j XOR B_{j+1} (Gray code) MSB-first."""
+    prev = None
+    for j in range(bpp - 1, -1, -1):
+        plane = ((vals >> j) & 1).astype(np.uint8)
+        coded = plane if prev is None else plane ^ prev
+        _generic_encode_into(enc, gb_cx, coded, tpgdon=False)
+        prev = plane
+    return None
+
+
+def decode_halftone_region(
+    data: bytes, patterns: List[np.ndarray]
+) -> Tuple[int, int, np.ndarray]:
+    """Halftone region segment payload -> (x, y, region bitmap)."""
+    rw, rh, rx, ry, _comb = struct.unpack(">IIIIB", data[:17])
+    hflags = data[17]
+    if hflags & 1:
+        raise ValueError("JBIG2 MMR halftone regions unsupported")
+    if (hflags >> 1) & 3:
+        raise ValueError("JBIG2 halftone template != 0 unsupported")
+    if (hflags >> 3) & 1:
+        raise ValueError("JBIG2 halftone skip bitmaps unsupported")
+    defpix = (hflags >> 7) & 1
+    hgw, hgh = struct.unpack(">II", data[18:26])
+    hgx, hgy = struct.unpack(">ii", data[26:34])
+    hrx, hry = struct.unpack(">HH", data[34:38])
+    if not patterns:
+        raise ValueError("halftone region without a pattern dictionary")
+    bpp = max(1, (len(patterns) - 1).bit_length())
+    from docprompt_spark.mq import MQDecoder
+
+    gray = _gray_planes_decode(
+        MQDecoder(data[38:], 1), _new_cx(1 << 16), hgw, hgh, bpp
+    )
+    region = np.full((rh, rw), defpix, dtype=np.uint8)
+    hdph, hdpw = patterns[0].shape
+    nmax = len(patterns) - 1
+    for mg in range(hgh):
+        for ng in range(hgw):
+            x = (hgx + mg * hry + ng * hrx) >> 8
+            y = (hgy + mg * hrx - ng * hry) >> 8
+            pat = patterns[min(int(gray[mg, ng]), nmax)]
+            if x >= rw or y >= rh or x + hdpw <= 0 or y + hdph <= 0:
+                continue
+            x0, y0 = max(x, 0), max(y, 0)
+            x1, y1 = min(x + hdpw, rw), min(y + hdph, rh)
+            region[y0:y1, x0:x1] |= pat[y0 - y : y1 - y, x0 - x : x1 - x]
+    return rx, ry, region
+
+
+# the clustered-dot growth order for the encoder's 4x4 patterns: pattern i
+# has the first i cells of this sequence set (a Bayer-style spiral so dots
+# grow from the cell centre — what halftone screens look like)
+_HT_ORDER = [
+    (1, 1), (2, 2), (1, 2), (2, 1), (0, 1), (3, 2), (0, 2), (3, 1),
+    (1, 0), (2, 3), (1, 3), (2, 0), (0, 0), (3, 3), (0, 3), (3, 0),
+]
+
+
+def halftone_patterns(cell: Tuple[int, int] = (4, 4)) -> List[np.ndarray]:
+    """The encoder's 17-level clustered-dot pattern set (0..16 ink pixels
+    in a 4x4 cell)."""
+    th, tw = cell
+    assert (th, tw) == (4, 4), "encoder patterns are 4x4"
+    pats = []
+    for lvl in range(len(_HT_ORDER) + 1):
+        p = np.zeros((th, tw), dtype=np.uint8)
+        for (yy, xx) in _HT_ORDER[:lvl]:
+            p[yy, xx] = 1
+        pats.append(p)
+    return pats
+
+
+def encode_gray8_halftone(arr: np.ndarray, page: int = 1) -> bytes:
+    """Gray8 image -> embedded JBIG2 stream coded as a PATTERN DICTIONARY
+    + HALFTONE REGION (the JBIG2-native grayscale representation): each
+    4x4 cell's mean darkness picks one of 17 clustered-dot patterns; the
+    pattern indices are Gray-coded bitplanes. Deterministic, so
+    decode(encode(arr)) is the ground truth both sides compute."""
+    arr = np.asarray(arr)
+    h, w = arr.shape
+    assert h % 4 == 0 and w % 4 == 0, "halftone encoder needs 4x4 cells"
+    patterns = halftone_patterns()
+    graymax = len(patterns) - 1
+    # per-cell mean darkness -> pattern level (0..16), floor-division
+    # determinism (no float rounding)
+    cells = arr.reshape(h // 4, 4, w // 4, 4).astype(np.int64)
+    mean4 = cells.sum(axis=(1, 3))  # sum of 16 samples, 0..4080
+    level = ((255 * 16 - mean4) * graymax + (255 * 16 // 2)) // (255 * 16)
+    level = np.clip(level, 0, graymax)
+
+    from docprompt_spark.mq import MQEncoder
+
+    bpp = max(1, graymax.bit_length())
+    enc = MQEncoder(1)
+    _gray_planes_encode(enc, _new_cx(1 << 16), level, bpp)
+    gray_data = enc.flush()
+
+    hgw, hgh = w // 4, h // 4
+    region_info = struct.pack(">IIIIB", w, h, 0, 0, 0)
+    ht = (
+        region_info
+        + bytes([0])  # HMMR=0, template 0, no skip, comb OR, defpix 0
+        + struct.pack(">II", hgw, hgh)
+        + struct.pack(">ii", 0, 0)
+        + struct.pack(">HH", 4 << 8, 0)  # unskewed 4px grid, 24.8 fixed
+        + gray_data
+    )
+    pat_data = encode_pattern_dict(patterns)
+    page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0, 0)
+    out = _segment_header(0, SEG_PAGE_INFO, page, len(page_info)) + page_info
+    out += _segment_header(1, SEG_PATTERN_DICT, page, len(pat_data)) + pat_data
+    out += (
+        _segment_header(
+            2, SEG_IMM_LOSSLESS_HALFTONE, page, len(ht), referred=(1,)
+        )
+        + ht
+    )
+    out += _segment_header(3, SEG_END_OF_PAGE, page, 0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Generic refinement regions (T.88 §6.3, §7.4.7)
+# ---------------------------------------------------------------------------
+#
+# A refinement region re-codes a window of the page against what is
+# already there: each pixel's context mixes already-decoded neighbours of
+# the CURRENT bitmap with a 3x3 neighbourhood of the REFERENCE bitmap.
+# GRTEMPLATE=1 (the 10-pixel fixed template, no AT pixels) with optional
+# TPGRON typical prediction (§6.3.5.6: rows flagged typical take any pixel
+# whose reference 3x3 neighbourhood is uniform straight from the
+# reference). Context bit order matches pdf.js's RefinementTemplates[1]
+# (coding pixels then reference pixels, MSB first), TPGRON pseudo-context
+# 0x0008. GRTEMPLATE=0 raises (13-pixel AT form; not emitted here).
+
+SEG_IMM_REFINEMENT = 42
+SEG_IMM_LOSSLESS_REFINEMENT = 43
+_REFINEMENT_TYPES = (40, SEG_IMM_REFINEMENT, SEG_IMM_LOSSLESS_REFINEMENT)
+
+_TPGRON_CTX1 = 0x0008
+
+# GRTEMPLATE=1 pixel order: 4 coding (current bitmap) + 6 reference
+_GR1_CODING = ((-1, -1), (0, -1), (1, -1), (-1, 0))
+_GR1_REFERENCE = ((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1))
+
+
+def _gr1_ref_uniform(ref: np.ndarray, x: int, y: int) -> Optional[int]:
+    """The TPGRON typical-pixel rule: the reference 3x3 around (x, y),
+    out-of-bounds = 0; returns 0/1 when uniform, None otherwise."""
+    h, w = ref.shape
+    total = 0
+    for vy in (-1, 0, 1):
+        for vx in (-1, 0, 1):
+            xx, yy = x + vx, y + vy
+            total += int(ref[yy, xx]) if 0 <= xx < w and 0 <= yy < h else 0
+    if total == 0:
+        return 0
+    if total == 9:
+        return 1
+    return None
+
+
+def _gr1_context(cur: np.ndarray, ref: np.ndarray, x: int, y: int,
+                 dx: int, dy: int) -> int:
+    ch, cw = cur.shape
+    rh, rw = ref.shape
+    ctx = 0
+    for vx, vy in _GR1_CODING:
+        xx, yy = x + vx, y + vy
+        ctx = (ctx << 1) | (
+            int(cur[yy, xx]) if 0 <= xx < cw and 0 <= yy < ch else 0
+        )
+    for vx, vy in _GR1_REFERENCE:
+        xx, yy = x - dx + vx, y - dy + vy
+        ctx = (ctx << 1) | (
+            int(ref[yy, xx]) if 0 <= xx < rw and 0 <= yy < rh else 0
+        )
+    return ctx
+
+
+def _refine_encode_into(enc, gr_cx, bits: np.ndarray, ref: np.ndarray,
+                        dx: int = 0, dy: int = 0,
+                        tpgron: bool = False) -> None:
+    h, w = bits.shape
+    ltp = 0
+    for y in range(h):
+        if tpgron:
+            typical = 1
+            for x in range(w):
+                u = _gr1_ref_uniform(ref, x - dx, y - dy)
+                if u is None or u == int(bits[y, x]):
+                    continue
+                typical = 0
+                break
+            enc.encode(typical ^ ltp, _TPGRON_CTX1, gr_cx)
+            ltp = typical
+        for x in range(w):
+            if tpgron and ltp:
+                u = _gr1_ref_uniform(ref, x - dx, y - dy)
+                if u is not None:
+                    continue  # pixel implied by the uniform neighbourhood
+            enc.encode(
+                int(bits[y, x]), _gr1_context(bits, ref, x, y, dx, dy), gr_cx
+            )
+
+
+def _refine_decode_from(dec, gr_cx, rw: int, rh: int, ref: np.ndarray,
+                        dx: int = 0, dy: int = 0,
+                        tpgron: bool = False) -> np.ndarray:
+    out = np.zeros((rh, rw), dtype=np.uint8)
+    ltp = 0
+    for y in range(rh):
+        if tpgron:
+            ltp ^= dec.decode(_TPGRON_CTX1, gr_cx)
+        for x in range(rw):
+            if tpgron and ltp:
+                u = _gr1_ref_uniform(ref, x - dx, y - dy)
+                if u is not None:
+                    out[y, x] = u
+                    continue
+            out[y, x] = dec.decode(
+                _gr1_context(out, ref, x, y, dx, dy), gr_cx
+            )
+    return out
+
+
+def decode_refinement_region(
+    data: bytes, ref: np.ndarray
+) -> Tuple[int, int, np.ndarray]:
+    """Refinement region segment payload + reference window -> (x, y,
+    refined bitmap). The caller supplies the page content under the
+    region (§6.3.2: a refinement region with no referred intermediate
+    region refines the page itself) and REPLACEs it with the result."""
+    rw, rh, rx, ry, _comb = struct.unpack(">IIIIB", data[:17])
+    rflags = data[17]
+    if (rflags & 1) == 0:
+        raise ValueError("JBIG2 GRTEMPLATE 0 refinement unsupported")
+    tpgron = bool(rflags & 2)
+    from docprompt_spark.mq import MQDecoder
+
+    bits = _refine_decode_from(
+        MQDecoder(data[18:], 1), _new_cx(1 << 13), rw, rh, ref,
+        tpgron=tpgron,
+    )
+    return rx, ry, bits
+
+
+def encode_refined(final: np.ndarray, base: np.ndarray, page: int = 1,
+                   tpgron: bool = True) -> bytes:
+    """Two-stage stream: a generic region carrying ``base`` then an
+    immediate lossless REFINEMENT region (GRTEMPLATE=1) correcting it to
+    ``final`` — the progressive/lossy-then-lossless organization §6.3
+    exists for. decode() returns exactly ``final``."""
+    from docprompt_spark.mq import MQEncoder
+
+    final = np.asarray(final, dtype=np.uint8)
+    base = np.asarray(base, dtype=np.uint8)
+    assert final.shape == base.shape
+    h, w = final.shape
+
+    enc = MQEncoder(1)
+    _generic_encode_into(enc, _new_cx(1 << 16), base)
+    base_mq = enc.flush()
+
+    enc = MQEncoder(1)
+    _refine_encode_into(enc, _new_cx(1 << 13), final, base, tpgron=tpgron)
+    ref_mq = enc.flush()
+
+    page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0, 0)
+    region_info = struct.pack(">IIIIB", w, h, 0, 0, 0)
+    generic = region_info + bytes([0]) + _NOMINAL_AT + base_mq
+    rflags = 1 | (2 if tpgron else 0)  # GRTEMPLATE=1
+    refinement = region_info + bytes([rflags]) + ref_mq
+    out = _segment_header(0, SEG_PAGE_INFO, page, len(page_info)) + page_info
+    out += (
+        _segment_header(1, SEG_IMM_LOSSLESS_GENERIC, page, len(generic))
+        + generic
+    )
+    out += (
+        _segment_header(
+            2, SEG_IMM_LOSSLESS_REFINEMENT, page, len(refinement)
+        )
+        + refinement
+    )
+    out += _segment_header(3, SEG_END_OF_PAGE, page, 0)
+    return out

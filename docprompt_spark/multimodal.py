@@ -81,19 +81,23 @@ def _codec_of(xo_dict, resolve, payload=None) -> str:
     if "DCTDecode" in filts:
         return "dct" + flags()
     if "JBIG2Decode" in filts:
-        sym = ""
+        sub = ""
         if payload is not None:
             from docprompt_spark import jbig2 as _jbig2
 
             try:
-                if any(
-                    s.seg_type == _jbig2.SEG_SYMBOL_DICT
-                    for s in _jbig2.parse_segments(bytes(payload))
-                ):
-                    sym = ";sym"
+                types = {
+                    s.seg_type for s in _jbig2.parse_segments(bytes(payload))
+                }
+                if _jbig2.SEG_SYMBOL_DICT in types:
+                    sub = ";sym"
+                elif _jbig2.SEG_PATTERN_DICT in types:
+                    sub = ";ht"
+                elif types & set(_jbig2._REFINEMENT_TYPES):
+                    sub = ";ref"
             except Exception:
                 pass  # malformed stream: classify bare, decode stage reports
-        return "jbig2" + sym + flags()
+        return "jbig2" + sub + flags()
     if "JPXDecode" in filts:
         return "jpx" + flags()
     gray8 = cs == "DeviceGray" and bpc == 8

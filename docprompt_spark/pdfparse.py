@@ -797,6 +797,37 @@ class PdfFile:
                 fd_obj = self.resolve(ref)
                 if not isinstance(fd_obj, dict):
                     continue
+                if str(fd_obj.get("Subtype", "")) == "Type3":
+                    # Type3 (§9.6.5): glyphs ARE content streams — interpret
+                    # each /CharProcs entry's path ops into the shared
+                    # 1000-upm outline space via /FontMatrix * 1000
+                    key = ("t3", ref.num if isinstance(ref, Ref) else id(fd_obj))
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    fm = [
+                        float(self.resolve(v))
+                        for v in self.resolve(
+                            fd_obj.get("FontMatrix", [0.001, 0, 0, 0.001, 0, 0])
+                        )
+                    ]
+                    cps = self.resolve(fd_obj.get("CharProcs", {})) or {}
+                    for nm, pref in cps.items():
+                        st = self.resolve(pref)
+                        if not isinstance(st, Stream):
+                            continue
+                        try:
+                            wc = _type3_glyph_outline(
+                                st.data(self.resolve), fm
+                            )
+                        except (ValueError, IndexError):
+                            continue
+                        if wc is None:
+                            continue
+                        ch = cff.glyph_name_to_text(str(nm))
+                        if ch and ch not in pool:
+                            pool[ch] = wc
+                    continue
                 descs = []
                 desc = self.resolve(fd_obj.get("FontDescriptor"))
                 if desc:
@@ -1057,6 +1088,84 @@ def _tokenize_content(data: bytes) -> List[Any]:
         else:
             append(Op(tok))
     return out
+
+
+def _type3_glyph_outline(data: bytes, fm: List[float]):
+    """(advance width, contours) from a Type3 glyph procedure (PDF 32000
+    §9.6.5): ``d0``/``d1`` metrics, ``re`` rects and ``m l c h`` path
+    segments, any fill/stroke-fill paint flushing the path. Glyph-space
+    coordinates map into the rasterizer's 1000-upm outline space via
+    FontMatrix × 1000 (near-integer results snap to int so authored
+    rectilinear glyphs compare exactly against every other font format).
+    Returns None when no ``d0``/``d1`` metrics op is present."""
+    a, b_, c_, d_, e_, f_ = fm
+
+    def tx(x: float, y: float):
+        px = (a * x + c_ * y + e_) * 1000.0
+        py = (b_ * x + d_ * y + f_) * 1000.0
+        rx, ry = round(px), round(py)
+        return (
+            int(rx) if abs(px - rx) < 1e-6 else px,
+            int(ry) if abs(py - ry) < 1e-6 else py,
+        )
+
+    stack: List[float] = []
+    contours: List[list] = []
+    cur = None
+    width = None
+    x = y = 0.0
+    for tok in _tokenize_content(data):
+        if isinstance(tok, (int, float)) and not isinstance(tok, bool):
+            stack.append(float(tok))
+            continue
+        if not isinstance(tok, Op):
+            stack.clear()
+            continue
+        op = bytes(tok)
+        if op in (b"d0", b"d1") and stack:
+            wx = (a * stack[0]) * 1000.0
+            width = int(round(wx))
+        elif op == b"re" and len(stack) >= 4:
+            rx, ry, rw, rh = stack[-4:]
+            if cur is not None and len(cur) > 1:
+                contours.append(cur)
+                cur = None
+            contours.append(
+                [tx(rx, ry), tx(rx + rw, ry), tx(rx + rw, ry + rh), tx(rx, ry + rh)]
+            )
+        elif op == b"m" and len(stack) >= 2:
+            if cur is not None and len(cur) > 1:
+                contours.append(cur)
+            x, y = stack[-2], stack[-1]
+            cur = [tx(x, y)]
+        elif op == b"l" and len(stack) >= 2:
+            x, y = stack[-2], stack[-1]
+            if cur is not None:
+                cur.append(tx(x, y))
+        elif op == b"c" and len(stack) >= 6:
+            if cur is not None:
+                from docprompt_spark.rasterize import flatten_cubic
+
+                x1, y1, x2, y2, x3, y3 = stack[-6:]
+                for px, py in flatten_cubic(
+                    (x, y), (x1, y1), (x2, y2), (x3, y3)
+                ):
+                    cur.append(tx(px, py))
+                x, y = x3, y3
+        elif op == b"h":
+            if cur is not None and len(cur) > 1:
+                contours.append(cur)
+            cur = None
+        elif op in (b"f", b"F", b"f*", b"B", b"B*", b"b", b"b*", b"S", b"s", b"n"):
+            if cur is not None and len(cur) > 1:
+                contours.append(cur)
+            cur = None
+        stack.clear()
+    if cur is not None and len(cur) > 1:
+        contours.append(cur)
+    if width is None:
+        return None
+    return (width, contours)
 
 
 def inline_images(content: bytes) -> List[InlineImage]:

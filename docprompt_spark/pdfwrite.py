@@ -337,7 +337,36 @@ def write_pdf(
         }
         | {" "}
     )
-    if font_format == "truetype":
+    widths = " ".join(str(char_width_pm(chr(c))) for c in range(32, 127))
+    if font_format == "type3":
+        # Type3 font (§9.6.5): no font *program* — each glyph IS a tiny
+        # content stream under /CharProcs (``wx 0 d0`` + ``re`` fills of
+        # the same rectilinear contours), mapped by the REQUIRED /Encoding
+        # /Differences to uniXXXX names; glyph space is a 1000-upm em via
+        # /FontMatrix [0.001 0 0 0.001 0 0]. The parser interprets the
+        # procs through the same path machinery as page vector art.
+        cp_entries = []
+        for ch in doc_chars:
+            num = b.add_stream(
+                "", fontgen.type3_charproc(ch), compress=compress_streams
+            )
+            cp_entries.append(f"/uni{ord(ch):04X} {num} 0 R")
+        diffs = " ".join(
+            f"{ord(ch)} /uni{ord(ch):04X}"
+            for ch in doc_chars
+            if 32 <= ord(ch) <= 126
+        )
+        f1 = b.add(
+            (
+                "<< /Type /Font /Subtype /Type3 /Name /DSMono"
+                " /FontBBox [0 -180 760 720]"
+                " /FontMatrix [0.001 0 0 0.001 0 0]"
+                f" /CharProcs << {' '.join(cp_entries)} >>"
+                f" /Encoding << /Type /Encoding /Differences [{diffs}] >>"
+                f" /FirstChar 32 /LastChar 126 /Widths [{widths}] >>"
+            ).encode()
+        )
+    elif font_format == "truetype":
         # TrueType (glyf) program via /FontFile2 — the other embedded-
         # outline format real PDFs carry (§9.9); same 1000-upm outlines
         # as the CFF, so rendering is format-independent
@@ -368,23 +397,23 @@ def write_pdf(
         )
         ff_entry = f" /FontFile3 {fontfile} 0 R >>"
         f1_subtype = "Type1"
-    # F1: simple font with explicit /Widths for codes 32..126
-    f1_desc = b.add(
-        (
-            "<< /Type /FontDescriptor /FontName /DSMono /Flags 32"
-            f" /Ascent {ASCENT_PM} /Descent {DESCENT_PM} /CapHeight 660"
-            " /ItalicAngle 0 /StemV 80 /FontBBox [0 -180 760 720]"
-            + ff_entry
-        ).encode()
-    )
-    widths = " ".join(str(char_width_pm(chr(c))) for c in range(32, 127))
-    f1 = b.add(
-        (
-            f"<< /Type /Font /Subtype /{f1_subtype} /BaseFont /DSMono"
-            f" /FirstChar 32 /LastChar 126 /Widths [{widths}]"
-            f" /FontDescriptor {f1_desc} 0 R >>"
-        ).encode()
-    )
+    if font_format != "type3":
+        # F1: simple font with explicit /Widths for codes 32..126
+        f1_desc = b.add(
+            (
+                "<< /Type /FontDescriptor /FontName /DSMono /Flags 32"
+                f" /Ascent {ASCENT_PM} /Descent {DESCENT_PM} /CapHeight 660"
+                " /ItalicAngle 0 /StemV 80 /FontBBox [0 -180 760 720]"
+                + ff_entry
+            ).encode()
+        )
+        f1 = b.add(
+            (
+                f"<< /Type /Font /Subtype /{f1_subtype} /BaseFont /DSMono"
+                f" /FirstChar 32 /LastChar 126 /Widths [{widths}]"
+                f" /FontDescriptor {f1_desc} 0 R >>"
+            ).encode()
+        )
 
     # F2: Type0 / Identity-H with per-doc charset; ToUnicode CMap
     charset = sorted(
