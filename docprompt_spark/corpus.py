@@ -595,6 +595,11 @@ def gen_doc(
         # streams) — all carrying identical 1000-upm outlines, so rasters
         # are format-independent while the parse path proves all four loops
         font_format=("cff", "type1", "truetype", "type3")[idx % 4],
+        # a third of the corpus routes vector art + the header line through
+        # a Form XObject (/Fm0 Do, §8.10) — the letterhead/stamp pattern
+        # real producers emit; golden spans are envelope-invariant so the
+        # extraction oracles prove the form interpretation path
+        form_xobject=idx % 3 == 1,
     )
     wrapped = _wrap(pdf, idx % 4)
     golden = kernels.assemble_doc_spans(page_results)

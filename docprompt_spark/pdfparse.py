@@ -770,6 +770,7 @@ class PdfFile:
             page_w=pw,
             page_h=ph,
             with_image_data=with_image_data,
+            load_font=self._load_font,
         )
         return {
             "width": pw,
@@ -792,7 +793,28 @@ class PdfFile:
         for i in range(self.page_count):
             page = self.resolve(self.page_refs[i])
             resources = self._inherited(page, "Resources") or {}
-            fonts_d = self.resolve(resources.get("Font", {})) or {}
+            fonts_d = dict(self.resolve(resources.get("Font", {})) or {})
+            # fonts referenced only from Form XObjects (§8.10) contribute
+            # outlines too: walk nested form /Resources (depth-capped)
+            pending = [(resources, 0)]
+            while pending:
+                res, d = pending.pop()
+                if d >= 8:
+                    continue
+                xobjs = self.resolve(res.get("XObject", {})) or {}
+                for xref in xobjs.values():
+                    xkey = ("form", xref.num if isinstance(xref, Ref) else id(xref))
+                    if xkey in seen:
+                        continue
+                    seen.add(xkey)
+                    xo = self.resolve(xref)
+                    if not isinstance(xo, Stream) or xo.dict.get("Subtype") != "Form":
+                        continue
+                    sub_res = self.resolve(xo.dict.get("Resources")) or {}
+                    sub_fonts = self.resolve(sub_res.get("Font", {})) or {}
+                    for n, r in sub_fonts.items():
+                        fonts_d.setdefault(f"__form{len(fonts_d)}_{n}", r)
+                    pending.append((sub_res, d + 1))
             for ref in fonts_d.values():
                 fd_obj = self.resolve(ref)
                 if not isinstance(fd_obj, dict):
@@ -1196,13 +1218,14 @@ _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
 def _interpret_content(
     data: bytes, *, fonts: dict, xobjects: dict, resolve, page_w: float,
-    page_h: float, with_image_data: bool = False
+    page_h: float, with_image_data: bool = False, ctm0: tuple = None,
+    load_font=None, depth: int = 0,
 ) -> Tuple[List[dict], List[dict]]:
     # iter(): the op loop and the nested array/dict collectors share one
     # cursor (the tokenizer returns a plain list for speed)
     tokens = iter(_tokenize_content(data))
     stack: List[Any] = []
-    ctm = _ID
+    ctm = _ID if ctm0 is None else ctm0
     gs_stack: List[tuple] = []
     tm = tlm = _ID
     tl = 0.0
@@ -1341,11 +1364,23 @@ def _interpret_content(
             if cur_text:
                 x_dev = e_x + scale_x * start_tx if start_tx else e_x
                 width = (tx - start_tx) * scale_x
+                y_dev, sz, sc = e_y, size, scale_x
+                if ctm != _ID:
+                    # text rendering matrix = Tm x CTM (§9.4.4) for the
+                    # scale+translate CTMs Form XObjects compose (rotated
+                    # text would need quad geometry; none is authored)
+                    x_dev, y_dev = (
+                        ctm[0] * x_dev + ctm[2] * e_y + ctm[4],
+                        ctm[1] * x_dev + ctm[3] * e_y + ctm[5],
+                    )
+                    width *= ctm[0]
+                    sz *= ctm[3]
+                    sc *= ctm[0]
                 emit_chunk(
                     {
                         "text": "".join(cur_text),
-                        "x": x_dev, "y": e_y, "w": width,
-                        "size": size, "scale": scale_x,
+                        "x": x_dev, "y": y_dev, "w": width,
+                        "size": sz, "scale": sc,
                         "asc": font["ascent"], "desc": font["descent"],
                     },
                     close,
@@ -1479,7 +1514,45 @@ def _interpret_content(
             ref = xobjects.get(name)
             if ref is not None:
                 xo = resolve(ref)
-                if xo.dict.get("Subtype") == "Image":
+                if xo.dict.get("Subtype") == "Form" and depth < 8:
+                    # Form XObject (§8.10): a reusable content stream run
+                    # with /Matrix composed onto the CTM and its own
+                    # /Resources (falling back to the caller's); words /
+                    # images / vectors splice in at paint order. depth
+                    # guards self-referencing forms.
+                    sub_res = resolve(xo.dict.get("Resources")) or {}
+                    sub_fonts_d = resolve(sub_res.get("Font", {})) or {}
+                    sub_fonts = (
+                        {
+                            n: load_font(r)
+                            for n, r in sub_fonts_d.items()
+                        }
+                        if sub_fonts_d and load_font is not None
+                        else fonts
+                    )
+                    sub_xo = resolve(sub_res.get("XObject", {})) or xobjects
+                    mat = resolve(xo.dict.get("Matrix"))
+                    fm = (
+                        tuple(float(resolve(v)) for v in mat)
+                        if mat is not None
+                        else _ID
+                    )
+                    w2, i2, v2 = _interpret_content(
+                        xo.data(resolve),
+                        fonts=sub_fonts,
+                        xobjects=sub_xo,
+                        resolve=resolve,
+                        page_w=page_w,
+                        page_h=page_h,
+                        with_image_data=with_image_data,
+                        ctm0=_mat_mul(fm, ctm),
+                        load_font=load_font,
+                        depth=depth + 1,
+                    )
+                    words.extend(w2)
+                    images.extend(i2)
+                    vectors.extend(v2)
+                elif xo.dict.get("Subtype") == "Image":
                     a, d, e, f = ctm[0], ctm[3], ctm[4], ctm[5]
                     bbox = norm_rect_bbox(e, f, a, d, page_w, page_h)
                     img = {

@@ -288,6 +288,7 @@ def write_pdf(
     xref_stream: bool = False,
     encrypt: Optional[str] = None,
     font_format: str = "cff",
+    form_xobject: bool = False,
 ) -> bytes:
     """Serialize page dicts (see module comment) into PDF bytes.
 
@@ -470,9 +471,27 @@ def write_pdf(
     # --- pages ------------------------------------------------------------
     page_nums: List[int] = []
     for page in pages:
-        content = _render_content(page, cid_of)
+        content, form_data = _render_content(
+            page, cid_of, form_split=form_xobject
+        )
         content_num = b.add_stream("", content, compress=compress_streams)
         xobj_entries = []
+        if form_data is not None:
+            # Form XObject carrying the vector art + header line; its own
+            # /Resources name the same font objects (no /Matrix: identity).
+            # The page's /Font entry stays (the remaining lines use it).
+            form_fonts = f"/F1 {f1} 0 R"
+            if f2 is not None:
+                form_fonts += f" /F2 {f2} 0 R"
+            fm_num = b.add_stream(
+                "/Type /XObject /Subtype /Form"
+                f" /BBox [0 0 {fmt_num(page['width'])}"
+                f" {fmt_num(page['height'])}]"
+                f" /Resources << /Font << {form_fonts} >> >>",
+                form_data,
+                compress=compress_streams,
+            )
+            xobj_entries.append(f"/Fm0 {fm_num} 0 R")
         for i, im in enumerate(page["images"]):
             if im.get("inline"):
                 continue  # written as BI/ID/EI inside the content stream
@@ -586,23 +605,14 @@ def _inline_image_ops(im: dict) -> str:
     )
 
 
-def _render_content(page: dict, cid_of: Dict[str, int]) -> bytes:
-    """Content stream: images first (painted under text), then one BT/ET."""
-    parts: List[str] = []
-    for i, im in enumerate(page["images"]):
-        paint = f"/Im{i} Do" if not im.get("inline") else _inline_image_ops(im)
-        parts.append(
-            "q {a} 0 0 {d} {e} {f} cm {paint} Q".format(
-                a=fmt_num(im["w"]), d=fmt_num(im["h"]),
-                e=fmt_num(im["x"]), f=fmt_num(im["y"]), paint=paint,
-            )
-        )
+def _vector_ops(vectors) -> List[str]:
     # vector graphics (rules, frames, accents): painted after images,
     # before the text block — the order the interpreter and rasterizer
     # assume. Each entry: {"path": [("re",x,y,w,h)|("m",x,y)|("l",x,y)|
     # ("c",x1,y1,x2,y2,x3,y3)|("h",)], "paint": f/f*/S/s/B, "gray": 0..1,
     # "lw": points}
-    for vec in page.get("vectors", []) or []:
+    parts: List[str] = []
+    for vec in vectors or []:
         seg = ["q"]
         paint = vec.get("paint", "S")
         gray = vec.get("gray", 0.0)
@@ -616,10 +626,14 @@ def _render_content(page: dict, cid_of: Dict[str, int]) -> bytes:
         seg.append(paint)
         seg.append("Q")
         parts.append(" ".join(seg))
-    parts.append("BT")
+    return parts
+
+
+def _text_block(text_ops, cid_of: Dict[str, int]) -> List[str]:
+    parts = ["BT"]
     cur_font = None
     line_start: Optional[Tuple[float, float]] = None
-    for op in page["text_ops"]:
+    for op in text_ops:
         key = (op["font"], op["size"])
         if key != cur_font:
             parts.append(f"/{op['font']} {fmt_num(op['size'])} Tf")
@@ -632,7 +646,43 @@ def _render_content(page: dict, cid_of: Dict[str, int]) -> bytes:
         line_start = (op["x"], op["y"])
         parts.append(_show_op(op, cid_of))
     parts.append("ET")
-    return "\n".join(parts).encode("latin-1")
+    return parts
+
+
+def _render_content(
+    page: dict, cid_of: Dict[str, int], form_split: bool = False
+):
+    """Content stream: images first (painted under text), then vector art,
+    then one BT/ET.
+
+    ``form_split=True`` routes the vector art and the FIRST text line into
+    a Form XObject (§8.10) invoked as ``/Fm0 Do`` where that content would
+    have been painted — what real producers emit for letterheads, stamps
+    and repeated headers — and returns ``(page_bytes, form_bytes)``.
+    Paint/word order is unchanged, so golden spans are envelope-invariant."""
+    parts: List[str] = []
+    for i, im in enumerate(page["images"]):
+        paint = f"/Im{i} Do" if not im.get("inline") else _inline_image_ops(im)
+        parts.append(
+            "q {a} 0 0 {d} {e} {f} cm {paint} Q".format(
+                a=fmt_num(im["w"]), d=fmt_num(im["h"]),
+                e=fmt_num(im["x"]), f=fmt_num(im["y"]), paint=paint,
+            )
+        )
+    text_ops = page["text_ops"]
+    if form_split:
+        form_parts = _vector_ops(page.get("vectors")) + _text_block(
+            text_ops[:1], cid_of
+        )
+        parts.append("/Fm0 Do")
+        parts.extend(_text_block(text_ops[1:], cid_of))
+        return (
+            "\n".join(parts).encode("latin-1"),
+            "\n".join(form_parts).encode("latin-1"),
+        )
+    parts.extend(_vector_ops(page.get("vectors")))
+    parts.extend(_text_block(text_ops, cid_of))
+    return "\n".join(parts).encode("latin-1"), None
 
 
 def _encode_string(text: str, font: str, cid_of: Dict[str, int]) -> str:
