@@ -567,12 +567,30 @@ def gen_doc(
     # (idx%5==1) so every extraction query exercises both cross-reference
     # formats and all three content-stream filters
     enc_mode = None
+    # page /Rotate (§7.7.3.3): a quarter of the default corpus is stored
+    # sideways/upside-down with the upright-correction /Rotate on the
+    # page-tree root — the form scanner output takes. Derived from idx
+    # alone (no rng draws), so golden text/geometry is unchanged; spans
+    # and rasters are rotation-invariant by construction (the writer's
+    # canceling Tm/cm compose with the parser's viewing CTM back to the
+    # identical float expressions). envelope="rotated" forces it on every
+    # doc, cycling all three angles.
+    if envelope == "rotated":
+        rot = (90, 180, 270)[idx % 3]
+    elif envelope is None:
+        rot = (90, 180, 270)[(idx >> 2) % 3] if idx % 4 == 3 else 0
+    else:
+        rot = 0
     if envelope is None:
         use_xref_stream = idx % 5 == 1
         comp = ["flate", False, "lzw", False][idx % 4]
     else:
-        use_xref_stream = envelope == "xrefstream"
-        comp = "lzw" if envelope == "lzw" else (envelope == "xrefstream" and idx % 2 == 0)
+        use_xref_stream = envelope == "xrefstream" or (
+            envelope == "rotated" and idx % 2 == 1
+        )
+        comp = "lzw" if envelope == "lzw" else (
+            (envelope == "xrefstream" or envelope == "rotated") and idx % 2 == 0
+        )
         if envelope == "encrypted":
             # Standard security handler, all three modes rotated (classic
             # xref envelope; kept out of the default rotation so the bench
@@ -600,6 +618,7 @@ def gen_doc(
         # real producers emit; golden spans are envelope-invariant so the
         # extraction oracles prove the form interpretation path
         form_xobject=idx % 3 == 1,
+        rotate=rot,
     )
     wrapped = _wrap(pdf, idx % 4)
     golden = kernels.assemble_doc_spans(page_results)

@@ -744,6 +744,12 @@ class PdfFile:
         page = self.resolve(self.page_refs[index])
         media = self._inherited(page, "MediaBox")
         pw, ph = float(media[2]) - float(media[0]), float(media[3]) - float(media[1])
+        # /Rotate (inheritable, §7.7.3.3): compose the viewing rotation
+        # into the base CTM so coordinates come out in the VISUAL frame —
+        # the frame pdfium rasterizes and providers OCR, so a sideways
+        # scan with the upright-correction /Rotate extracts upright.
+        rotate = int(self.resolve(self._inherited(page, "Rotate") or 0)) % 360
+        ctm0, pw, ph = _page_rotation_ctm(rotate, pw, ph)
         resources = self._inherited(page, "Resources") or {}
         fonts_d = self.resolve(resources.get("Font", {})) or {}
         xobjs_d = self.resolve(resources.get("XObject", {})) or {}
@@ -771,6 +777,7 @@ class PdfFile:
             page_h=ph,
             with_image_data=with_image_data,
             load_font=self._load_font,
+            ctm0=None if ctm0 is _ID else ctm0,
         )
         return {
             "width": pw,
@@ -1201,6 +1208,54 @@ def inline_images(content: bytes) -> List[InlineImage]:
 # ---------------------------------------------------------------------------
 
 
+def _image_bbox(ctm, page_w: float, page_h: float):
+    """Normalized bbox of the unit image square under the CTM. The
+    axis-aligned branch keeps the historical norm_rect_bbox expressions
+    (golden-parity-bound); rotated CTMs (page /Rotate composition, rotated
+    cm) map the four unit corners and take their bounding box."""
+    if ctm[1] == 0.0 and ctm[2] == 0.0:
+        return norm_rect_bbox(ctm[4], ctm[5], ctm[0], ctm[3], page_w, page_h)
+    xs, ys = [], []
+    for ux, uy in ((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)):
+        xs.append(ctm[0] * ux + ctm[2] * uy + ctm[4])
+        ys.append(ctm[1] * ux + ctm[3] * uy + ctm[5])
+    x0, y0 = min(xs), min(ys)
+    return norm_rect_bbox(
+        x0, y0, max(xs) - x0, max(ys) - y0, page_w, page_h
+    )
+
+
+def _line_displace(tlm, dx: float, dy: float):
+    """Td/TD/T* displacement: translate (dx, dy) in TEXT space composed
+    onto the line matrix (§9.4.2). For the plain [1 0 0 1 e f] matrices
+    simple writers emit this reduces float-exactly to (e + dx, f + dy) —
+    the fast path keeps those historical expressions verbatim so golden
+    fixtures stay bit-identical."""
+    if tlm[0] == 1.0 and tlm[3] == 1.0 and tlm[1] == 0.0 and tlm[2] == 0.0:
+        return (tlm[0], tlm[1], tlm[2], tlm[3], tlm[4] + dx, tlm[5] + dy)
+    return (
+        tlm[0], tlm[1], tlm[2], tlm[3],
+        dx * tlm[0] + dy * tlm[2] + tlm[4],
+        dx * tlm[1] + dy * tlm[3] + tlm[5],
+    )
+
+
+def _page_rotation_ctm(rotate: int, stored_w: float, stored_h: float):
+    """Device->visual transform for the page /Rotate attribute (§7.7.3.3,
+    inheritable). Returns (ctm, visual_w, visual_h): pdfium composes the
+    same flip into its device matrix before rendering, which is how the
+    reference sees rotated scans upright (FPDF_RenderPageBitmap with the
+    page's rotation). 90/270 swap the visual page dimensions."""
+    r = rotate % 360
+    if r == 90:  # viewed rotated clockwise: (x,y) -> (y, W-x)
+        return (0.0, -1.0, 1.0, 0.0, 0.0, stored_w), stored_h, stored_w
+    if r == 180:
+        return (-1.0, 0.0, 0.0, -1.0, stored_w, stored_h), stored_w, stored_h
+    if r == 270:  # (x,y) -> (H-y, x)
+        return (0.0, 1.0, -1.0, 0.0, stored_h, 0.0), stored_h, stored_w
+    return _ID, stored_w, stored_h
+
+
 def _mat_mul(a, b):
     """2D affine (a,b,c,d,e,f): result = a × b."""
     return (
@@ -1359,23 +1414,61 @@ def _interpret_content(
         cur_text: List[str] = []
         start_tx = tx
 
+        # full text rendering matrix = Tm x CTM (§9.4.4). tm_plain keeps
+        # the historical float expressions (golden-parity-bound) for the
+        # untransformed case; otherwise the composed trm drives either the
+        # axis-aligned general path (rotated text on a /Rotate page
+        # composes back to horizontal) or the quad fallback.
+        tm_plain = ctm is _ID or ctm == _ID
+        trm = tm if tm_plain else _mat_mul(tm, ctm)
+        tm_axis = tm[1] == 0.0 and tm[2] == 0.0
+        trm_horiz = (
+            trm[1] == 0.0 and trm[2] == 0.0 and trm[0] > 0.0 and trm[3] > 0.0
+        )
+
         def chunk_out(close: bool) -> None:
             nonlocal cur_text, start_tx
             if cur_text:
-                x_dev = e_x + scale_x * start_tx if start_tx else e_x
-                width = (tx - start_tx) * scale_x
-                y_dev, sz, sc = e_y, size, scale_x
-                if ctm != _ID:
-                    # text rendering matrix = Tm x CTM (§9.4.4) for the
-                    # scale+translate CTMs Form XObjects compose (rotated
-                    # text would need quad geometry; none is authored)
-                    x_dev, y_dev = (
-                        ctm[0] * x_dev + ctm[2] * e_y + ctm[4],
-                        ctm[1] * x_dev + ctm[3] * e_y + ctm[5],
+                if tm_plain and tm_axis:
+                    x_dev = e_x + scale_x * start_tx if start_tx else e_x
+                    width = (tx - start_tx) * scale_x
+                    y_dev, sz, sc = e_y, size, scale_x
+                elif trm_horiz:
+                    # e.g. 90-degree Tm under a 90-degree /Rotate page, or
+                    # a scale+translate Form XObject CTM: still horizontal
+                    x_dev = trm[0] * start_tx + trm[4]
+                    y_dev = trm[1] * start_tx + trm[5]
+                    width = trm[0] * (tx - start_tx)
+                    sz, sc = size * trm[3], trm[0]
+                else:
+                    # genuinely rotated/flipped final orientation: emit a
+                    # standalone word with the bbox of the transformed quad
+                    # (reference providers emit rotated 4-vertex polys the
+                    # same way, schema/layout.py BoundingPoly)
+                    finalize_pend()
+                    asc = size * font["ascent"] / 1000.0
+                    desc = size * font["descent"] / 1000.0
+                    xs, ys = [], []
+                    for tx_c, ty_c in (
+                        (start_tx, desc), (tx, desc),
+                        (tx, asc), (start_tx, asc),
+                    ):
+                        xs.append(trm[0] * tx_c + trm[2] * ty_c + trm[4])
+                        ys.append(trm[1] * tx_c + trm[3] * ty_c + trm[5])
+                    from docprompt_spark.kernels import round5
+
+                    words.append(
+                        {
+                            "text": "".join(cur_text),
+                            "x0": round5(min(xs) / page_w),
+                            "top": round5((page_h - max(ys)) / page_h),
+                            "x1": round5(max(xs) / page_w),
+                            "bottom": round5((page_h - min(ys)) / page_h),
+                        }
                     )
-                    width *= ctm[0]
-                    sz *= ctm[3]
-                    sc *= ctm[0]
+                    cur_text = []
+                    start_tx = tx
+                    return
                 emit_chunk(
                     {
                         "text": "".join(cur_text),
@@ -1445,10 +1538,9 @@ def _interpret_content(
             elif type(tok) is InlineImage:
                 # BI/ID/EI image: painted in unit image space scaled by the
                 # CTM, exactly like an image XObject Do
-                a, d_, e, f = ctm[0], ctm[3], ctm[4], ctm[5]
                 img = {
                     "media_ref": hashlib.md5(tok.raw).hexdigest(),
-                    "bbox": norm_rect_bbox(e, f, a, d_, page_w, page_h),
+                    "bbox": _image_bbox(ctm, page_w, page_h),
                 }
                 if with_image_data:
                     from docprompt_spark.multimodal import _codec_of
@@ -1485,25 +1577,25 @@ def _interpret_content(
             stack.clear()
         elif op == b"Td":
             dx, dy = float(stack[-2]), float(stack[-1])
-            begin_line((tlm[0], tlm[1], tlm[2], tlm[3], tlm[4] + dx, tlm[5] + dy))
+            begin_line(_line_displace(tlm, dx, dy))
             stack.clear()
         elif op == b"TD":
             dx, dy = float(stack[-2]), float(stack[-1])
             tl = -dy
-            begin_line((tlm[0], tlm[1], tlm[2], tlm[3], tlm[4] + dx, tlm[5] + dy))
+            begin_line(_line_displace(tlm, dx, dy))
             stack.clear()
         elif op == b"Tm":
             m = tuple(float(v) for v in stack[-6:])
             begin_line(m)
             stack.clear()
         elif op == b"T*":
-            begin_line((tlm[0], tlm[1], tlm[2], tlm[3], tlm[4], tlm[5] - tl))
+            begin_line(_line_displace(tlm, 0.0, -tl))
             stack.clear()
         elif op == b"Tj":
             show([stack[-1]])
             stack.clear()
         elif op == b"'":
-            begin_line((tlm[0], tlm[1], tlm[2], tlm[3], tlm[4], tlm[5] - tl))
+            begin_line(_line_displace(tlm, 0.0, -tl))
             show([stack[-1]])
             stack.clear()
         elif op == b"TJ":
@@ -1553,11 +1645,9 @@ def _interpret_content(
                     images.extend(i2)
                     vectors.extend(v2)
                 elif xo.dict.get("Subtype") == "Image":
-                    a, d, e, f = ctm[0], ctm[3], ctm[4], ctm[5]
-                    bbox = norm_rect_bbox(e, f, a, d, page_w, page_h)
                     img = {
                         "media_ref": hashlib.md5(xo.raw).hexdigest(),
-                        "bbox": bbox,
+                        "bbox": _image_bbox(ctm, page_w, page_h),
                     }
                     if with_image_data:
                         # rasterization path (D7): the renderer needs the

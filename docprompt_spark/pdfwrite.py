@@ -289,6 +289,7 @@ def write_pdf(
     encrypt: Optional[str] = None,
     font_format: str = "cff",
     form_xobject: bool = False,
+    rotate: int = 0,
 ) -> bytes:
     """Serialize page dicts (see module comment) into PDF bytes.
 
@@ -470,7 +471,12 @@ def write_pdf(
 
     # --- pages ------------------------------------------------------------
     page_nums: List[int] = []
+    rotate = int(rotate) % 360
+    if rotate not in (0, 90, 180, 270):
+        raise ValueError(f"rotate must be a multiple of 90, got {rotate}")
     for page in pages:
+        if rotate:
+            page = {**page, "rotate": rotate}
         content, form_data = _render_content(
             page, cid_of, form_split=form_xobject
         )
@@ -483,10 +489,13 @@ def write_pdf(
             form_fonts = f"/F1 {f1} 0 R"
             if f2 is not None:
                 form_fonts += f" /F2 {f2} 0 R"
+            fw, fh = page["width"], page["height"]
+            if rotate in (90, 270):
+                fw, fh = fh, fw  # form BBox spans the STORED page frame
             fm_num = b.add_stream(
                 "/Type /XObject /Subtype /Form"
-                f" /BBox [0 0 {fmt_num(page['width'])}"
-                f" {fmt_num(page['height'])}]"
+                f" /BBox [0 0 {fmt_num(fw)}"
+                f" {fmt_num(fh)}]"
                 f" /Resources << /Font << {form_fonts} >> >>",
                 form_data,
                 compress=compress_streams,
@@ -534,7 +543,12 @@ def write_pdf(
         page_nums.append(page_num)
 
     # --- page tree (intermediate nodes exercise the tree walk) ------------
+    # stored page dims: 90/270 swap the visual ones; /Rotate rides on the
+    # page-tree ROOT (it is inheritable, §7.7.3.3 — exercises the reader's
+    # attribute-inheritance walk the way scanner output does)
     pw, ph = pages[0]["width"], pages[0]["height"]
+    if rotate in (90, 270):
+        pw, ph = ph, pw
     if len(page_nums) > kids_per_node:
         kid_nodes = []
         for start in range(0, len(page_nums), kids_per_node):
@@ -554,7 +568,8 @@ def write_pdf(
         (
             f"<< /Type /Pages /Count {len(page_nums)}"
             f" /MediaBox [0 0 {fmt_num(pw)} {fmt_num(ph)}]"
-            f" /Kids [{' '.join(f'{n} 0 R' for n in kids)}] >>"
+            + (f" /Rotate {rotate}" if rotate else "")
+            + f" /Kids [{' '.join(f'{n} 0 R' for n in kids)}] >>"
         ).encode(),
     )
     b.set(catalog, f"<< /Type /Catalog /Pages {pages_root} 0 R >>".encode())
@@ -605,7 +620,29 @@ def _inline_image_ops(im: dict) -> str:
     )
 
 
-def _vector_ops(vectors) -> List[str]:
+def _rot_path_op(op: tuple, rot: int, vw: float, vh: float) -> tuple:
+    """Map one path op's VISUAL coordinates into the stored frame of a
+    /Rotate page. Axis-aligned rects stay ``re`` (90-degree multiples keep
+    them axis-aligned, dims swapped); curve control points map point-wise
+    (affine, so the flattened polyline maps exactly too)."""
+    kind = op[0]
+    if rot == 0 or kind == "h":
+        return op
+    if kind == "re":
+        _, x, y, w, h = op
+        if rot == 90:
+            return ("re", vh - y - h, x, h, w)
+        if rot == 180:
+            return ("re", vw - x - w, vh - y - h, w, h)
+        return ("re", y, vw - x - w, h, w)
+    pts = op[1:]
+    out = [kind]
+    for i in range(0, len(pts), 2):
+        out.extend(_rot_point(rot, pts[i], pts[i + 1], vw, vh))
+    return (out[0], *out[1:])
+
+
+def _vector_ops(vectors, rot: int = 0, vw: float = 0.0, vh: float = 0.0) -> List[str]:
     # vector graphics (rules, frames, accents): painted after images,
     # before the text block — the order the interpreter and rasterizer
     # assume. Each entry: {"path": [("re",x,y,w,h)|("m",x,y)|("l",x,y)|
@@ -622,6 +659,7 @@ def _vector_ops(vectors) -> List[str]:
             seg.append(f"{fmt_num(vec.get('stroke_gray', gray))} G")
             seg.append(f"{fmt_num(vec.get('lw', 1.0))} w")
         for op in vec["path"]:
+            op = _rot_path_op(op, rot, vw, vh)
             seg.append(" ".join(fmt_num(v) for v in op[1:]) + (" " if len(op) > 1 else "") + op[0])
         seg.append(paint)
         seg.append("Q")
@@ -629,7 +667,10 @@ def _vector_ops(vectors) -> List[str]:
     return parts
 
 
-def _text_block(text_ops, cid_of: Dict[str, int]) -> List[str]:
+def _text_block(
+    text_ops, cid_of: Dict[str, int], rot: int = 0,
+    vw: float = 0.0, vh: float = 0.0,
+) -> List[str]:
     parts = ["BT"]
     cur_font = None
     line_start: Optional[Tuple[float, float]] = None
@@ -639,14 +680,50 @@ def _text_block(text_ops, cid_of: Dict[str, int]) -> List[str]:
             parts.append(f"/{op['font']} {fmt_num(op['size'])} Tf")
             cur_font = key
         if op["mode"] == "Td" and line_start is not None:
+            # Td displacement lives in TEXT space, which the rotated Tm
+            # keeps aligned with the visual frame — args are unchanged
             dx, dy = op["x"] - line_start[0], op["y"] - line_start[1]
             parts.append(f"{fmt_num(dx)} {fmt_num(dy)} Td")
         else:
-            parts.append(f"1 0 0 1 {fmt_num(op['x'])} {fmt_num(op['y'])} Tm")
+            xp, yp = _rot_point(rot, op["x"], op["y"], vw, vh)
+            parts.append(
+                f"{_ROT_TM[rot]} {fmt_num(xp)} {fmt_num(yp)} Tm"
+            )
         line_start = (op["x"], op["y"])
         parts.append(_show_op(op, cid_of))
     parts.append("ET")
     return parts
+
+
+def _rot_point(rot: int, x: float, y: float, vw: float, vh: float):
+    """VISUAL-frame point -> stored-page coords for a /Rotate page (the
+    inverse of the parser's _page_rotation_ctm viewing transform)."""
+    if rot == 90:
+        return (vh - y, x)
+    if rot == 180:
+        return (vw - x, vh - y)
+    if rot == 270:
+        return (y, vw - x)
+    return (x, y)
+
+
+# unit 2x2 text matrices that cancel the page rotation exactly
+_ROT_TM = {0: "1 0 0 1", 90: "0 1 -1 0", 180: "-1 0 0 -1", 270: "0 -1 1 0"}
+
+
+def _rot_image_cm(rot: int, x, y, w, h, vw, vh):
+    """Image-placement CTM [w 0 0 h x y] (visual) composed with the
+    inverse viewing rotation — the matrix a real producer writes for a
+    figure on a rotated page."""
+    if rot == 90:
+        m = (0, w, -h, 0, vh - y, x)
+    elif rot == 180:
+        m = (-w, 0, 0, -h, vw - x, vh - y)
+    elif rot == 270:
+        m = (0, -w, h, 0, y, vw - x)
+    else:
+        m = (w, 0, 0, h, x, y)
+    return " ".join(fmt_num(v) for v in m)
 
 
 def _render_content(
@@ -659,29 +736,31 @@ def _render_content(
     a Form XObject (§8.10) invoked as ``/Fm0 Do`` where that content would
     have been painted — what real producers emit for letterheads, stamps
     and repeated headers — and returns ``(page_bytes, form_bytes)``.
-    Paint/word order is unchanged, so golden spans are envelope-invariant."""
+    Paint/word order is unchanged, so golden spans are envelope-invariant.
+
+    ``rot`` (page dict key ``rotate``, via write_pdf's ``rotate=``) emits
+    every placement pre-rotated into the stored frame of a /Rotate page —
+    the sideways-scan-with-upright-correction form real scanners emit."""
+    rot = int(page.get("rotate", 0)) % 360
+    vw, vh = page["width"], page["height"]
     parts: List[str] = []
     for i, im in enumerate(page["images"]):
         paint = f"/Im{i} Do" if not im.get("inline") else _inline_image_ops(im)
-        parts.append(
-            "q {a} 0 0 {d} {e} {f} cm {paint} Q".format(
-                a=fmt_num(im["w"]), d=fmt_num(im["h"]),
-                e=fmt_num(im["x"]), f=fmt_num(im["y"]), paint=paint,
-            )
-        )
+        cm = _rot_image_cm(rot, im["x"], im["y"], im["w"], im["h"], vw, vh)
+        parts.append(f"q {cm} cm {paint} Q")
     text_ops = page["text_ops"]
     if form_split:
-        form_parts = _vector_ops(page.get("vectors")) + _text_block(
-            text_ops[:1], cid_of
-        )
+        form_parts = _vector_ops(
+            page.get("vectors"), rot, vw, vh
+        ) + _text_block(text_ops[:1], cid_of, rot, vw, vh)
         parts.append("/Fm0 Do")
-        parts.extend(_text_block(text_ops[1:], cid_of))
+        parts.extend(_text_block(text_ops[1:], cid_of, rot, vw, vh))
         return (
             "\n".join(parts).encode("latin-1"),
             "\n".join(form_parts).encode("latin-1"),
         )
-    parts.extend(_vector_ops(page.get("vectors")))
-    parts.extend(_text_block(text_ops, cid_of))
+    parts.extend(_vector_ops(page.get("vectors"), rot, vw, vh))
+    parts.extend(_text_block(text_ops, cid_of, rot, vw, vh))
     return "\n".join(parts).encode("latin-1"), None
 
 

@@ -84,6 +84,7 @@ _PRIORITY_NAMES = [
     "block_type_dispatch",  # P7 typed-block routing (was "partial" in r4 verdict)
     "answer_parse_data_uri",  # F18/F19 answer-regex + data-URI (ditto)
     "extraction_recompressed_spans",  # D6 ghostscript-analog (was "out of scope")
+    "extraction_rotated_spans",  # page /Rotate (scanner profile), inheritable attr walk
 ]
 _LOW_PRIORITY_NAMES = [
     "q5_supplier_volume_by_nation",  # TPC-H redundancy: q1+q3 stay in-window; q5 still bench-timed + local oracle
@@ -91,6 +92,7 @@ _LOW_PRIORITY_NAMES = [
     "posting_list_sizes",  # search stats: search_bm25_ranked (in-window) is the §2 evidence
     "term_frequencies_top20",  # ditto — tokenize path proven by clean_text/bm25 in-window
     "fuzzy_term_match",  # (F17) same indel-ratio kernel exercised in-window by provenance_refined_search (D19)
+    "stratified_sample_10pct",  # (sampling) same md5-hash-split kernel as the in-window dedup family; local oracle covers
     "size_capped_batching",  # (D3-D5) same chunking kernel as page_bucket_batching
     "avg_word_len_by_lang",  # (A4) dup of q1-family aggs + local oracle
     "bbox_combine_by_brand",  # (A6) kernel + property tests cover combine
@@ -3135,6 +3137,40 @@ def extraction_inline_image_spans(spark, sf_dir):
 _REGISTRY["extraction_inline_image_spans"] = (extraction_inline_image_spans, None)
 
 
+def extraction_rotated_spans(spark, sf_dir):
+    """Same pipeline over /Rotate pages (PDF §7.7.3.3): every document is
+    STORED sideways or upside-down with the upright-correction /Rotate on
+    the page-tree ROOT (inheritable — exercises the reader's attribute-
+    inheritance walk), the exact form scanner output takes. The writer
+    pre-rotates every placement into the stored frame (canceling Tm for
+    text, rotated cm for images, point-mapped vector paths); the parser
+    composes the viewing rotation into the base CTM (pdfium composes the
+    same flip into its device matrix before rendering, which is how the
+    reference sees rotated scans upright — schema/document.py rasterizes
+    via pdfium page rendering). Golden spans and rasters are
+    rotation-invariant by construction: the float expressions compose
+    back bit-exactly on the dyadic corpus grid. Cycles all three angles
+    (90/180/270) over classic and xref-stream envelopes."""
+    from docprompt_spark import pipeline
+
+    docs = pipeline.corpus_df(
+        spark, 6, seed=_FLAGSHIP_SEED, skew_every=0, envelope="rotated"
+    )
+    result = pipeline.run_extraction(spark, docs.select("doc_id", "pdf", "n_pages"))
+    flat = pipeline.spans_exploded(result)
+    return flat.select(
+        "doc_id",
+        F.col("seq").cast("int").alias("seq"),
+        "kind",
+        "text",
+        "media_ref",
+        F.col("offset").cast("int").alias("offset"),
+    )
+
+
+_REGISTRY["extraction_rotated_spans"] = (extraction_rotated_spans, None)
+
+
 def extraction_recompressed_spans(spark, sf_dir):
     """D6 (the reference's ghostscript recompress, `_exec/ghostscript.py:
     15-88` + trigger `tasks/ocr/gcp.py:504-506`) implemented from scratch:
@@ -3935,6 +3971,9 @@ def _build_oracle_sql() -> Dict[str, str]:
     )
     out["extraction_encrypted_r6_spans"] = _golden_spans_sql(
         4, _FLAGSHIP_SEED, envelope="encrypted-r6"
+    )
+    out["extraction_rotated_spans"] = _golden_spans_sql(
+        6, _FLAGSHIP_SEED, envelope="rotated"
     )
     out["extraction_recompressed_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, with_media_ref=False
