@@ -31,6 +31,7 @@ import zlib
 import hashlib
 import math
 import random
+import re
 from typing import Dict, List, Optional, Tuple
 
 from docprompt_spark import kernels
@@ -456,6 +457,36 @@ def _page_vectors(k: int):
     return writer, gt
 
 
+def _damage(pdf: bytes, mode: int) -> bytes:
+    """Deterministic real-world file corruption (envelope="damaged") —
+    the salvage cases pdfium's RebuildCrossRef handles for the reference:
+
+    0: startxref points past EOF (the classic truncated-then-appended doc)
+    1: the xref table keyword is mangled (bit rot in the index)
+    2: everything from the LAST ``trailer`` on is cut (no trailer, no
+       startxref — /Root must be recovered by scanning for the catalog)
+    3: startxref digits replaced on an xref-stream file (the XRef stream's
+       own dict must be rediscovered as the trailer, and ObjStm members
+       re-registered from the scan)
+
+    Object bodies are untouched, so golden spans are damage-invariant."""
+    mode %= 4
+    if mode in (0, 3):
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", pdf):
+            pass
+        assert m is not None
+        bogus = str(len(pdf) + 4242).encode()
+        return pdf[: m.start(1)] + bogus + pdf[m.end(1):]
+    if mode == 1:
+        i = pdf.rfind(b"\nxref")
+        assert i >= 0
+        return pdf[: i + 1] + b"xrQf" + pdf[i + 5:]
+    i = pdf.rfind(b"trailer")
+    assert i >= 0
+    return pdf[:i]
+
+
 def _wrap(pdf: bytes, variant: int) -> bytes:
     """Byte envelopes exercised by the sniffing path (S5)."""
     if variant == 1:
@@ -577,6 +608,8 @@ def gen_doc(
     # doc, cycling all three angles.
     if envelope == "rotated":
         rot = (90, 180, 270)[idx % 3]
+    elif envelope == "damaged":
+        rot = 0
     elif envelope is None:
         rot = (90, 180, 270)[(idx >> 2) % 3] if idx % 4 == 3 else 0
     else:
@@ -587,7 +620,7 @@ def gen_doc(
     else:
         use_xref_stream = envelope == "xrefstream" or (
             envelope == "rotated" and idx % 2 == 1
-        )
+        ) or (envelope == "damaged" and idx % 4 == 3)
         comp = "lzw" if envelope == "lzw" else (
             (envelope == "xrefstream" or envelope == "rotated") and idx % 2 == 0
         )
@@ -620,6 +653,8 @@ def gen_doc(
         form_xobject=idx % 3 == 1,
         rotate=rot,
     )
+    if envelope == "damaged":
+        pdf = _damage(pdf, idx)
     wrapped = _wrap(pdf, idx % 4)
     golden = kernels.assemble_doc_spans(page_results)
     return {

@@ -394,7 +394,16 @@ class PdfFile:
         self._objstm_cache: Dict[int, Dict[int, Any]] = {}
         self.trailer: Dict[str, Any] = {}
         self._crypt = None
-        self._parse_xref_chain()
+        self._rebuilt = False
+        try:
+            self._parse_xref_chain()
+            if "Root" not in self.trailer:
+                raise ValueError("xref chain yielded no /Root")
+        except Exception:
+            # damaged file (garbage/missing startxref, corrupt xref table,
+            # truncated trailer): salvage by scanning for object headers —
+            # the reference gets this via pdfium's RebuildCrossRef
+            self._reconstruct_xref()
         self._page_refs: Optional[List[Ref]] = None
         enc_ref = self.trailer.get("Encrypt")
         if enc_ref is not None:
@@ -533,6 +542,120 @@ class PdfFile:
         prev = d.get("Prev")
         return int(self.resolve(prev)) if prev is not None else 0
 
+    # -- damaged-file salvage -------------------------------------------------
+    def _scan_object_end(self, off: int) -> Optional[int]:
+        """Validate an ``N G obj`` header at ``off`` and return the offset
+        just past the object body (past ``endstream`` for streams), or
+        None if nothing parseable starts there."""
+        try:
+            lex = _Lexer(self.data, off)
+            int(lex.read_token())
+            int(lex.read_token())
+            if lex.read_token() != b"obj":
+                return None
+            obj = _parse_object(lex)
+            lex.skip_ws()
+            if self.data[lex.pos : lex.pos + 6] != b"stream":
+                return lex.pos
+            lex.pos += 6
+            if self.data[lex.pos : lex.pos + 2] == b"\r\n":
+                lex.pos += 2
+            elif self.data[lex.pos : lex.pos + 1] == b"\n":
+                lex.pos += 1
+            length = obj.get("Length") if isinstance(obj, dict) else None
+            if isinstance(length, (int, float)):
+                return lex.pos + int(length)
+            # /Length is an indirect ref we can't resolve mid-rebuild (or
+            # garbage): fall back to the endstream keyword, like pdfium
+            e = self.data.find(b"endstream", lex.pos)
+            return e if e >= 0 else None
+        except Exception:
+            return None
+
+    def _reconstruct_xref(self) -> None:
+        """Rebuild the cross-reference map of a damaged file by scanning
+        the raw bytes for ``N G obj`` headers (pdfium's RebuildCrossRef —
+        the path the reference rides for real-world corrupt documents:
+        bad/missing startxref, mangled xref tables, truncated trailers).
+
+        Stream payloads are stepped over during the scan so binary data
+        can't fake object headers; for same-numbered duplicates the later
+        definition wins (incremental-update semantics). The trailer is
+        recovered from (in precedence order) any ``trailer`` dicts, the
+        dict of a recovered /Type /XRef stream, or — when both are gone —
+        a direct scan for the /Type /Catalog object. /Type /ObjStm streams
+        found by the scan have their members re-registered so compressed
+        objects survive the loss of the xref stream that mapped them."""
+        self.xref.clear()
+        self._compressed.clear()
+        self.trailer.pop("Prev", None)
+        self._rebuilt = True
+        data = self.data
+        pos_min = 0
+        for m in re.finditer(rb"(?<![0-9])(\d{1,10})[ \t\r\n]+(\d{1,5})[ \t\r\n]+obj\b", data):
+            if m.start() < pos_min:
+                continue  # inside a stream payload already stepped over
+            end = self._scan_object_end(m.start())
+            if end is None:
+                continue
+            self.xref[int(m.group(1))] = m.start()  # later wins
+            pos_min = end
+        # trailer dicts (classic xref files): later sections take precedence
+        trailers = []
+        for m in re.finditer(rb"trailer\b", data):
+            try:
+                lex = _Lexer(data, m.end())
+                t = _parse_object(lex)
+                if isinstance(t, dict):
+                    trailers.append(t)
+            except Exception:
+                continue
+        for t in reversed(trailers):
+            for k, v in t.items():
+                if k != "Prev":
+                    self.trailer.setdefault(k, v)
+        # xref-stream files: the /Type /XRef stream dict doubles as the
+        # trailer; ObjStm member registration replaces the lost type-2 rows
+        for num in sorted(self.xref):
+            try:
+                obj = self.get_object(num)
+            except Exception:
+                continue
+            if not isinstance(obj, Stream):
+                continue
+            typ = str(obj.dict.get("Type"))
+            if typ == "XRef":
+                for k, v in obj.dict.items():
+                    if k not in ("W", "Index", "Filter", "DecodeParms",
+                                 "Length", "Type", "Prev", "Size"):
+                        self.trailer.setdefault(k, v)
+            elif typ == "ObjStm":
+                try:
+                    payload = obj.data(self.resolve)
+                    n = int(self.resolve(obj.dict.get("N", 0)))
+                    olex = _Lexer(payload, 0)
+                    for i in range(n):
+                        onum = int(olex.read_token())
+                        olex.read_token()  # member offset
+                        if onum not in self.xref:
+                            self._compressed[onum] = (num, i)
+                except Exception:
+                    continue
+        if "Root" not in self.trailer:
+            # last resort: find the document catalog itself
+            for num in sorted(self.xref):
+                try:
+                    obj = self.get_object(num)
+                except Exception:
+                    continue
+                d = obj.dict if isinstance(obj, Stream) else obj
+                if isinstance(d, dict):
+                    if str(d.get("Type")) == "Catalog":
+                        self.trailer["Root"] = Ref(num, 0)
+                        break
+        if "Root" not in self.trailer:
+            raise ValueError("unrecoverable: no /Root found by rebuild")
+
     # -- objects --------------------------------------------------------------
     def resolve(self, obj: Any) -> Any:
         while isinstance(obj, Ref):
@@ -554,7 +677,16 @@ class PdfFile:
         onum = lex.read_token()
         gen = lex.read_token()
         kw = lex.read_token()
-        if kw != b"obj" or int(onum) != num:
+        try:
+            header_ok = kw == b"obj" and int(onum) == num
+        except ValueError:
+            header_ok = False
+        if not header_ok:
+            if not self._rebuilt:
+                # intact xref chain but a lying offset (partial damage):
+                # rebuild once from the raw bytes and retry
+                self._reconstruct_xref()
+                return self.get_object(num)
             raise ValueError(f"bad object header at {off}")
         obj = _parse_object(lex)
         lex.skip_ws()

@@ -85,6 +85,7 @@ _PRIORITY_NAMES = [
     "answer_parse_data_uri",  # F18/F19 answer-regex + data-URI (ditto)
     "extraction_recompressed_spans",  # D6 ghostscript-analog (was "out of scope")
     "extraction_rotated_spans",  # page /Rotate (scanner profile), inheritable attr walk
+    "extraction_damaged_spans",  # xref-rebuild salvage (pdfium RebuildCrossRef analog)
 ]
 _LOW_PRIORITY_NAMES = [
     "q5_supplier_volume_by_nation",  # TPC-H redundancy: q1+q3 stay in-window; q5 still bench-timed + local oracle
@@ -93,6 +94,7 @@ _LOW_PRIORITY_NAMES = [
     "term_frequencies_top20",  # ditto — tokenize path proven by clean_text/bm25 in-window
     "fuzzy_term_match",  # (F17) same indel-ratio kernel exercised in-window by provenance_refined_search (D19)
     "stratified_sample_10pct",  # (sampling) same md5-hash-split kernel as the in-window dedup family; local oracle covers
+    "ann_lsh_bucketed_top5",  # (ANN scale path) ann_ivf_top5 in-window is the bucketed scale evidence; sign-LSH banding also proven in-window by embedding_cosine_neardup_pairs
     "size_capped_batching",  # (D3-D5) same chunking kernel as page_bucket_batching
     "avg_word_len_by_lang",  # (A4) dup of q1-family aggs + local oracle
     "bbox_combine_by_brand",  # (A6) kernel + property tests cover combine
@@ -3171,6 +3173,39 @@ def extraction_rotated_spans(spark, sf_dir):
 _REGISTRY["extraction_rotated_spans"] = (extraction_rotated_spans, None)
 
 
+def extraction_damaged_spans(spark, sf_dir):
+    """Same pipeline over DAMAGED documents — the real-world salvage cases
+    the reference rides pdfium's RebuildCrossRef for: startxref pointing
+    past EOF, a mangled xref-table keyword, the whole trailer+startxref
+    tail truncated (no /Root pointer at all), and a broken startxref on an
+    xref-stream/ObjStm file (the XRef stream's own dict must be
+    rediscovered as the trailer and the ObjStm members re-registered).
+    The parser rebuilds the cross-reference map by scanning the raw bytes
+    for `N G obj` headers, stepping over stream payloads so binary data
+    can't fake headers (pdfparse._reconstruct_xref). Object bodies are
+    untouched by the corruption, so golden spans are damage-invariant —
+    a 100 TB crawled corpus ALWAYS contains these files, and dropping
+    them silently would bias the extracted data."""
+    from docprompt_spark import pipeline
+
+    docs = pipeline.corpus_df(
+        spark, 6, seed=_FLAGSHIP_SEED, skew_every=0, envelope="damaged"
+    )
+    result = pipeline.run_extraction(spark, docs.select("doc_id", "pdf", "n_pages"))
+    flat = pipeline.spans_exploded(result)
+    return flat.select(
+        "doc_id",
+        F.col("seq").cast("int").alias("seq"),
+        "kind",
+        "text",
+        "media_ref",
+        F.col("offset").cast("int").alias("offset"),
+    )
+
+
+_REGISTRY["extraction_damaged_spans"] = (extraction_damaged_spans, None)
+
+
 def extraction_recompressed_spans(spark, sf_dir):
     """D6 (the reference's ghostscript recompress, `_exec/ghostscript.py:
     15-88` + trigger `tasks/ocr/gcp.py:504-506`) implemented from scratch:
@@ -3974,6 +4009,9 @@ def _build_oracle_sql() -> Dict[str, str]:
     )
     out["extraction_rotated_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, envelope="rotated"
+    )
+    out["extraction_damaged_spans"] = _golden_spans_sql(
+        6, _FLAGSHIP_SEED, envelope="damaged"
     )
     out["extraction_recompressed_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, with_media_ref=False

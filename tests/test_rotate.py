@@ -24,14 +24,7 @@ from tests.test_pdf_roundtrip import spans_from_pdf
 
 
 def _unwrap(b: bytes) -> bytes:
-    import base64
-    import gzip
-
-    if b[:5] == b"%PDF-":
-        return b
-    if b[:2] == b"\x1f\x8b":
-        return gzip.decompress(b)
-    return base64.b64decode(b)
+    return pdfparse.unwrap_pdf_bytes(b)
 
 
 @pytest.mark.parametrize("idx", list(range(9)))
