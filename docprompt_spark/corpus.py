@@ -572,6 +572,55 @@ def golden_page_layouts(
                 yield doc_id, p + 1, kernels.build_page_layout(words_gt), gt
 
 
+def _scanned_page_overlay(idx: int, p: int, page: dict, images_gt: list) -> None:
+    """Mutate one generated page into the SCANNED profile: a full-page scan
+    image underneath everything plus an invisible (Tr 3) text layer — the
+    form OCR post-processors emit and the single most common real-world
+    scanned-PDF shape. Even docs carry a CCITT G4 bilevel scan, odd docs a
+    grayscale DCT scan; pixels are a deterministic function of (idx, page)
+    so the ground truth needs no extra rng draws."""
+    import numpy as _np
+
+    px_w, px_h = 64, 80
+    samples = bytes(
+        (idx * 31 + p * 17 + 7 * x_ + 13 * y_) % 256
+        for y_ in range(px_h)
+        for x_ in range(px_w)
+    )
+    parms = None
+    bpc = 8
+    if idx % 2 == 0:
+        from docprompt_spark import ccitt as _ccitt
+
+        arr = _np.frombuffer(samples, dtype=_np.uint8).reshape(px_h, px_w)
+        data = _ccitt.encode_gray8(arr)
+        filt = "CCITTFaxDecode"
+        samples_gt = _ccitt.decode_to_gray8(data, px_w, px_h).tobytes()
+        parms = f"<< /K -1 /Columns {px_w} /Rows {px_h} /BlackIs1 true >>"
+        bpc = 1
+    else:
+        from docprompt_spark import jpeg as _jpeg
+
+        arr = _np.frombuffer(samples, dtype=_np.uint8).reshape(px_h, px_w)
+        data = _jpeg.encode(arr, quality=90)
+        filt = "DCTDecode"
+        samples_gt = _jpeg.decode(data).tobytes()
+    page["images"].insert(0, {
+        "data": data, "filter": filt, "samples": samples_gt,
+        "width": px_w, "height": px_h, "bpc": bpc,
+        "decode_parms": parms, "colorspace": "DeviceGray",
+        "decode": None, "imagemask": False,
+        "x": 0.0, "y": 0.0, "w": PAGE_W, "h": PAGE_H,
+        "inline": False,
+    })
+    images_gt.insert(0, {
+        "media_ref": hashlib.md5(data).hexdigest(),
+        "bbox": kernels.norm_rect_bbox(0.0, 0.0, PAGE_W, PAGE_H, PAGE_W, PAGE_H),
+        "stencil": False,
+    })
+    page["text_invisible"] = True
+
+
 def gen_doc(
     idx: int, seed: int = 42, skew_every: int = 47, envelope: str = None
 ) -> dict:
@@ -582,6 +631,9 @@ def gen_doc(
         inline=True if envelope == "inline" else None,
     )
     n_pages = len(gen_pages)
+    if envelope == "scanned":
+        for p, (page, _w, images_gt) in enumerate(gen_pages):
+            _scanned_page_overlay(idx, p, page, images_gt)
 
     pages_w: List[dict] = []
     page_results: List[dict] = []
@@ -614,6 +666,17 @@ def gen_doc(
         rot = (90, 180, 270)[(idx >> 2) % 3] if idx % 4 == 3 else 0
     else:
         rot = 0
+    # non-zero MediaBox origin (cropped/offset scans, §7.7.3.3 MediaBox):
+    # a fifth of the default corpus and half the "rotated" envelope store
+    # the page box offset from (0,0) — composed WITH rotation on the
+    # rotated envelope. Dyadic offsets, idx-derived (no rng draws), so
+    # goldens are origin-invariant bit-exactly.
+    if envelope == "rotated":
+        orig = (16.0 * (1 + (idx >> 1) % 3), 8.5 * ((idx >> 2) % 3)) if idx % 2 == 0 else (0.0, 0.0)
+    elif envelope is None and idx % 5 == 2:
+        orig = (16.0 * (1 + (idx >> 1) % 3), 8.5 * ((idx >> 3) % 3))
+    else:
+        orig = (0.0, 0.0)
     if envelope is None:
         use_xref_stream = idx % 5 == 1
         comp = ["flate", False, "lzw", False][idx % 4]
@@ -652,6 +715,7 @@ def gen_doc(
         # extraction oracles prove the form interpretation path
         form_xobject=idx % 3 == 1,
         rotate=rot,
+        media_origin=orig,
     )
     if envelope == "damaged":
         pdf = _damage(pdf, idx)

@@ -882,6 +882,13 @@ class PdfFile:
         # scan with the upright-correction /Rotate extracts upright.
         rotate = int(self.resolve(self._inherited(page, "Rotate") or 0)) % 360
         ctm0, pw, ph = _page_rotation_ctm(rotate, pw, ph)
+        # non-zero MediaBox origin (cropped/offset scans): the visible
+        # region's lower-left maps to user-space (0,0), so translate by
+        # (-x0,-y0) BEFORE the viewing rotation — pdfium's page-to-device
+        # matrix does the same
+        ox, oy = float(media[0]), float(media[1])
+        if ox != 0.0 or oy != 0.0:
+            ctm0 = _mat_mul((1.0, 0.0, 0.0, 1.0, -ox, -oy), ctm0)
         resources = self._inherited(page, "Resources") or {}
         fonts_d = self.resolve(resources.get("Font", {})) or {}
         xobjs_d = self.resolve(resources.get("XObject", {})) or {}
@@ -1430,6 +1437,9 @@ def _interpret_content(
     fill_g = 0.0  # DeviceGray fill color (black initial, §8.6.8)
     stroke_g = 0.0
     line_w = 1.0
+    tr_mode = 0  # text rendering mode (§9.3.6); 3 = invisible — the OCR
+    # text layer of scanned PDFs. Extraction keeps the text (pdfium does),
+    # rasterization must not paint it.
 
     def xy(x: float, y: float) -> Tuple[float, float]:
         return (
@@ -1499,6 +1509,7 @@ def _interpret_content(
             words.append(
                 {
                     "text": pend["text"],
+                    "inv": bool(pend.get("inv")),
                     "x0": bbox[0], "top": bbox[1],
                     "x1": bbox[2], "bottom": bbox[3],
                 }
@@ -1592,6 +1603,7 @@ def _interpret_content(
                     words.append(
                         {
                             "text": "".join(cur_text),
+                            "inv": tr_mode == 3,
                             "x0": round5(min(xs) / page_w),
                             "top": round5((page_h - max(ys)) / page_h),
                             "x1": round5(max(xs) / page_w),
@@ -1603,6 +1615,7 @@ def _interpret_content(
                     return
                 emit_chunk(
                     {
+                        "inv": tr_mode == 3,
                         "text": "".join(cur_text),
                         "x": x_dev, "y": y_dev, "w": width,
                         "size": sz, "scale": sc,
@@ -1687,10 +1700,10 @@ def _interpret_content(
             continue
         op = tok
         if op == b"q":
-            gs_stack.append((ctm, fill_g, stroke_g, line_w))
+            gs_stack.append((ctm, fill_g, stroke_g, line_w, tr_mode))
         elif op == b"Q":
             if gs_stack:
-                ctm, fill_g, stroke_g, line_w = gs_stack.pop()
+                ctm, fill_g, stroke_g, line_w, tr_mode = gs_stack.pop()
         elif op == b"cm":
             m = tuple(float(v) for v in stack[-6:])
             ctm = _mat_mul(m, ctm)
@@ -1715,6 +1728,9 @@ def _interpret_content(
             dx, dy = float(stack[-2]), float(stack[-1])
             tl = -dy
             begin_line(_line_displace(tlm, dx, dy))
+            stack.clear()
+        elif op == b"Tr":
+            tr_mode = int(float(stack[-1]))
             stack.clear()
         elif op == b"Tm":
             m = tuple(float(v) for v in stack[-6:])

@@ -290,6 +290,7 @@ def write_pdf(
     font_format: str = "cff",
     form_xobject: bool = False,
     rotate: int = 0,
+    media_origin: Tuple[float, float] = (0.0, 0.0),
 ) -> bytes:
     """Serialize page dicts (see module comment) into PDF bytes.
 
@@ -474,9 +475,10 @@ def write_pdf(
     rotate = int(rotate) % 360
     if rotate not in (0, 90, 180, 270):
         raise ValueError(f"rotate must be a multiple of 90, got {rotate}")
+    ox, oy = float(media_origin[0]), float(media_origin[1])
     for page in pages:
-        if rotate:
-            page = {**page, "rotate": rotate}
+        if rotate or ox or oy:
+            page = {**page, "rotate": rotate, "origin": (ox, oy)}
         content, form_data = _render_content(
             page, cid_of, form_split=form_xobject
         )
@@ -494,8 +496,8 @@ def write_pdf(
                 fw, fh = fh, fw  # form BBox spans the STORED page frame
             fm_num = b.add_stream(
                 "/Type /XObject /Subtype /Form"
-                f" /BBox [0 0 {fmt_num(fw)}"
-                f" {fmt_num(fh)}]"
+                f" /BBox [{fmt_num(ox)} {fmt_num(oy)} {fmt_num(ox + fw)}"
+                f" {fmt_num(oy + fh)}]"
                 f" /Resources << /Font << {form_fonts} >> >>",
                 form_data,
                 compress=compress_streams,
@@ -567,7 +569,8 @@ def write_pdf(
         pages_root,
         (
             f"<< /Type /Pages /Count {len(page_nums)}"
-            f" /MediaBox [0 0 {fmt_num(pw)} {fmt_num(ph)}]"
+            f" /MediaBox [{fmt_num(ox)} {fmt_num(oy)}"
+            f" {fmt_num(ox + pw)} {fmt_num(oy + ph)}]"
             + (f" /Rotate {rotate}" if rotate else "")
             + f" /Kids [{' '.join(f'{n} 0 R' for n in kids)}] >>"
         ).encode(),
@@ -620,29 +623,40 @@ def _inline_image_ops(im: dict) -> str:
     )
 
 
-def _rot_path_op(op: tuple, rot: int, vw: float, vh: float) -> tuple:
+def _rot_path_op(
+    op: tuple, rot: int, vw: float, vh: float,
+    ox: float = 0.0, oy: float = 0.0,
+) -> tuple:
     """Map one path op's VISUAL coordinates into the stored frame of a
-    /Rotate page. Axis-aligned rects stay ``re`` (90-degree multiples keep
-    them axis-aligned, dims swapped); curve control points map point-wise
-    (affine, so the flattened polyline maps exactly too)."""
+    /Rotate page (plus the MediaBox origin offset). Axis-aligned rects
+    stay ``re`` (90-degree multiples keep them axis-aligned, dims
+    swapped); curve control points map point-wise (affine, so the
+    flattened polyline maps exactly too)."""
     kind = op[0]
-    if rot == 0 or kind == "h":
+    if (rot == 0 and not ox and not oy) or kind == "h":
         return op
     if kind == "re":
         _, x, y, w, h = op
         if rot == 90:
-            return ("re", vh - y - h, x, h, w)
-        if rot == 180:
-            return ("re", vw - x - w, vh - y - h, w, h)
-        return ("re", y, vw - x - w, h, w)
+            x, y, w, h = vh - y - h, x, h, w
+        elif rot == 180:
+            x, y = vw - x - w, vh - y - h
+        elif rot == 270:
+            x, y, w, h = y, vw - x - w, h, w
+        if ox or oy:
+            x, y = x + ox, y + oy
+        return ("re", x, y, w, h)
     pts = op[1:]
     out = [kind]
     for i in range(0, len(pts), 2):
-        out.extend(_rot_point(rot, pts[i], pts[i + 1], vw, vh))
+        out.extend(_rot_point(rot, pts[i], pts[i + 1], vw, vh, ox, oy))
     return (out[0], *out[1:])
 
 
-def _vector_ops(vectors, rot: int = 0, vw: float = 0.0, vh: float = 0.0) -> List[str]:
+def _vector_ops(
+    vectors, rot: int = 0, vw: float = 0.0, vh: float = 0.0,
+    ox: float = 0.0, oy: float = 0.0,
+) -> List[str]:
     # vector graphics (rules, frames, accents): painted after images,
     # before the text block — the order the interpreter and rasterizer
     # assume. Each entry: {"path": [("re",x,y,w,h)|("m",x,y)|("l",x,y)|
@@ -659,7 +673,7 @@ def _vector_ops(vectors, rot: int = 0, vw: float = 0.0, vh: float = 0.0) -> List
             seg.append(f"{fmt_num(vec.get('stroke_gray', gray))} G")
             seg.append(f"{fmt_num(vec.get('lw', 1.0))} w")
         for op in vec["path"]:
-            op = _rot_path_op(op, rot, vw, vh)
+            op = _rot_path_op(op, rot, vw, vh, ox, oy)
             seg.append(" ".join(fmt_num(v) for v in op[1:]) + (" " if len(op) > 1 else "") + op[0])
         seg.append(paint)
         seg.append("Q")
@@ -669,9 +683,14 @@ def _vector_ops(vectors, rot: int = 0, vw: float = 0.0, vh: float = 0.0) -> List
 
 def _text_block(
     text_ops, cid_of: Dict[str, int], rot: int = 0,
-    vw: float = 0.0, vh: float = 0.0,
+    vw: float = 0.0, vh: float = 0.0, ox: float = 0.0, oy: float = 0.0,
+    tr3: bool = False,
 ) -> List[str]:
     parts = ["BT"]
+    if tr3:
+        # invisible text (Tr 3, §9.3.6): the OCR text layer scanners put
+        # over the page scan — extractable, never painted
+        parts.append("3 Tr")
     cur_font = None
     line_start: Optional[Tuple[float, float]] = None
     for op in text_ops:
@@ -685,7 +704,7 @@ def _text_block(
             dx, dy = op["x"] - line_start[0], op["y"] - line_start[1]
             parts.append(f"{fmt_num(dx)} {fmt_num(dy)} Td")
         else:
-            xp, yp = _rot_point(rot, op["x"], op["y"], vw, vh)
+            xp, yp = _rot_point(rot, op["x"], op["y"], vw, vh, ox, oy)
             parts.append(
                 f"{_ROT_TM[rot]} {fmt_num(xp)} {fmt_num(yp)} Tm"
             )
@@ -695,34 +714,43 @@ def _text_block(
     return parts
 
 
-def _rot_point(rot: int, x: float, y: float, vw: float, vh: float):
+def _rot_point(
+    rot: int, x: float, y: float, vw: float, vh: float,
+    ox: float = 0.0, oy: float = 0.0,
+):
     """VISUAL-frame point -> stored-page coords for a /Rotate page (the
-    inverse of the parser's _page_rotation_ctm viewing transform)."""
+    inverse of the parser's _page_rotation_ctm viewing transform), plus
+    the MediaBox origin offset (non-zero for cropped/offset scans)."""
     if rot == 90:
-        return (vh - y, x)
-    if rot == 180:
-        return (vw - x, vh - y)
-    if rot == 270:
-        return (y, vw - x)
-    return (x, y)
+        sx, sy = (vh - y, x)
+    elif rot == 180:
+        sx, sy = (vw - x, vh - y)
+    elif rot == 270:
+        sx, sy = (y, vw - x)
+    else:
+        sx, sy = (x, y)
+    if ox or oy:
+        return (sx + ox, sy + oy)
+    return (sx, sy)
 
 
 # unit 2x2 text matrices that cancel the page rotation exactly
 _ROT_TM = {0: "1 0 0 1", 90: "0 1 -1 0", 180: "-1 0 0 -1", 270: "0 -1 1 0"}
 
 
-def _rot_image_cm(rot: int, x, y, w, h, vw, vh):
+def _rot_image_cm(rot: int, x, y, w, h, vw, vh, ox=0.0, oy=0.0):
     """Image-placement CTM [w 0 0 h x y] (visual) composed with the
-    inverse viewing rotation — the matrix a real producer writes for a
-    figure on a rotated page."""
+    inverse viewing rotation and the MediaBox origin offset — the matrix
+    a real producer writes for a figure on a rotated/offset page."""
+    e, f = _rot_point(rot, x, y, vw, vh, ox, oy)
     if rot == 90:
-        m = (0, w, -h, 0, vh - y, x)
+        m = (0, w, -h, 0, e, f)
     elif rot == 180:
-        m = (-w, 0, 0, -h, vw - x, vh - y)
+        m = (-w, 0, 0, -h, e, f)
     elif rot == 270:
-        m = (0, -w, h, 0, y, vw - x)
+        m = (0, -w, h, 0, e, f)
     else:
-        m = (w, 0, 0, h, x, y)
+        m = (w, 0, 0, h, e, f)
     return " ".join(fmt_num(v) for v in m)
 
 
@@ -742,25 +770,29 @@ def _render_content(
     every placement pre-rotated into the stored frame of a /Rotate page —
     the sideways-scan-with-upright-correction form real scanners emit."""
     rot = int(page.get("rotate", 0)) % 360
+    ox, oy = page.get("origin", (0.0, 0.0))
+    tr3 = bool(page.get("text_invisible"))
     vw, vh = page["width"], page["height"]
     parts: List[str] = []
     for i, im in enumerate(page["images"]):
         paint = f"/Im{i} Do" if not im.get("inline") else _inline_image_ops(im)
-        cm = _rot_image_cm(rot, im["x"], im["y"], im["w"], im["h"], vw, vh)
+        cm = _rot_image_cm(
+            rot, im["x"], im["y"], im["w"], im["h"], vw, vh, ox, oy
+        )
         parts.append(f"q {cm} cm {paint} Q")
     text_ops = page["text_ops"]
     if form_split:
         form_parts = _vector_ops(
-            page.get("vectors"), rot, vw, vh
-        ) + _text_block(text_ops[:1], cid_of, rot, vw, vh)
+            page.get("vectors"), rot, vw, vh, ox, oy
+        ) + _text_block(text_ops[:1], cid_of, rot, vw, vh, ox, oy, tr3)
         parts.append("/Fm0 Do")
-        parts.extend(_text_block(text_ops[1:], cid_of, rot, vw, vh))
+        parts.extend(_text_block(text_ops[1:], cid_of, rot, vw, vh, ox, oy, tr3))
         return (
             "\n".join(parts).encode("latin-1"),
             "\n".join(form_parts).encode("latin-1"),
         )
-    parts.extend(_vector_ops(page.get("vectors"), rot, vw, vh))
-    parts.extend(_text_block(text_ops, cid_of, rot, vw, vh))
+    parts.extend(_vector_ops(page.get("vectors"), rot, vw, vh, ox, oy))
+    parts.extend(_text_block(text_ops, cid_of, rot, vw, vh, ox, oy, tr3))
     return "\n".join(parts).encode("latin-1"), None
 
 

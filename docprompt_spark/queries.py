@@ -86,6 +86,7 @@ _PRIORITY_NAMES = [
     "extraction_recompressed_spans",  # D6 ghostscript-analog (was "out of scope")
     "extraction_rotated_spans",  # page /Rotate (scanner profile), inheritable attr walk
     "extraction_damaged_spans",  # xref-rebuild salvage (pdfium RebuildCrossRef analog)
+    "extraction_scanned_spans",  # full-page scan + invisible (Tr 3) OCR text layer
 ]
 _LOW_PRIORITY_NAMES = [
     "q5_supplier_volume_by_nation",  # TPC-H redundancy: q1+q3 stay in-window; q5 still bench-timed + local oracle
@@ -95,6 +96,7 @@ _LOW_PRIORITY_NAMES = [
     "fuzzy_term_match",  # (F17) same indel-ratio kernel exercised in-window by provenance_refined_search (D19)
     "stratified_sample_10pct",  # (sampling) same md5-hash-split kernel as the in-window dedup family; local oracle covers
     "ann_lsh_bucketed_top5",  # (ANN scale path) ann_ivf_top5 in-window is the bucketed scale evidence; sign-LSH banding also proven in-window by embedding_cosine_neardup_pairs
+    "doc_length_percentiles",  # (corpus stats) exact rank-window percentiles; q1/doc_fingerprints cover the agg surface in-window, local oracle still checks it
     "size_capped_batching",  # (D3-D5) same chunking kernel as page_bucket_batching
     "avg_word_len_by_lang",  # (A4) dup of q1-family aggs + local oracle
     "bbox_combine_by_brand",  # (A6) kernel + property tests cover combine
@@ -3152,7 +3154,9 @@ def extraction_rotated_spans(spark, sf_dir):
     via pdfium page rendering). Golden spans and rasters are
     rotation-invariant by construction: the float expressions compose
     back bit-exactly on the dyadic corpus grid. Cycles all three angles
-    (90/180/270) over classic and xref-stream envelopes."""
+    (90/180/270) over classic and xref-stream envelopes; half the docs
+    ALSO store a non-zero MediaBox origin (cropped/offset scans), so the
+    origin translation composes with the rotation in the same base CTM."""
     from docprompt_spark import pipeline
 
     docs = pipeline.corpus_df(
@@ -3204,6 +3208,37 @@ def extraction_damaged_spans(spark, sf_dir):
 
 
 _REGISTRY["extraction_damaged_spans"] = (extraction_damaged_spans, None)
+
+
+def extraction_scanned_spans(spark, sf_dir):
+    """Same pipeline over the SCANNED-document profile: every page is a
+    full-page scan image (CCITT G4 bilevel on even docs, grayscale DCT on
+    odd) underneath an INVISIBLE text layer (text rendering mode 3,
+    §9.3.6) — exactly what OCR post-processors (Acrobat, tesseract's PDF
+    output, scanner firmware) emit, and the single most common real-world
+    scanned-PDF shape. Extraction must return the invisible text plus the
+    scan as a media span (pdfium's text extraction includes Tr-3 text, so
+    the reference sees it); rasterization must NOT paint it (the parser
+    carries per-word Tr-3 flags and the renderer skips ink for them —
+    proven md5-exact in tests/test_scanned.py)."""
+    from docprompt_spark import pipeline
+
+    docs = pipeline.corpus_df(
+        spark, 6, seed=_FLAGSHIP_SEED, skew_every=0, envelope="scanned"
+    )
+    result = pipeline.run_extraction(spark, docs.select("doc_id", "pdf", "n_pages"))
+    flat = pipeline.spans_exploded(result)
+    return flat.select(
+        "doc_id",
+        F.col("seq").cast("int").alias("seq"),
+        "kind",
+        "text",
+        "media_ref",
+        F.col("offset").cast("int").alias("offset"),
+    )
+
+
+_REGISTRY["extraction_scanned_spans"] = (extraction_scanned_spans, None)
 
 
 def extraction_recompressed_spans(spark, sf_dir):
@@ -4012,6 +4047,9 @@ def _build_oracle_sql() -> Dict[str, str]:
     )
     out["extraction_damaged_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, envelope="damaged"
+    )
+    out["extraction_scanned_spans"] = _golden_spans_sql(
+        6, _FLAGSHIP_SEED, envelope="scanned"
     )
     out["extraction_recompressed_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, with_media_ref=False

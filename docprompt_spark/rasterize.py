@@ -266,6 +266,7 @@ def render_page(
     dpi: int = DEFAULT_DPI,
     glyphs: Optional[dict] = None,
     vectors: Optional[List[dict]] = None,
+    paint_text: bool = True,
 ) -> np.ndarray:
     """Render one page to a gray8 raster at ``scale = dpi / 72`` (the
     reference's pdfium scale contract, schema/document.py rasterize path).
@@ -288,6 +289,10 @@ def render_page(
         )
     if vectors:
         paint_vectors(canvas, vectors, page_h, dpi / 72.0)
+    if not paint_text:
+        # invisible text layer (Tr 3 — the OCR overlay of scanned PDFs):
+        # words exist for extraction/masking but leave no ink
+        return canvas
     for wd in words:
         rect = rect_px(wd["bbox"], width_px, height_px)
         if glyphs:
@@ -373,9 +378,15 @@ def _render_kernel(pages_per_bucket: int, dpi: int):
                         )
                     layout = kernels.build_page_layout(p["words"])
                     wds = layout_words(layout)
+                    # scanned-profile pages: every shown word carried Tr 3
+                    # (invisible OCR layer) — extract + mask, don't paint
+                    visible = not (
+                        p["words"] and all(w.get("inv") for w in p["words"])
+                    )
                     canvas = render_page(
                         wds, imgs, p["width"], p["height"], dpi=dpi,
                         glyphs=glyphs, vectors=p.get("vectors"),
+                        paint_text=visible,
                     )
                     masked = mask_bboxes(canvas, [w["bbox"] for w in wds])
                     rows.append(

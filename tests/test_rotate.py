@@ -183,3 +183,41 @@ def test_uncorrected_rotated_text_takes_quad_path():
         ]
         long_words = [w for w in got["words"] if len(w["text"]) >= 4]
         assert len(tall) == len(long_words)
+
+
+@pytest.mark.parametrize("rot,origin", [
+    (0, (16.0, 8.5)), (90, (32.0, 17.0)), (180, (48.0, 0.0)),
+    (270, (16.0, 8.5)), (90, (48.5, 24.0625)),
+])
+def test_mediabox_origin_is_span_and_dim_invariant(rot, origin):
+    # non-zero MediaBox origin (cropped/offset scans), alone and composed
+    # with /Rotate: identical spans and visual dims to the (0,0) twin
+    from docprompt_spark.corpus import _gen_doc_pages
+    from docprompt_spark.pdfwrite import write_pdf
+
+    _, pages = _gen_doc_pages(5, 42, 0)
+    pages_w = [p for p, _w, _i in pages]
+    upright = write_pdf(pages_w, doc_title="t")
+    offset = write_pdf(
+        pages_w, doc_title="t", rotate=rot, media_origin=origin
+    )
+    assert spans_from_pdf(upright) == spans_from_pdf(offset)
+    pg = pdfparse.extract_pages(offset)[0]
+    assert (pg["width"], pg["height"]) == (612.0, 792.0)
+
+
+def test_default_corpus_rotation_and_origin_mix():
+    # the default corpus itself carries rotated (idx%4==3) and
+    # origin-offset (idx%5==2) documents — golden spans hold across all
+    from docprompt_spark.corpus import gen_doc
+
+    for idx in (2, 3, 7, 12, 15):  # covers origin-only, rot-only, both off
+        d = gen_doc(idx, skew_every=0)
+        raw = pdfparse.unwrap_pdf_bytes(d["pdf"])
+        assert spans_from_pdf(raw) == d["spans"]
+    d = gen_doc(7, skew_every=0, envelope="rotated")  # rot+origin composed
+    # idx 7 is odd -> no origin on the rotated envelope; idx 4 has both
+    d = gen_doc(4, skew_every=0, envelope="rotated")
+    raw = pdfparse.unwrap_pdf_bytes(d["pdf"])
+    assert b"/MediaBox [0 0" not in raw
+    assert spans_from_pdf(raw) == d["spans"]
