@@ -58,6 +58,41 @@ def _snap16(v: float) -> float:
     return math.ceil(v * 16.0) / 16.0
 
 
+def _indexed_palette() -> bytes:
+    """Fixed 256-entry RGB lookup table for /Indexed images (GIF-heritage
+    palettized figures): a deterministic formula, luma-injective enough
+    that palette-lookup errors change the decoded ground truth."""
+    return bytes(
+        v for i in range(256) for v in (i, (i * 3 + 40) % 256, 255 - i)
+    )
+
+
+def _pack4(samples: bytes, px_w: int, px_h: int) -> bytes:
+    """Quantize gray8 to 4-bit (v >> 4) and pack two samples per byte,
+    rows padded to whole bytes (PDF §8.9.3 sample packing)."""
+    out = bytearray()
+    for y in range(px_h):
+        row = samples[y * px_w : (y + 1) * px_w]
+        for i in range(0, px_w, 2):
+            hi = row[i] >> 4
+            lo = (row[i + 1] >> 4) if i + 1 < px_w else 0
+            out.append((hi << 4) | lo)
+    return bytes(out)
+
+
+def _png_up_predict(samples: bytes, px_w: int, px_h: int) -> bytes:
+    """PNG Up-filter rows (predictor family 10-15): what pdf optimizers
+    emit when re-Flating image streams."""
+    out = bytearray()
+    prev = bytes(px_w)
+    for y in range(px_h):
+        row = samples[y * px_w : (y + 1) * px_w]
+        out.append(2)  # Up
+        out.extend((row[i] - prev[i]) & 0xFF for i in range(px_w))
+        prev = row
+    return bytes(out)
+
+
 _ASCII = "abcdefghijklmnopqrstuvwxyz"
 _EXTRA = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
 _PUNCT = ".,;:()[]\\'\"-"
@@ -146,10 +181,42 @@ def _gen_page(
             decode_arr = None
             imagemask = False
             is_inline = (base % 8 in (3, 6)) if inline is None else inline
+            palette = None
             if choice == "raw":
                 data, filt, samples_gt = samples, None, samples
+                if (base >> 6) % 2 == 1:
+                    # 4-bit grayscale (legacy low-depth scans): sample v
+                    # decodes to v*17 exactly (255/15)
+                    data = _pack4(samples, px_w, px_h)
+                    samples_gt = bytes((b >> 4) * 17 for b in samples)
+                    bpc = 4
             elif choice == "flate":
-                data, filt, samples_gt = zlib.compress(samples, 6), "FlateDecode", samples
+                plain = samples
+                if (base >> 7) % 2 == 1:
+                    # /Indexed RGB palette (GIF-heritage figures): payload
+                    # bytes are palette indices; ground truth is the BT.601
+                    # luma of the looked-up RGB
+                    palette = _indexed_palette()
+                    pal = palette
+                    samples_gt = bytes(
+                        min(255, max(0, round(
+                            0.299 * pal[3 * b]
+                            + 0.587 * pal[3 * b + 1]
+                            + 0.114 * pal[3 * b + 2]
+                        )))
+                        for b in samples
+                    )
+                    cs = f"[/Indexed /DeviceRGB 255 <{palette.hex()}>]"
+                else:
+                    samples_gt = samples
+                if (base >> 5) % 2 == 1:
+                    # PNG predictor on the Flate stream (optimizer output)
+                    plain = _png_up_predict(samples, px_w, px_h)
+                    parms = (
+                        f"<< /Predictor 15 /Colors 1 /BitsPerComponent 8"
+                        f" /Columns {px_w} >>"
+                    )
+                data, filt = zlib.compress(plain, 6), "FlateDecode"
             elif choice == "lzw":
                 from docprompt_spark import lzw as _lzw
 
@@ -319,7 +386,7 @@ def _gen_page(
                     data = _jpeg.encode(arr, quality=90)
                     samples_gt = _jpeg.decode(data).tobytes()
                 filt = "JPXDecode" if use_jpx else "DCTDecode"
-            if choice in ("raw", "flate") and (base >> 4) % 4 == 1:
+            if choice in ("raw", "flate") and (base >> 4) % 4 == 1 and palette is None:
                 # /Decode [1 0]: inverted component mapping (PDF §8.9.5.2) —
                 # rotated on existing `base` bits, no extra rng draws
                 decode_arr = "[1 0]"
@@ -329,6 +396,7 @@ def _gen_page(
                     "data": data, "filter": filt, "samples": samples_gt,
                     "width": px_w, "height": px_h, "bpc": bpc,
                     "decode_parms": parms, "colorspace": cs,
+                    "palette": palette,
                     "decode": decode_arr, "imagemask": imagemask,
                     "x": ix, "y": y, "w": w, "h": h,
                     # BI/ID/EI inline images (scanned-page tiles / small
@@ -528,18 +596,24 @@ def writer_entry_codec(w: dict) -> str:
         d["ImageMask"] = True
         d["BitsPerComponent"] = 1
     else:
-        d["ColorSpace"] = w.get("colorspace", "DeviceGray")
+        if w.get("palette") is not None:
+            d["ColorSpace"] = ["Indexed", "DeviceRGB", 255, w["palette"]]
+        else:
+            d["ColorSpace"] = w.get("colorspace", "DeviceGray")
         d["BitsPerComponent"] = w.get("bpc", 8)
     if w.get("decode"):
         d["Decode"] = [1, 0]
     if w.get("filter"):
         d["Filter"] = w["filter"]
     if w.get("decode_parms"):
-        # the corpus only emits CCITT G4 parms with matching geometry
-        d["DecodeParms"] = {
-            "K": -1, "Columns": w["width"], "Rows": w["height"],
-            "BlackIs1": True,
-        }
+        if "Predictor" in w["decode_parms"]:
+            d["DecodeParms"] = {"Predictor": 15, "Columns": w["width"]}
+        else:
+            # CCITT G4 parms with matching geometry
+            d["DecodeParms"] = {
+                "K": -1, "Columns": w["width"], "Rows": w["height"],
+                "BlackIs1": True,
+            }
     return _codec_of(d, lambda x: x, w["data"])
 
 

@@ -50,8 +50,23 @@ MEDIA_SCHEMA = StructType(
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
         StructField("n_bytes", IntegerType(), False),
+        # /Indexed color spaces: the RGB lookup table (3*(hival+1) bytes);
+        # NULL for direct color spaces
+        StructField("palette", BinaryType(), True),
     ]
 )
+
+
+def indexed_palette(xo_dict, resolve):
+    """RGB lookup bytes of an /Indexed color space, else None (§8.6.6.3).
+    The table may be a hex/literal string or a stream."""
+    cs = resolve(xo_dict.get("ColorSpace"))
+    if not (isinstance(cs, list) and str(resolve(cs[0])) == "Indexed"):
+        return None
+    table = resolve(cs[3])
+    if hasattr(table, "data"):  # stream-backed palette
+        return bytes(table.data(resolve))
+    return bytes(table)
 
 
 def _codec_of(xo_dict, resolve, payload=None) -> str:
@@ -66,7 +81,9 @@ def _codec_of(xo_dict, resolve, payload=None) -> str:
     symbol/text path participates."""
     filt = resolve(xo_dict.get("Filter"))
     filts = [str(f) for f in (filt if isinstance(filt, list) else [filt] if filt else [])]
-    cs = str(resolve(xo_dict.get("ColorSpace", "")))
+    cs_obj = resolve(xo_dict.get("ColorSpace", ""))
+    indexed = isinstance(cs_obj, list) and str(resolve(cs_obj[0])) == "Indexed"
+    cs = "" if indexed else str(cs_obj)
     bpc = int(resolve(xo_dict.get("BitsPerComponent", 0)) or 0)
 
     def flags() -> str:
@@ -101,12 +118,32 @@ def _codec_of(xo_dict, resolve, payload=None) -> str:
     if "JPXDecode" in filts:
         return "jpx" + flags()
     gray8 = cs == "DeviceGray" and bpc == 8
+    # PNG/TIFF predictor on the image stream (what pdf optimizers emit):
+    # rides the tag as ;pN;cW so the decode stage can undo it standalone
+    pred = ""
+    if filts in (["FlateDecode"], ["LZWDecode"]):
+        dp = resolve(xo_dict.get("DecodeParms", xo_dict.get("DP"))) or {}
+        pn = int(resolve(dp.get("Predictor", 1)) or 1)
+        if pn > 1:
+            pred = f";p{pn};c{int(resolve(dp.get('Columns', 1)) or 1)}"
+    if indexed and bpc == 8:
+        # 8-bit palette indices over an RGB lookup table (GIF-heritage
+        # images); decode needs the palette (MEDIA_SCHEMA palette column)
+        if not filts:
+            return "idx-rgb8" + flags()
+        if filts == ["FlateDecode"]:
+            return "flate-idx-rgb8" + pred + flags()
+    gray4 = cs == "DeviceGray" and bpc == 4
     if not filts:
+        if gray4:
+            return "gray4" + flags()
         return ("gray8" + flags()) if gray8 else "raw-unknown"
     if filts == ["FlateDecode"]:
-        return ("flate-gray8" + flags()) if gray8 else "flate-unknown"
+        if gray4:
+            return "flate-gray4" + pred + flags()
+        return ("flate-gray8" + pred + flags()) if gray8 else "flate-unknown"
     if filts == ["LZWDecode"]:
-        return ("lzw-gray8" + flags()) if gray8 else "lzw-unknown"
+        return ("lzw-gray8" + pred + flags()) if gray8 else "lzw-unknown"
     if filts == ["CCITTFaxDecode"]:
         dp = resolve(xo_dict.get("DecodeParms", xo_dict.get("DP"))) or {}
         k = int(resolve(dp.get("K", 0)) or 0)
@@ -180,6 +217,7 @@ def media_table(docs_df: DataFrame, pages_per_bucket: int = 16) -> DataFrame:
                                 "width": int(pf.resolve(xo.dict.get("Width", 0))),
                                 "height": int(pf.resolve(xo.dict.get("Height", 0))),
                                 "n_bytes": len(payload),
+                                "palette": indexed_palette(xo.dict, pf.resolve),
                             }
                         )
                     # BI/ID/EI inline images live in the content stream, not
@@ -205,6 +243,7 @@ def media_table(docs_df: DataFrame, pages_per_bucket: int = 16) -> DataFrame:
                                 "width": int(ii.dict.get("Width", 0) or 0),
                                 "height": int(ii.dict.get("Height", 0) or 0),
                                 "n_bytes": len(ii.raw),
+                                "palette": None,
                             }
                         )
             if rows:
@@ -236,7 +275,10 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.tile(arr, max(reps, 1))[: w * h].reshape(h, w)
 
 
-def decode_image(payload: bytes, width: int, height: int, codec: str) -> np.ndarray:
+def decode_image(
+    payload: bytes, width: int, height: int, codec: str,
+    palette: bytes = None,
+) -> np.ndarray:
     """REAL decode, no external libs needed:
 
     * gray8        — raw 8-bit grayscale samples, exactly width*height
@@ -259,22 +301,70 @@ def decode_image(payload: bytes, width: int, height: int, codec: str) -> np.ndar
 
     base, *parts = codec.split(";")
     invert = "d10" in parts
-    cols = rows = None
+    cols = rows = pred = None
     for p in parts:
         if p.startswith("c") and p[1:].isdigit():
             cols = int(p[1:])
         elif p.startswith("r") and p[1:].isdigit():
             rows = int(p[1:])
+        elif p.startswith("p") and p[1:].isdigit():
+            pred = int(p[1:])
+
+    def _unpredict(raw: bytes, colors: int = 1) -> bytes:
+        # PNG (10-15) / TIFF (2) predictor undo — the form pdf optimizers
+        # re-compress image streams into; shares the xref-stream machinery
+        if not pred:
+            return raw
+        from docprompt_spark.pdfparse import _apply_predictor
+
+        return _apply_predictor(
+            raw,
+            {"Predictor": pred, "Columns": cols or width, "Colors": colors,
+             "BitsPerComponent": 8},
+            lambda x: x,
+        )
+
+    def _unpack4(raw: bytes) -> np.ndarray:
+        # 4-bit grayscale: two samples per byte, rows padded to whole bytes
+        # (§8.9.3); sample v maps to round(v/15*255) = v*17 exactly
+        rowbytes = (width + 1) // 2
+        b = np.frombuffer(raw, dtype=np.uint8)[: rowbytes * height].reshape(
+            height, rowbytes
+        )
+        nib = np.empty((height, rowbytes * 2), dtype=np.uint8)
+        nib[:, 0::2] = b >> 4
+        nib[:, 1::2] = b & 0x0F
+        return (nib[:, :width] * np.uint8(17)).astype(np.uint8)
+
+    def _palette_luma(idx_bytes: bytes) -> np.ndarray:
+        if palette is None:
+            raise ValueError("indexed image without a palette")
+        pal = np.frombuffer(palette, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3).astype(np.float64)
+        luma = np.clip(
+            np.round(0.299 * pal[:, 0] + 0.587 * pal[:, 1] + 0.114 * pal[:, 2]),
+            0, 255,
+        ).astype(np.uint8)
+        idx = np.frombuffer(idx_bytes, dtype=np.uint8)[: width * height]
+        return luma[np.minimum(idx, len(luma) - 1)].reshape(height, width)
 
     if base == "gray8":
         px = np.frombuffer(payload, dtype=np.uint8)[: width * height].reshape(
             height, width
         )
     elif base == "flate-gray8":
-        raw = zlib.decompress(payload)
+        raw = _unpredict(zlib.decompress(payload))
         px = np.frombuffer(raw, dtype=np.uint8)[: width * height].reshape(
             height, width
         )
+    elif base == "gray4":
+        px = _unpack4(payload)
+    elif base == "flate-gray4":
+        px = _unpack4(zlib.decompress(payload))
+    elif base == "idx-rgb8":
+        px = _palette_luma(payload)
+    elif base == "flate-idx-rgb8":
+        px = _palette_luma(_unpredict(zlib.decompress(payload)))
     elif base == "lzw-gray8":
         from docprompt_spark import lzw as _lzw
 
@@ -350,13 +440,14 @@ def is_stencil(codec: str) -> bool:
 
 
 def decode_or_stub(
-    payload: bytes, width: int, height: int, codec: str = "unknown"
+    payload: bytes, width: int, height: int, codec: str = "unknown",
+    palette: bytes = None,
 ) -> np.ndarray:
     """Real decode when the codec allows it; deterministic stub for codecs
     for corrupt payloads and unknown tags — feature
     jobs degrade per-image instead of failing the task."""
     try:
-        return decode_image(payload, width, height, codec)
+        return decode_image(payload, width, height, codec, palette=palette)
     except Exception:
         # unknown-tag NotImplementedError and any corrupt-payload failure
         # (zlib.error, IndexError/KeyError/struct.error from truncated
@@ -385,11 +476,14 @@ def image_features(media_df: DataFrame) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = []
-            for ref, payload, w, h, codec in zip(
+            for ref, payload, w, h, codec, pal in zip(
                 batch["media_ref"], batch["payload"], batch["width"],
-                batch["height"], batch["codec"],
+                batch["height"], batch["codec"], batch["palette"],
             ):
-                px = decode_or_stub(bytes(payload), w, h, codec).astype(np.float64)
+                px = decode_or_stub(
+                    bytes(payload), w, h, codec,
+                    palette=None if pal is None else bytes(pal),
+                ).astype(np.float64)
                 gx = np.abs(np.diff(px, axis=1)).mean() if px.shape[1] > 1 else 0.0
                 out.append(
                     {
@@ -403,7 +497,7 @@ def image_features(media_df: DataFrame) -> DataFrame:
                 yield pd.DataFrame(out)
 
     return media_df.select(
-        "media_ref", "payload", "width", "height", "codec"
+        "media_ref", "payload", "width", "height", "codec", "palette"
     ).mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
@@ -424,11 +518,14 @@ def resize_thumbnails(media_df: DataFrame, out_w: int = 8, out_h: int = 8) -> Da
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = []
-            for ref, payload, w, h, codec in zip(
+            for ref, payload, w, h, codec, pal in zip(
                 batch["media_ref"], batch["payload"], batch["width"],
-                batch["height"], batch["codec"],
+                batch["height"], batch["codec"], batch["palette"],
             ):
-                px = decode_or_stub(bytes(payload), w, h, codec).astype(np.float64)
+                px = decode_or_stub(
+                    bytes(payload), w, h, codec,
+                    palette=None if pal is None else bytes(pal),
+                ).astype(np.float64)
                 ys = np.linspace(0, px.shape[0], out_h + 1).astype(int)
                 xs = np.linspace(0, px.shape[1], out_w + 1).astype(int)
                 thumb = [
@@ -444,7 +541,7 @@ def resize_thumbnails(media_df: DataFrame, out_w: int = 8, out_h: int = 8) -> Da
                 yield pd.DataFrame(out)
 
     return media_df.select(
-        "media_ref", "payload", "width", "height", "codec"
+        "media_ref", "payload", "width", "height", "codec", "palette"
     ).mapInPandas(fn, schema=RESIZE_SCHEMA)
 
 

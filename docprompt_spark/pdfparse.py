@@ -1801,12 +1801,16 @@ def _interpret_content(
                         # rasterization path (D7): the renderer needs the
                         # raw payload + codec + pixel dims; the span path
                         # never carries bytes past this kernel
-                        from docprompt_spark.multimodal import _codec_of
+                        from docprompt_spark.multimodal import (
+                            _codec_of,
+                            indexed_palette,
+                        )
 
                         img["payload"] = xo.raw
                         img["px_w"] = int(resolve(xo.dict.get("Width", 0)) or 0)
                         img["px_h"] = int(resolve(xo.dict.get("Height", 0)) or 0)
                         img["codec"] = _codec_of(xo.dict, resolve, xo.raw)
+                        img["palette"] = indexed_palette(xo.dict, resolve)
                     images.append(img)
             stack.clear()
         elif op == b"m":

@@ -514,8 +514,11 @@ def write_pdf(
                 # stencil masks carry no ColorSpace (spec §8.9.6.2)
                 entries += " /ImageMask true /BitsPerComponent 1"
             else:
+                cs = im.get("colorspace", "DeviceGray")
+                # /Indexed etc. arrive as pre-serialized arrays "[...]"
+                cs_ser = cs if cs.startswith("[") else "/" + cs
                 entries += (
-                    f" /ColorSpace /{im.get('colorspace', 'DeviceGray')}"
+                    f" /ColorSpace {cs_ser}"
                     f" /BitsPerComponent {im.get('bpc', 8)}"
                 )
             if im.get("decode"):

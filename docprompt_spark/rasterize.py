@@ -365,7 +365,7 @@ def _render_kernel(pages_per_bucket: int, dpi: int):
                         try:
                             px = multimodal.decode_image(
                                 bytes(im["payload"]), im["px_w"], im["px_h"],
-                                im["codec"],
+                                im["codec"], palette=im.get("palette"),
                             )
                         except Exception:
                             continue  # undecodable: skip, don't fail the task

@@ -108,7 +108,10 @@ def _recompress_image(
     h = int(resolve(d.get("Height", 0)))
     codec = multimodal._codec_of(d, resolve, xo.raw)
     try:
-        px = multimodal.decode_image(xo.raw, w, h, codec)
+        px = multimodal.decode_image(
+            xo.raw, w, h, codec,
+            palette=multimodal.indexed_palette(d, resolve),
+        )
     except Exception:
         return None
     px = np.ascontiguousarray(px[:h, :w], dtype=np.uint8)
