@@ -184,7 +184,24 @@ def _gen_page(
             palette = None
             if choice == "raw":
                 data, filt, samples_gt = samples, None, samples
-                if (base >> 6) % 2 == 1:
+                if (base >> 7) % 2 == 1:
+                    # uncompressed 8-bit DeviceRGB (screenshot-style color
+                    # figures): channels derived arithmetically from the
+                    # gray ramp; ground truth is the SAME BT.601 luma
+                    # function the media pipeline's decode applies
+                    import numpy as _np
+                    from docprompt_spark.multimodal import rgb_to_gray8
+
+                    arr = _np.frombuffer(samples, dtype=_np.uint8).reshape(
+                        px_h, px_w
+                    )
+                    rgb = _np.stack(
+                        [arr, _np.roll(arr, 3, axis=1), 255 - arr], axis=-1
+                    )
+                    data = rgb.tobytes()
+                    samples_gt = rgb_to_gray8(rgb).tobytes()
+                    cs = "DeviceRGB"
+                elif (base >> 6) % 2 == 1:
                     # 4-bit grayscale (legacy low-depth scans): sample v
                     # decodes to v*17 exactly (255/15)
                     data = _pack4(samples, px_w, px_h)
@@ -192,6 +209,7 @@ def _gen_page(
                     bpc = 4
             elif choice == "flate":
                 plain = samples
+                ncomp = 1
                 if (base >> 7) % 2 == 1:
                     # /Indexed RGB palette (GIF-heritage figures): payload
                     # bytes are palette indices; ground truth is the BT.601
@@ -207,14 +225,33 @@ def _gen_page(
                         for b in samples
                     )
                     cs = f"[/Indexed /DeviceRGB 255 <{palette.hex()}>]"
+                elif (base >> 6) % 2 == 1:
+                    # 8-bit DeviceCMYK behind Flate (print-origin figures):
+                    # four derived channels; ground truth is the SAME naive
+                    # §8.6.4.4 -> luma reduction the decode stage applies
+                    import numpy as _np
+                    from docprompt_spark.multimodal import cmyk_to_gray8
+
+                    arr = _np.frombuffer(samples, dtype=_np.uint8).reshape(
+                        px_h, px_w
+                    )
+                    cmyk = _np.stack(
+                        [arr, _np.roll(arr, 3, axis=1), 255 - arr, arr >> 2],
+                        axis=-1,
+                    )
+                    plain = cmyk.tobytes()
+                    samples_gt = cmyk_to_gray8(cmyk).tobytes()
+                    cs = "DeviceCMYK"
+                    ncomp = 4
                 else:
                     samples_gt = samples
                 if (base >> 5) % 2 == 1:
-                    # PNG predictor on the Flate stream (optimizer output)
-                    plain = _png_up_predict(samples, px_w, px_h)
+                    # PNG predictor on the Flate stream (optimizer output);
+                    # rows are px_w*ncomp bytes for multi-component pixels
+                    plain = _png_up_predict(plain, px_w * ncomp, px_h)
                     parms = (
-                        f"<< /Predictor 15 /Colors 1 /BitsPerComponent 8"
-                        f" /Columns {px_w} >>"
+                        f"<< /Predictor 15 /Colors {ncomp}"
+                        f" /BitsPerComponent 8 /Columns {px_w} >>"
                     )
                 data, filt = zlib.compress(plain, 6), "FlateDecode"
             elif choice == "lzw":
@@ -386,7 +423,12 @@ def _gen_page(
                     data = _jpeg.encode(arr, quality=90)
                     samples_gt = _jpeg.decode(data).tobytes()
                 filt = "JPXDecode" if use_jpx else "DCTDecode"
-            if choice in ("raw", "flate") and (base >> 4) % 4 == 1 and palette is None:
+            if (
+                choice in ("raw", "flate")
+                and (base >> 4) % 4 == 1
+                and palette is None
+                and cs == "DeviceGray"
+            ):
                 # /Decode [1 0]: inverted component mapping (PDF §8.9.5.2) —
                 # rotated on existing `base` bits, no extra rng draws
                 decode_arr = "[1 0]"
@@ -607,7 +649,12 @@ def writer_entry_codec(w: dict) -> str:
         d["Filter"] = w["filter"]
     if w.get("decode_parms"):
         if "Predictor" in w["decode_parms"]:
-            d["DecodeParms"] = {"Predictor": 15, "Columns": w["width"]}
+            ncomp = {"DeviceRGB": 3, "DeviceCMYK": 4}.get(
+                w.get("colorspace", ""), 1
+            )
+            d["DecodeParms"] = {
+                "Predictor": 15, "Columns": w["width"], "Colors": ncomp,
+            }
         else:
             # CCITT G4 parms with matching geometry
             d["DecodeParms"] = {

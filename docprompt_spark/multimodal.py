@@ -57,6 +57,29 @@ MEDIA_SCHEMA = StructType(
 )
 
 
+def rgb_to_gray8(rgb: np.ndarray) -> np.ndarray:
+    """BT.601 luma reduction (h, w, 3) -> (h, w) uint8 — the single gray8
+    mapping every color decode in the pipeline funnels through. The corpus
+    generator imports THIS function for its ground truth, so decode parity
+    is the same float expression on both sides, not two formulas."""
+    f = rgb.astype(np.float64)
+    return np.clip(
+        np.round(0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]),
+        0, 255,
+    ).astype(np.uint8)
+
+
+def cmyk_to_gray8(cmyk: np.ndarray) -> np.ndarray:
+    """Naive DeviceCMYK -> RGB (PDF §8.6.4.4: c' = (1-c)(1-k) per additive
+    channel) then BT.601 luma; (h, w, 4) uint8 -> (h, w) uint8."""
+    f = cmyk.astype(np.float64)
+    k = f[..., 3]
+    rgb = np.stack(
+        [(255.0 - f[..., i]) * (255.0 - k) / 255.0 for i in range(3)], axis=-1
+    )
+    return rgb_to_gray8(rgb)
+
+
 def indexed_palette(xo_dict, resolve):
     """RGB lookup bytes of an /Indexed color space, else None (§8.6.6.3).
     The table may be a hex/literal string or a stream."""
@@ -66,6 +89,8 @@ def indexed_palette(xo_dict, resolve):
     table = resolve(cs[3])
     if hasattr(table, "data"):  # stream-backed palette
         return bytes(table.data(resolve))
+    if isinstance(table, str):  # content-stream strings decode latin-1
+        return table.encode("latin-1")
     return bytes(table)
 
 
@@ -134,15 +159,27 @@ def _codec_of(xo_dict, resolve, payload=None) -> str:
         if filts == ["FlateDecode"]:
             return "flate-idx-rgb8" + pred + flags()
     gray4 = cs == "DeviceGray" and bpc == 4
+    rgb8 = cs == "DeviceRGB" and bpc == 8
+    cmyk8 = cs == "DeviceCMYK" and bpc == 8
     if not filts:
         if gray4:
             return "gray4" + flags()
+        if rgb8:
+            return "rgb8" + flags()
+        if cmyk8:
+            return "cmyk8" + flags()
         return ("gray8" + flags()) if gray8 else "raw-unknown"
     if filts == ["FlateDecode"]:
         if gray4:
             return "flate-gray4" + pred + flags()
+        if rgb8:
+            return "flate-rgb8" + pred + flags()
+        if cmyk8:
+            return "flate-cmyk8" + pred + flags()
         return ("flate-gray8" + pred + flags()) if gray8 else "flate-unknown"
     if filts == ["LZWDecode"]:
+        if rgb8:
+            return "lzw-rgb8" + pred + flags()
         return ("lzw-gray8" + pred + flags()) if gray8 else "lzw-unknown"
     if filts == ["CCITTFaxDecode"]:
         dp = resolve(xo_dict.get("DecodeParms", xo_dict.get("DP"))) or {}
@@ -243,7 +280,12 @@ def media_table(docs_df: DataFrame, pages_per_bucket: int = 16) -> DataFrame:
                                 "width": int(ii.dict.get("Width", 0) or 0),
                                 "height": int(ii.dict.get("Height", 0) or 0),
                                 "n_bytes": len(ii.raw),
-                                "palette": None,
+                                # inline /CS [/I ...] expands to full names
+                                # at tokenize time, so the same extractor
+                                # applies
+                                "palette": indexed_palette(
+                                    ii.dict, pf.resolve
+                                ),
                             }
                         )
             if rows:
@@ -365,6 +407,33 @@ def decode_image(
         px = _palette_luma(payload)
     elif base == "flate-idx-rgb8":
         px = _palette_luma(_unpredict(zlib.decompress(payload)))
+    elif base in ("rgb8", "flate-rgb8", "lzw-rgb8"):
+        # 8-bit DeviceRGB, interleaved components; reduce to the pipeline's
+        # gray8 via the shared BT.601 luma (same function the generator's
+        # ground truth uses)
+        if base == "flate-rgb8":
+            raw = _unpredict(zlib.decompress(payload), colors=3)
+        elif base == "lzw-rgb8":
+            from docprompt_spark import lzw as _lzw
+
+            raw = _unpredict(_lzw.decode(bytes(payload)), colors=3)
+        else:
+            raw = payload
+        rgb = np.frombuffer(raw, dtype=np.uint8)[: width * height * 3].reshape(
+            height, width, 3
+        )
+        px = rgb_to_gray8(rgb)
+    elif base in ("cmyk8", "flate-cmyk8"):
+        # 8-bit DeviceCMYK (print-origin figures): naive §8.6.4.4 -> gray
+        raw = (
+            _unpredict(zlib.decompress(payload), colors=4)
+            if base == "flate-cmyk8"
+            else payload
+        )
+        cmyk = np.frombuffer(raw, dtype=np.uint8)[: width * height * 4].reshape(
+            height, width, 4
+        )
+        px = cmyk_to_gray8(cmyk)
     elif base == "lzw-gray8":
         from docprompt_spark import lzw as _lzw
 

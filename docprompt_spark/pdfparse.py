@@ -1139,6 +1139,13 @@ def _ii_expand(tokens: List[Any]) -> dict:
         v = value(next(it))
         if key == "ColorSpace" and isinstance(v, Name):
             v = Name(_II_CS.get(str(v), str(v)))
+        elif key == "ColorSpace" and isinstance(v, list):
+            # inline /Indexed form: [/I /RGB hival <table>] — expand the
+            # member names too so indexed_palette/_codec_of see full names
+            v = [
+                Name(_II_CS.get(str(x), str(x))) if isinstance(x, Name) else x
+                for x in v
+            ]
         elif key == "Filter":
             if isinstance(v, Name):
                 v = Name(_II_FILT.get(str(v), str(v)))
@@ -1231,6 +1238,12 @@ def _tokenize_content(data: bytes) -> List[Any]:
                     ii_toks.append(float(t2) if b"." in t2 else int(t2))
                 elif c2 == 0x2F:
                     ii_toks.append(Name(t2[1:].decode("latin-1")))
+                elif c2 == 0x3C and t2 != b"<<":
+                    # <hex> string (e.g. an inline /Indexed palette table)
+                    digits = t2[1:-1].translate(None, _HEX_WS)
+                    if len(digits) % 2:
+                        digits += b"0"
+                    ii_toks.append(HexString(bytes.fromhex(digits.decode("ascii"))))
                 elif t2 in (b"<<", b">>", b"[", b"]"):
                     ii_toks.append(t2)
                 else:
@@ -1688,12 +1701,16 @@ def _interpret_content(
                     "bbox": _image_bbox(ctm, page_w, page_h),
                 }
                 if with_image_data:
-                    from docprompt_spark.multimodal import _codec_of
+                    from docprompt_spark.multimodal import (
+                        _codec_of,
+                        indexed_palette,
+                    )
 
                     img["payload"] = tok.raw
                     img["px_w"] = int(tok.dict.get("Width", 0) or 0)
                     img["px_h"] = int(tok.dict.get("Height", 0) or 0)
                     img["codec"] = _codec_of(tok.dict, resolve, tok.raw)
+                    img["palette"] = indexed_palette(tok.dict, resolve)
                 images.append(img)
             else:
                 stack.append(tok)

@@ -610,7 +610,15 @@ def _inline_image_ops(im: dict) -> str:
     if im.get("imagemask"):
         d += " /IM true /BPC 1"
     else:
-        d += f" /CS /{_II_CS_ABBR.get(im.get('colorspace', 'DeviceGray'), 'G')}"
+        cs = im.get("colorspace", "DeviceGray")
+        if cs.startswith("["):
+            # /Indexed arrives pre-serialized "[/Indexed /DeviceRGB 255
+            # <hex>]"; inline dicts use the Table-93 abbreviated names
+            d += " /CS " + cs.replace("/Indexed", "/I").replace(
+                "/DeviceRGB", "/RGB"
+            )
+        else:
+            d += f" /CS /{_II_CS_ABBR.get(cs, 'G')}"
         d += f" /BPC {im.get('bpc', 8)}"
     if im.get("decode"):
         d += f" /D {im['decode']}"

@@ -2323,9 +2323,10 @@ def embedding_cosine_neardup_pairs(spark, sf_dir):
 def _corpus_media(spark):
     from docprompt_spark import multimodal, pipeline
 
-    # 20 docs: the smallest seed-11 slice whose codec rotation includes
-    # EVERY decode variant (incl. 4-bit gray and both /Indexed forms)
-    docs = pipeline.corpus_df(spark, 20, seed=11, skew_every=0)
+    # 36 docs: the smallest seed-11 slice whose codec rotation includes
+    # EVERY decode variant (incl. 4-bit gray, DeviceRGB/DeviceCMYK,
+    # both /Indexed forms and the inline-/Indexed palette path)
+    docs = pipeline.corpus_df(spark, 36, seed=11, skew_every=0)
     return multimodal.media_table(docs.select("doc_id", "pdf", "n_pages"))
 
 
@@ -2634,7 +2635,7 @@ def _r5(x: float) -> float:
     return float(Decimal(repr(float(x))).quantize(Decimal("0.00001"), ROUND_HALF_UP))
 
 
-def _golden_media(n_docs=20, seed=11):
+def _golden_media(n_docs=36, seed=11):
     """(media_ref, payload, samples, px_w, px_h) ground truth for the media
     query corpus — one entry per distinct media_ref."""
     from docprompt_spark.corpus import golden_page_layouts
@@ -3922,7 +3923,7 @@ def _page_stats_oracle_sql() -> str:
 
 
 def _media_codec_histogram_oracle_sql() -> str:
-    """Per-codec counts/bytes from the generator ground truth (20 docs,
+    """Per-codec counts/bytes from the generator ground truth (36 docs,
     seed 11), codec tags via corpus.writer_entry_codec == the pipeline's
     classifier."""
     from collections import defaultdict
@@ -3930,7 +3931,7 @@ def _media_codec_histogram_oracle_sql() -> str:
     from docprompt_spark.corpus import golden_page_layouts
 
     agg = defaultdict(lambda: [0, 0])
-    for _d, _pn, _layout, imgs in golden_page_layouts(20, seed=11, skew_every=0):
+    for _d, _pn, _layout, imgs in golden_page_layouts(36, seed=11, skew_every=0):
         for im in imgs:
             agg[im["codec"]][0] += 1
             agg[im["codec"]][1] += im["n_bytes"]
@@ -3945,13 +3946,13 @@ def _media_codec_histogram_oracle_sql() -> str:
 
 
 def _media_inventory_oracle_sql() -> str:
-    """media_inventory golden from ground-truth images (20 docs, seed 11)."""
+    """media_inventory golden from ground-truth images (36 docs, seed 11)."""
     from collections import defaultdict
 
     from docprompt_spark.corpus import golden_page_layouts
 
     per_doc = defaultdict(list)
-    for doc_id, _pn, _layout, imgs in golden_page_layouts(20, seed=11, skew_every=0):
+    for doc_id, _pn, _layout, imgs in golden_page_layouts(36, seed=11, skew_every=0):
         per_doc[doc_id].extend(imgs)
     rows = []
     for d, imgs in sorted(per_doc.items()):

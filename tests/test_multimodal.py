@@ -309,3 +309,96 @@ def test_indexed_image_roundtrips_through_parser(spark):
             palette=bytes(r.palette),
         )
         assert px.tobytes() == gt[r.media_ref]["samples"]
+
+
+def test_rgb8_and_cmyk8_decode_luma():
+    import zlib
+
+    import numpy as np
+
+    from docprompt_spark.corpus import _png_up_predict
+    from docprompt_spark.multimodal import (
+        cmyk_to_gray8,
+        decode_image,
+        rgb_to_gray8,
+    )
+
+    w, h = 12, 6
+    arr = np.arange(w * h, dtype=np.uint8).reshape(h, w) * 3
+    rgb = np.stack([arr, np.roll(arr, 3, axis=1), 255 - arr], axis=-1)
+    px = decode_image(rgb.tobytes(), w, h, "rgb8")
+    assert (px == rgb_to_gray8(rgb)).all()
+    # flate + predictor compose: rows are w*3 bytes
+    payload = zlib.compress(_png_up_predict(rgb.tobytes(), w * 3, h), 6)
+    px2 = decode_image(payload, w, h, f"flate-rgb8;p15;c{w}")
+    assert (px2 == px).all()
+
+    cmyk = np.stack([arr, np.roll(arr, 3, axis=1), 255 - arr, arr >> 2], axis=-1)
+    pc = decode_image(cmyk.tobytes(), w, h, "cmyk8")
+    assert (pc == cmyk_to_gray8(cmyk)).all()
+    pc2 = decode_image(zlib.compress(cmyk.tobytes(), 6), w, h, "flate-cmyk8")
+    assert (pc2 == pc).all()
+
+
+def test_inline_indexed_palette_tokenizes_and_decodes():
+    # BI-dict hex strings must parse as HexString (not Op): regression for
+    # the inline /Indexed palette arriving as repr()-mangled text
+    import zlib
+
+    from docprompt_spark import pdfparse
+    from docprompt_spark.corpus import _indexed_palette
+    from docprompt_spark.multimodal import _codec_of, decode_image, indexed_palette
+
+    pal = _indexed_palette()
+    w, h = 6, 4
+    idx = bytes((5 * i + 2) % 256 for i in range(w * h))
+    payload = zlib.compress(idx, 6)
+    content = (
+        f"BI /W {w} /H {h} /CS [/I /RGB 255 <{pal.hex()}>] /BPC 8"
+        f" /F /Fl /L {len(payload)} ID\n"
+    ).encode("latin-1") + payload + b" EI"
+    iis = pdfparse.inline_images(content)
+    assert len(iis) == 1
+    ii = iis[0]
+    got_pal = indexed_palette(ii.dict, lambda x: x)
+    assert got_pal == pal
+    codec = _codec_of(ii.dict, lambda x: x, ii.raw)
+    assert codec == "flate-idx-rgb8"
+    px = decode_image(ii.raw, w, h, codec, palette=got_pal)
+    ref = decode_image(idx, w, h, "idx-rgb8", palette=pal)
+    assert (px == ref).all()
+
+
+def test_inline_indexed_corpus_roundtrip():
+    # the default corpus rotates inline /Indexed images; write -> parse ->
+    # decode must be bit-exact against the generator ground truth
+    from docprompt_spark import multimodal, pdfparse
+    from docprompt_spark.corpus import gen_doc, golden_page_layouts
+
+    hit = 0
+    for i in range(40):
+        d = gen_doc(i, seed=42, skew_every=0)
+        raw = pdfparse.unwrap_pdf_bytes(d["pdf"])
+        pf = pdfparse.PdfFile(raw)
+        gt = {}
+        for _doc, _pn, _layout, imgs in golden_page_layouts(
+            i + 1, seed=42, skew_every=0
+        ):
+            if _doc == d["doc_id"]:
+                for im in imgs:
+                    gt[im["media_ref"]] = im
+        for idx in range(len(pf.page_refs)):
+            page = pf.extract_page(idx, with_image_data=True)
+            for img in page.get("images", []):
+                if "payload" not in img or "idx" not in img.get("codec", ""):
+                    continue
+                g = gt[img["media_ref"]]
+                px = multimodal.decode_image(
+                    bytes(img["payload"]), g["px_w"], g["px_h"],
+                    img["codec"], palette=img.get("palette"),
+                )
+                assert px.tobytes() == g["samples"]
+                hit += 1
+        if hit >= 6:
+            return
+    assert hit, "corpus should rotate /Indexed images"
