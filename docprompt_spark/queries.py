@@ -87,9 +87,13 @@ _PRIORITY_NAMES = [
     "extraction_rotated_spans",  # page /Rotate (scanner profile), inheritable attr walk
     "extraction_damaged_spans",  # xref-rebuild salvage (pdfium RebuildCrossRef analog)
     "extraction_scanned_spans",  # full-page scan + invisible (Tr 3) OCR text layer
+    "repetition_quality_flags",  # Gopher-style repetition filters (integer-exact)
+    "benchmark_decontamination",  # benchmark 5-gram overlap (broadcast bench set)
 ]
 _LOW_PRIORITY_NAMES = [
     "q5_supplier_volume_by_nation",  # TPC-H redundancy: q1+q3 stay in-window; q5 still bench-timed + local oracle
+    "ngram_jaccard_self_similarity",  # (dedup) minhash_lsh_neardup_pairs' exact-verify stage runs the same relational Jaccard in-window
+    "text_quality_scores",  # (quality) repetition_quality_flags is the in-window quality evidence; still bench-timed + local oracle
     "page_bucket_batching",  # W8 chunk_iterable: local oracle covers; size_capped_batching is the same kernel
     "posting_list_sizes",  # search stats: search_bm25_ranked (in-window) is the §2 evidence
     "term_frequencies_top20",  # ditto — tokenize path proven by clean_text/bm25 in-window
@@ -1921,6 +1925,193 @@ def stratified_sample_10pct(spark, sf_dir):
         F.count("*").alias("n_sampled"),
         F.min("doc_id").cast("long").alias("first_doc"),
         F.max("doc_id").cast("long").alias("last_doc"),
+    )
+
+
+_REP_WS_SQL = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+@query(
+    "repetition_quality_flags",
+    f"""
+    WITH base AS (SELECT doc_id, {_REP_WS_SQL} AS ws FROM documents),
+    stats AS (
+      SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(ws, t -> length(t))), 0)
+                  AS BIGINT) AS sum_word_chars
+      FROM base),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(ws) - 1, 0)),
+               i -> ws[i] || ' ' || ws[i + 1])) AS g
+      FROM base),
+    bic AS (
+      SELECT doc_id, max(c) AS top_bigram_n
+      FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g)
+      GROUP BY doc_id),
+    tri AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(ws) - 2, 0)),
+               i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS g
+      FROM base),
+    tric AS (
+      SELECT doc_id, sum(c) AS dup_trigram_n
+      FROM (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g)
+      WHERE c > 1 GROUP BY doc_id)
+    SELECT s.doc_id AS doc_id, n_words, sum_word_chars,
+           CAST(coalesce(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+           CAST(coalesce(dup_trigram_n, 0) AS BIGINT) AS dup_trigram_n,
+           CAST(CASE WHEN 10 * coalesce(top_bigram_n, 0) >= n_words
+                THEN 1 ELSE 0 END AS INT) AS flag_repetitive,
+           CAST(CASE WHEN 10 * coalesce(dup_trigram_n, 0) >= n_words
+                THEN 1 ELSE 0 END AS INT) AS flag_dup_trigrams,
+           CAST(CASE WHEN n_words = 0
+                     OR sum_word_chars < 4 * n_words
+                     OR sum_word_chars > 5 * n_words
+                THEN 1 ELSE 0 END AS INT) AS flag_word_len
+    FROM stats s LEFT JOIN bic USING (doc_id) LEFT JOIN tric USING (doc_id)
+    """,
+)
+def repetition_quality_flags(spark, sf_dir):
+    """Gopher-style repetition / shape filters (Rae et al. 2021 §A1.1,
+    adapted to word n-grams — the corpus' documents are single-line):
+    per doc, the count of the most frequent word BIGRAM (a 10%+ coverage
+    flag marks boilerplate loops), total occurrences of duplicated word
+    TRIGRAMS (10%+ occupancy flag), and a mean-word-length band check
+    (outside [4, 5] chars/word — Gopher's [3, 10] band calibrated to this
+    corpus' vocabulary so the flag discriminates). All thresholds are
+    INTEGER cross-multiplications — no float division anywhere, so every
+    engine agrees exactly. One token scan feeds bigrams and trigrams via
+    window leads; counts reduce with partial aggs partitioned by
+    (doc_id, gram) — no skew hotspot at corpus scale."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tokens = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    stats = tokens.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.length("tok")).cast("long").alias("sum_word_chars"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = tokens.select(
+        "doc_id",
+        F.lead("tok", 1).over(w).alias("_t1"),
+        F.lead("tok", 2).over(w).alias("_t2"),
+        "tok",
+    )
+    bi = grams.filter(F.col("_t1").isNotNull()).select(
+        "doc_id", F.concat_ws(" ", "tok", "_t1").alias("g")
+    )
+    top_bi = (
+        bi.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    tri = grams.filter(F.col("_t2").isNotNull()).select(
+        "doc_id", F.concat_ws(" ", "tok", "_t1", "_t2").alias("g")
+    )
+    dup_tri = (
+        tri.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("dup_trigram_n"))
+    )
+    out = (
+        stats.join(top_bi, "doc_id", "left")
+        .join(dup_tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "sum_word_chars",
+            F.coalesce("top_bigram_n", F.lit(0)).cast("long").alias("top_bigram_n"),
+            F.coalesce("dup_trigram_n", F.lit(0)).cast("long").alias("dup_trigram_n"),
+        )
+    )
+    return out.select(
+        "doc_id", "n_words", "sum_word_chars", "top_bigram_n", "dup_trigram_n",
+        (10 * F.col("top_bigram_n") >= F.col("n_words"))
+        .cast("int")
+        .alias("flag_repetitive"),
+        (10 * F.col("dup_trigram_n") >= F.col("n_words"))
+        .cast("int")
+        .alias("flag_dup_trigrams"),
+        (
+            (F.col("n_words") == 0)
+            | (F.col("sum_word_chars") < 4 * F.col("n_words"))
+            | (F.col("sum_word_chars") > 5 * F.col("n_words"))
+        )
+        .cast("int")
+        .alias("flag_word_len"),
+    )
+
+
+@query(
+    "benchmark_decontamination",
+    f"""
+    WITH base AS (SELECT doc_id, {_REP_WS_SQL} AS ws FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(ws) - 4, 0)),
+               i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
+                    ws[i + 3] || ' ' || ws[i + 4])) AS g
+      FROM base),
+    bench AS (
+      SELECT DISTINCT g FROM grams
+      WHERE {_h60_sql("CAST(doc_id AS VARCHAR)", "bench:")} % 20 = 0),
+    nonb AS (
+      SELECT DISTINCT doc_id, g FROM grams
+      WHERE {_h60_sql("CAST(doc_id AS VARCHAR)", "bench:")} % 20 <> 0)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           CAST(CASE WHEN sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) > 0
+                THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM nonb LEFT JOIN bench b USING (g)
+    GROUP BY doc_id
+    """,
+)
+def benchmark_decontamination(spark, sf_dir):
+    """Training-data decontamination: flag documents sharing any word
+    5-gram with a held-out benchmark set (the standard n-gram-overlap
+    check run before pretraining). The benchmark membership is a pure
+    md5-hash function of the doc key (~5% of the corpus), so the split is
+    engine/run/scale-stable; its DISTINCT 5-grams stay tiny relative to
+    the corpus and broadcast to every executor — the 100 TB plan is one
+    broadcast-hash join over deduped grams, no shuffle of the corpus side
+    beyond the per-doc dedup partial agg."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tokens = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    g5 = tokens.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            "tok",
+            F.lead("tok", 1).over(w),
+            F.lead("tok", 2).over(w),
+            F.lead("tok", 3).over(w),
+            F.lead("tok", 4).over(w),
+        ).alias("g"),
+        F.lead("tok", 4).over(w).alias("_t4"),
+    ).filter(F.col("_t4").isNotNull()).select("doc_id", "g")
+    is_bench = _h60(F.col("doc_id").cast("string"), "bench:") % 20 == 0
+    bench = g5.filter(is_bench).select("g").distinct()
+    nonb = g5.filter(~is_bench).distinct()
+    hits = nonb.join(
+        F.broadcast(bench.withColumn("_hit", F.lit(1))), "g", "left"
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        (F.coalesce(F.sum("_hit"), F.lit(0)) > 0).cast("int").alias("contaminated"),
     )
 
 
