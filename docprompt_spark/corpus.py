@@ -551,6 +551,25 @@ def _page_vectors(k: int):
              "closed": [True], "paint": "fill",
              "gray": int(round(g * 255.0)), "lw": 0.0}
         )
+    if k & 16:  # axial gradient band (the separator/letterhead gradient)
+        bx, by = x0, 96.0 + 4.0 * ((k >> 5) & 3)
+        bw, bh = 320.0, 12.0
+        c0 = 0.75 if (k & 2) else 0.25
+        c1 = 1.0 - c0
+        nexp = 2.0 if (k >> 6) & 1 else 1.0
+        diag = (k >> 7) & 1 == 1  # diagonal axis exercises the projection
+        bxy = (bx + bw, by + bh if diag else by)
+        writer.append(
+            {"path": [("re", bx, by, bw, bh)], "paint": "sh",
+             "coords": (bx, by, bxy[0], bxy[1]),
+             "c0": c0, "c1": c1, "n": nexp}
+        )
+        gt.append(
+            {"contours": [[(bx, by), (bx + bw, by), (bx + bw, by + bh),
+                           (bx, by + bh)]],
+             "closed": [True], "paint": "shade",
+             "coords": ((bx, by), bxy), "c0": c0, "c1": c1, "n": nexp}
+        )
     if k & 8:  # footer bezier squiggle
         p0 = (x0, 60.0)
         p1 = (x0 + 120.0, 90.0)

@@ -917,6 +917,7 @@ class PdfFile:
             with_image_data=with_image_data,
             load_font=self._load_font,
             ctm0=None if ctm0 is _ID else ctm0,
+            shadings=self.resolve(resources.get("Shading", {})) or {},
         )
         return {
             "width": pw,
@@ -1426,7 +1427,7 @@ _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 def _interpret_content(
     data: bytes, *, fonts: dict, xobjects: dict, resolve, page_w: float,
     page_h: float, with_image_data: bool = False, ctm0: tuple = None,
-    load_font=None, depth: int = 0,
+    load_font=None, depth: int = 0, shadings: dict = None,
 ) -> Tuple[List[dict], List[dict]]:
     # iter(): the op loop and the nested array/dict collectors share one
     # cursor (the tokenizer returns a plain list for speed)
@@ -1453,6 +1454,9 @@ def _interpret_content(
     tr_mode = 0  # text rendering mode (§9.3.6); 3 = invisible — the OCR
     # text layer of scanned PDFs. Extraction keeps the text (pdfium does),
     # rasterization must not paint it.
+    clip_cts: Optional[list] = None  # current clip path (device contours);
+    # rectangle intersections only in practice — the `q re W n ... Q` form
+    pending_clip = False  # W seen; the clip applies at the next path-end op
 
     def xy(x: float, y: float) -> Tuple[float, float]:
         return (
@@ -1467,12 +1471,22 @@ def _interpret_content(
             sub_closed.append(False)
         cur_sub = []
 
+    def take_clip() -> None:
+        # a pending W/W* intersects the clip with the CURRENT path at the
+        # path-end operator (§8.5.4); rectangle clips in practice, so the
+        # new region simply replaces the old one
+        nonlocal clip_cts, pending_clip
+        if pending_clip:
+            clip_cts = [list(c) for c in subpaths if len(c) >= 3]
+            pending_clip = False
+
     def emit_paint(fill: bool, stroke: bool, close: bool) -> None:
         nonlocal subpaths, sub_closed, cur_sub
         closes = close and len(cur_sub) >= 2
         flush_sub()
         if closes:
             sub_closed[-1] = True
+        take_clip()
         if subpaths:
             if fill:
                 vectors.append(
@@ -1717,10 +1731,11 @@ def _interpret_content(
             continue
         op = tok
         if op == b"q":
-            gs_stack.append((ctm, fill_g, stroke_g, line_w, tr_mode))
+            gs_stack.append((ctm, fill_g, stroke_g, line_w, tr_mode, clip_cts))
         elif op == b"Q":
             if gs_stack:
-                ctm, fill_g, stroke_g, line_w, tr_mode = gs_stack.pop()
+                (ctm, fill_g, stroke_g, line_w, tr_mode,
+                 clip_cts) = gs_stack.pop()
         elif op == b"cm":
             m = tuple(float(v) for v in stack[-6:])
             ctm = _mat_mul(m, ctm)
@@ -1805,6 +1820,8 @@ def _interpret_content(
                         ctm0=_mat_mul(fm, ctm),
                         load_font=load_font,
                         depth=depth + 1,
+                        shadings=resolve(sub_res.get("Shading", {}))
+                        or shadings,
                     )
                     words.extend(w2)
                     images.extend(i2)
@@ -1894,10 +1911,43 @@ def _interpret_content(
             stack.clear()
         elif op == b"n":
             flush_sub()
+            take_clip()
             subpaths, sub_closed = [], []
             stack.clear()
         elif op in (b"W", b"W*"):
-            pass  # clipping intersection unsupported; path survives to paint
+            pending_clip = True  # applies at the next path-end operator
+        elif op == b"sh":
+            # axial (Type 2) shading painted through the current clip —
+            # the gradient band/letterhead form real producers emit as
+            # `q ... re W n /ShN sh Q` (§8.7.4.3). Function: exponential
+            # interpolation (Type 2) on DeviceGray.
+            name = str(stack[-1]) if stack else ""
+            shd = resolve((shadings or {}).get(name))
+            shd = shd.dict if hasattr(shd, "dict") else shd
+            if shd and int(resolve(shd.get("ShadingType", 0)) or 0) == 2:
+                co = [float(resolve(v)) for v in resolve(shd.get("Coords"))]
+                fn = resolve(shd.get("Function")) or {}
+                fn = fn.dict if hasattr(fn, "dict") else fn
+                c0 = float(resolve((resolve(fn.get("C0")) or [0.0])[0]))
+                c1 = float(resolve((resolve(fn.get("C1")) or [1.0])[0]))
+                cts = (
+                    [list(c) for c in clip_cts]
+                    if clip_cts
+                    else [[(0.0, 0.0), (page_w, 0.0), (page_w, page_h),
+                           (0.0, page_h)]]
+                )
+                vectors.append(
+                    {
+                        "contours": cts,
+                        "closed": [True] * len(cts),
+                        "paint": "shade",
+                        "coords": (xy(co[0], co[1]), xy(co[2], co[3])),
+                        "c0": c0,
+                        "c1": c1,
+                        "n": float(resolve(fn.get("N", 1)) or 1),
+                    }
+                )
+            stack.clear()
         elif op == b"g":
             fill_g = float(stack[-1])
             stack.clear()

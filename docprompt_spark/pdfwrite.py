@@ -483,6 +483,10 @@ def write_pdf(
             page, cid_of, form_split=form_xobject
         )
         content_num = b.add_stream("", content, compress=compress_streams)
+        sh_res = _shading_resource(
+            page.get("vectors"), rotate, page["width"], page["height"],
+            ox, oy,
+        )
         xobj_entries = []
         if form_data is not None:
             # Form XObject carrying the vector art + header line; its own
@@ -494,11 +498,16 @@ def write_pdf(
             fw, fh = page["width"], page["height"]
             if rotate in (90, 270):
                 fw, fh = fh, fw  # form BBox spans the STORED page frame
+            form_res = f"/Font << {form_fonts} >>"
+            if sh_res:
+                # the vector art (incl. any sh ops) rides in the form, so
+                # the shading dicts belong to the FORM's resources
+                form_res += f" /Shading {sh_res}"
             fm_num = b.add_stream(
                 "/Type /XObject /Subtype /Form"
                 f" /BBox [{fmt_num(ox)} {fmt_num(oy)} {fmt_num(ox + fw)}"
                 f" {fmt_num(oy + fh)}]"
-                f" /Resources << /Font << {form_fonts} >> >>",
+                f" /Resources << {form_res} >>",
                 form_data,
                 compress=compress_streams,
             )
@@ -537,6 +546,8 @@ def write_pdf(
         res = f"<< /Font << {fonts} >>"
         if xobj_entries:
             res += f" /XObject << {' '.join(xobj_entries)} >>"
+        if sh_res and form_data is None:
+            res += f" /Shading {sh_res}"
         res += " >>"
         # /MediaBox inherited from the page-tree root; /Resources per page
         page_num = b.add(
@@ -674,9 +685,23 @@ def _vector_ops(
     # ("c",x1,y1,x2,y2,x3,y3)|("h",)], "paint": f/f*/S/s/B, "gray": 0..1,
     # "lw": points}
     parts: List[str] = []
+    sh_idx = 0
     for vec in vectors or []:
-        seg = ["q"]
         paint = vec.get("paint", "S")
+        if paint == "sh":
+            # axial shading band through a rect clip — the letterhead/
+            # separator gradient real producers emit (§8.7.4.3); the
+            # shading dict itself rides in /Resources /Shading (see
+            # _shading_resource, same enumeration order)
+            seg = ["q"]
+            for op in vec["path"]:
+                op = _rot_path_op(op, rot, vw, vh, ox, oy)
+                seg.append(" ".join(fmt_num(v) for v in op[1:]) + " " + op[0])
+            seg.append(f"W n /Sh{sh_idx} sh Q")
+            sh_idx += 1
+            parts.append(" ".join(seg))
+            continue
+        seg = ["q"]
         gray = vec.get("gray", 0.0)
         if paint in ("f", "f*", "B", "B*", "b", "b*"):
             seg.append(f"{fmt_num(gray)} g")
@@ -690,6 +715,32 @@ def _vector_ops(
         seg.append("Q")
         parts.append(" ".join(seg))
     return parts
+
+
+def _shading_resource(
+    vectors, rot: int = 0, vw: float = 0.0, vh: float = 0.0,
+    ox: float = 0.0, oy: float = 0.0,
+) -> str:
+    """/Shading resource dict for the 'sh' vector entries (axial Type 2
+    on DeviceGray with an exponential-interpolation Type 2 function);
+    names /Sh0.. in the same order _vector_ops references them. Coords
+    map visual→stored exactly like every other placement."""
+    entries = []
+    for vec in vectors or []:
+        if vec.get("paint") != "sh":
+            continue
+        x0, y0, x1, y1 = vec["coords"]
+        sx0, sy0 = _rot_point(rot, x0, y0, vw, vh, ox, oy)
+        sx1, sy1 = _rot_point(rot, x1, y1, vw, vh, ox, oy)
+        entries.append(
+            f"/Sh{len(entries)} << /ShadingType 2 /ColorSpace /DeviceGray"
+            f" /Coords [{fmt_num(sx0)} {fmt_num(sy0)}"
+            f" {fmt_num(sx1)} {fmt_num(sy1)}] /Extend [true true]"
+            f" /Function << /FunctionType 2 /Domain [0 1]"
+            f" /C0 [{fmt_num(vec['c0'])}] /C1 [{fmt_num(vec['c1'])}]"
+            f" /N {fmt_num(vec['n'])} >> >>"
+        )
+    return "" if not entries else "<< " + " ".join(entries) + " >>"
 
 
 def _text_block(

@@ -149,6 +149,53 @@ def fill_contours(
                 canvas[yy, px0:px1] = value
 
 
+def _shade_axial(
+    canvas: np.ndarray, contours, a, b, c0: float, c1: float, nexp: float
+) -> None:
+    """Axial (Type 2) shading fill: the same even-odd scanline spans as
+    :func:`fill_contours`, but each pixel center projects onto the A→B
+    axis for its parameter t (clamped — /Extend [true true]) and colors
+    c0 + t^N (c1 - c0) on the exponential-interpolation (Type 2) function.
+    Fixed-order IEEE float ops, so generator ground truth and parsed
+    render agree bit-exactly."""
+    if not contours:
+        return
+    h, w = canvas.shape
+    ax, ay = a
+    dx, dy = b[0] - ax, b[1] - ay
+    l2 = dx * dx + dy * dy
+    if l2 <= 0.0:
+        return
+    ys = [p[1] for c in contours for p in c]
+    y_lo = max(0, int(math.floor(min(ys))))
+    y_hi = min(h, int(math.ceil(max(ys))) + 1)
+    for yy in range(y_lo, y_hi):
+        yc = yy + 0.5
+        xs = []
+        for contour in contours:
+            n = len(contour)
+            for k in range(n):
+                xa, ya = contour[k]
+                xb, yb = contour[(k + 1) % n]
+                if (ya <= yc < yb) or (yb <= yc < ya):
+                    xs.append(xa + (yc - ya) * (xb - xa) / (yb - ya))
+        if not xs:
+            continue
+        xs.sort()
+        for k in range(0, len(xs) - 1, 2):
+            px0 = max(0, int(math.ceil(xs[k] - 0.5)))
+            px1 = min(w, int(math.ceil(xs[k + 1] - 0.5)))
+            for px in range(px0, px1):
+                t = ((px + 0.5 - ax) * dx + (yc - ay) * dy) / l2
+                if t < 0.0:
+                    t = 0.0
+                elif t > 1.0:
+                    t = 1.0
+                v = c0 + (t ** nexp) * (c1 - c0)
+                g = int(round(v * 255.0))
+                canvas[yy, px] = 0 if g < 0 else (255 if g > 255 else g)
+
+
 def _paint_word_outlines(canvas: np.ndarray, text: str, rect, glyphs) -> None:
     """Real glyph rendering: each character's Type2 outline (from the
     document's embedded CFF font program) scales into its metric share of
@@ -248,7 +295,16 @@ def paint_vectors(
         ]
         paint = v.get("paint", "fill")
         closed = v.get("closed")
-        if paint == "fill":
+        if paint == "shade":
+            (axu, ayu), (bxu, byu) = v["coords"]
+            _shade_axial(
+                canvas,
+                [c for c in pix if len(c) >= 3],
+                (axu * scale, (page_h - ayu) * scale),
+                (bxu * scale, (page_h - byu) * scale),
+                v["c0"], v["c1"], v["n"],
+            )
+        elif paint == "fill":
             fill_contours(canvas, [c for c in pix if len(c) >= 3], gray)
         elif paint == "stroke":
             lw_px = max(float(v.get("lw", 1.0)) * scale, 1.0)

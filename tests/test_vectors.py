@@ -111,7 +111,7 @@ def test_writer_parser_raster_loop():
     same md5 as painting the authored ground truth directly."""
     from docprompt_spark.corpus import _page_vectors
 
-    for k in (0, 1, 2, 3, 8, 11, 15, 255):
+    for k in (0, 1, 2, 3, 8, 11, 15, 255, 16, 18, 80, 208, 144, 255 - 8):
         writer, gt = _page_vectors(k)
         pages = [{
             "width": 612.0, "height": 792.0, "images": [],
