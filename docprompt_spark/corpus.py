@@ -542,15 +542,20 @@ def _page_vectors(k: int):
     if k & 2:  # filled accent bar top-right
         g = 0.5 if (k & 4) else 0.75
         ax0, ay0, aw, ah = x1 - 90.0, float(TOP_Y + 26), 90.0, 10.0
-        writer.append(
-            {"path": [("re", ax0, ay0, aw, ah)], "paint": "f", "gray": g}
-        )
-        gt.append(
-            {"contours": [[(ax0, ay0), (ax0 + aw, ay0), (ax0 + aw, ay0 + ah),
-                           (ax0, ay0 + ah)]],
-             "closed": [True], "paint": "fill",
-             "gray": int(round(g * 255.0)), "lw": 0.0}
-        )
+        w_entry = {"path": [("re", ax0, ay0, aw, ah)], "paint": "f", "gray": g}
+        g_entry = {
+            "contours": [[(ax0, ay0), (ax0 + aw, ay0), (ax0 + aw, ay0 + ah),
+                          (ax0, ay0 + ah)]],
+            "closed": [True], "paint": "fill",
+            "gray": int(round(g * 255.0)), "lw": 0.0,
+        }
+        if k & 32:
+            # translucent highlight (ExtGState /ca 0.5) — blends over the
+            # header rule / page background like real watermark bars
+            w_entry["alpha"] = 0.5
+            g_entry["alpha"] = 0.5
+        writer.append(w_entry)
+        gt.append(g_entry)
     if k & 16:  # axial gradient band (the separator/letterhead gradient)
         bx, by = x0, 96.0 + 4.0 * ((k >> 5) & 3)
         bw, bh = 320.0, 12.0

@@ -918,6 +918,7 @@ class PdfFile:
             load_font=self._load_font,
             ctm0=None if ctm0 is _ID else ctm0,
             shadings=self.resolve(resources.get("Shading", {})) or {},
+            ext_gstates=self.resolve(resources.get("ExtGState", {})) or {},
         )
         return {
             "width": pw,
@@ -1428,6 +1429,7 @@ def _interpret_content(
     data: bytes, *, fonts: dict, xobjects: dict, resolve, page_w: float,
     page_h: float, with_image_data: bool = False, ctm0: tuple = None,
     load_font=None, depth: int = 0, shadings: dict = None,
+    ext_gstates: dict = None,
 ) -> Tuple[List[dict], List[dict]]:
     # iter(): the op loop and the nested array/dict collectors share one
     # cursor (the tokenizer returns a plain list for speed)
@@ -1457,6 +1459,8 @@ def _interpret_content(
     clip_cts: Optional[list] = None  # current clip path (device contours);
     # rectangle intersections only in practice — the `q re W n ... Q` form
     pending_clip = False  # W seen; the clip applies at the next path-end op
+    fill_a = 1.0  # constant alpha (§11.3.7.2), set by `gs` /ca //CA
+    stroke_a = 1.0
 
     def xy(x: float, y: float) -> Tuple[float, float]:
         return (
@@ -1489,27 +1493,29 @@ def _interpret_content(
         take_clip()
         if subpaths:
             if fill:
-                vectors.append(
-                    {
-                        "contours": subpaths,
-                        "closed": list(sub_closed),
-                        "paint": "fill",
-                        "gray": int(round(fill_g * 255.0)),
-                        "lw": 0.0,
-                    }
-                )
+                entry = {
+                    "contours": subpaths,
+                    "closed": list(sub_closed),
+                    "paint": "fill",
+                    "gray": int(round(fill_g * 255.0)),
+                    "lw": 0.0,
+                }
+                if fill_a != 1.0:  # constant alpha (ExtGState /ca)
+                    entry["alpha"] = fill_a
+                vectors.append(entry)
             if stroke:
                 # line width scales with the CTM (sqrt |det|, §8.4.3.2)
                 det = abs(ctm[0] * ctm[3] - ctm[1] * ctm[2])
-                vectors.append(
-                    {
-                        "contours": subpaths,
-                        "closed": list(sub_closed),
-                        "paint": "stroke",
-                        "gray": int(round(stroke_g * 255.0)),
-                        "lw": line_w * math.sqrt(det),
-                    }
-                )
+                entry = {
+                    "contours": subpaths,
+                    "closed": list(sub_closed),
+                    "paint": "stroke",
+                    "gray": int(round(stroke_g * 255.0)),
+                    "lw": line_w * math.sqrt(det),
+                }
+                if stroke_a != 1.0:
+                    entry["alpha"] = stroke_a
+                vectors.append(entry)
         subpaths, sub_closed = [], []
 
     def begin_line(matrix):
@@ -1731,11 +1737,14 @@ def _interpret_content(
             continue
         op = tok
         if op == b"q":
-            gs_stack.append((ctm, fill_g, stroke_g, line_w, tr_mode, clip_cts))
+            gs_stack.append(
+                (ctm, fill_g, stroke_g, line_w, tr_mode, clip_cts,
+                 fill_a, stroke_a)
+            )
         elif op == b"Q":
             if gs_stack:
-                (ctm, fill_g, stroke_g, line_w, tr_mode,
-                 clip_cts) = gs_stack.pop()
+                (ctm, fill_g, stroke_g, line_w, tr_mode, clip_cts,
+                 fill_a, stroke_a) = gs_stack.pop()
         elif op == b"cm":
             m = tuple(float(v) for v in stack[-6:])
             ctm = _mat_mul(m, ctm)
@@ -1822,6 +1831,8 @@ def _interpret_content(
                         depth=depth + 1,
                         shadings=resolve(sub_res.get("Shading", {}))
                         or shadings,
+                        ext_gstates=resolve(sub_res.get("ExtGState", {}))
+                        or ext_gstates,
                     )
                     words.extend(w2)
                     images.extend(i2)
@@ -1964,6 +1975,21 @@ def _interpret_content(
             stack.clear()
         elif op == b"w":
             line_w = float(stack[-1])
+            stack.clear()
+        elif op == b"gs":
+            # ExtGState: constant alpha (/ca non-stroking, /CA stroking,
+            # §11.3.7.2) and /LW are honored; soft masks / blend modes out
+            # of scope for this renderer
+            name = str(stack[-1]) if stack else ""
+            gsd = resolve((ext_gstates or {}).get(name))
+            gsd = gsd.dict if hasattr(gsd, "dict") else gsd
+            if gsd:
+                if "ca" in gsd:
+                    fill_a = float(resolve(gsd["ca"]))
+                if "CA" in gsd:
+                    stroke_a = float(resolve(gsd["CA"]))
+                if "LW" in gsd:
+                    line_w = float(resolve(gsd["LW"]))
             stack.clear()
         else:
             # unknown operator: discard operands (defensive)

@@ -487,6 +487,7 @@ def write_pdf(
             page.get("vectors"), rotate, page["width"], page["height"],
             ox, oy,
         )
+        gs_res = _gstate_resource(page.get("vectors"))
         xobj_entries = []
         if form_data is not None:
             # Form XObject carrying the vector art + header line; its own
@@ -503,6 +504,8 @@ def write_pdf(
                 # the vector art (incl. any sh ops) rides in the form, so
                 # the shading dicts belong to the FORM's resources
                 form_res += f" /Shading {sh_res}"
+            if gs_res:
+                form_res += f" /ExtGState {gs_res}"
             fm_num = b.add_stream(
                 "/Type /XObject /Subtype /Form"
                 f" /BBox [{fmt_num(ox)} {fmt_num(oy)} {fmt_num(ox + fw)}"
@@ -548,6 +551,8 @@ def write_pdf(
             res += f" /XObject << {' '.join(xobj_entries)} >>"
         if sh_res and form_data is None:
             res += f" /Shading {sh_res}"
+        if gs_res and form_data is None:
+            res += f" /ExtGState {gs_res}"
         res += " >>"
         # /MediaBox inherited from the page-tree root; /Resources per page
         page_num = b.add(
@@ -703,6 +708,10 @@ def _vector_ops(
             continue
         seg = ["q"]
         gray = vec.get("gray", 0.0)
+        if vec.get("alpha") is not None:
+            # constant-alpha fill (§11.3.7.2): /GSaN gs names an ExtGState
+            # carrying /ca — _gstate_resource enumerates in the same order
+            seg.append(f"/GSa{_alpha_index(vectors, vec)} gs")
         if paint in ("f", "f*", "B", "B*", "b", "b*"):
             seg.append(f"{fmt_num(gray)} g")
         if paint not in ("f", "f*"):
@@ -715,6 +724,31 @@ def _vector_ops(
         seg.append("Q")
         parts.append(" ".join(seg))
     return parts
+
+
+def _alpha_index(vectors, vec) -> int:
+    """Position of ``vec`` among the alpha-carrying entries — the /GSaN
+    name both _vector_ops and _gstate_resource agree on."""
+    i = 0
+    for v in vectors or []:
+        if v is vec:
+            return i
+        if v.get("alpha") is not None:
+            i += 1
+    return i
+
+
+def _gstate_resource(vectors) -> str:
+    """/ExtGState resource dict for alpha-carrying vector entries: /GSa0..
+    each with /ca (non-stroking) and /CA (stroking) constant alpha."""
+    entries = [
+        f"/GSa{i} << /Type /ExtGState /ca {fmt_num(v['alpha'])}"
+        f" /CA {fmt_num(v['alpha'])} >>"
+        for i, v in enumerate(
+            [v for v in vectors or [] if v.get("alpha") is not None]
+        )
+    ]
+    return "" if not entries else "<< " + " ".join(entries) + " >>"
 
 
 def _shading_resource(

@@ -116,7 +116,7 @@ _EM_DESC = -180.0
 
 
 def fill_contours(
-    canvas: np.ndarray, contours, value: int = 0
+    canvas: np.ndarray, contours, value: int = 0, alpha: float = 1.0
 ) -> None:
     """Even-odd scanline polygon fill at pixel centers — deterministic IEEE
     float ops in fixed order, so identical rasters on every host. This is
@@ -145,8 +145,17 @@ def fill_contours(
             # pixels whose center lies in [xs[k], xs[k+1])
             px0 = max(0, int(math.ceil(xs[k] - 0.5)))
             px1 = min(w, int(math.ceil(xs[k + 1] - 0.5)))
-            if px1 > px0:
+            if px1 <= px0:
+                continue
+            if alpha >= 1.0:
                 canvas[yy, px0:px1] = value
+            else:
+                # constant-alpha source-over (§11.3.7): same float
+                # expression on generator-GT and parsed renders
+                old = canvas[yy, px0:px1].astype(np.float64)
+                canvas[yy, px0:px1] = np.clip(
+                    np.round(value * alpha + old * (1.0 - alpha)), 0, 255
+                ).astype(np.uint8)
 
 
 def _shade_axial(
@@ -305,13 +314,17 @@ def paint_vectors(
                 v["c0"], v["c1"], v["n"],
             )
         elif paint == "fill":
-            fill_contours(canvas, [c for c in pix if len(c) >= 3], gray)
+            fill_contours(
+                canvas, [c for c in pix if len(c) >= 3], gray,
+                alpha=float(v.get("alpha", 1.0)),
+            )
         elif paint == "stroke":
             lw_px = max(float(v.get("lw", 1.0)) * scale, 1.0)
+            a = float(v.get("alpha", 1.0))
             for i, c in enumerate(pix):
                 cl = closed[i] if isinstance(closed, (list, tuple)) else bool(closed)
                 for quad in _stroke_quads(c, lw_px, cl):
-                    fill_contours(canvas, [quad], gray)
+                    fill_contours(canvas, [quad], gray, alpha=a)
 
 
 def render_page(

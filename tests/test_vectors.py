@@ -128,3 +128,36 @@ def test_writer_parser_raster_loop():
         rasterize.paint_vectors(b, gt, 792.0, 1.0)
         assert hashlib.md5(a.tobytes()).hexdigest() == hashlib.md5(b.tobytes()).hexdigest()
         assert (a != 255).any()
+
+
+def test_extgstate_alpha_blend():
+    """/GSa gs with /ca 0.5: the translucent accent bar blends over the
+    background; writer -> parser dict equality + raster md5 parity."""
+    from docprompt_spark.corpus import _page_vectors
+
+    for k in (34, 35, 50, 255):  # k&2 (bar) and k&32 (alpha) set
+        writer, gt = _page_vectors(k)
+        assert any(v.get("alpha") == 0.5 for v in gt), f"k={k}"
+        pages = [{
+            "width": 612.0, "height": 792.0, "images": [],
+            "vectors": writer,
+            "text_ops": [{"font": "F1", "size": 12.0, "x": 72.0, "y": 650.0,
+                          "segments": ["x"], "mode": "Tm"}],
+        }]
+        pf = pdfparse.PdfFile(pdfwrite.write_pdf(pages))
+        parsed = pf.extract_page(0)["vectors"]
+        assert parsed == gt, f"k={k}"
+        a = np.full((792, 612), 255, dtype=np.uint8)
+        b = np.full((792, 612), 255, dtype=np.uint8)
+        rasterize.paint_vectors(a, parsed, 792.0, 1.0)
+        rasterize.paint_vectors(b, gt, 792.0, 1.0)
+        assert hashlib.md5(a.tobytes()).hexdigest() == hashlib.md5(b.tobytes()).hexdigest()
+        # 0.5-alpha over white background blends to mid values — the raster
+        # must contain a pixel that is neither pure ink nor the bar's own
+        # gray (proof the blend actually ran)
+        assert (a != 255).any()
+        # the blend-over-white value must appear (proof the blend ran):
+        # round(gray*0.5 + 255*0.5) for the bar's authored gray
+        g = 0.5 if (k & 4) else 0.75
+        expected = int(round(int(round(g * 255.0)) * 0.5 + 255.0 * 0.5))
+        assert expected in set(np.unique(a).tolist()), f"k={k}"
