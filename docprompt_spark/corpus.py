@@ -591,6 +591,17 @@ def _page_vectors(k: int):
     return writer, gt
 
 
+def _link_annotation_gt(doc_id: str, idx: int):
+    """(uri, rect) of the /Link annotation the incremental-update revision
+    adds to page 1 — one formula shared by the generator and the
+    link_annotations oracle."""
+    yb = 640.0 - 4.0 * (idx % 4)
+    return (
+        f"https://example.org/{doc_id}/p1",
+        (72.0, yb, 272.0, yb + 12.0),
+    )
+
+
 def _damage(pdf: bytes, mode: int) -> bytes:
     """Deterministic real-world file corruption (envelope="damaged") —
     the salvage cases pdfium's RebuildCrossRef handles for the reference:
@@ -862,6 +873,20 @@ def gen_doc(
         rotate=rot,
         media_origin=orig,
     )
+    if envelope == "incremental" or (
+        envelope is None
+        and idx % 8 == 5
+        and not use_xref_stream
+        and enc_mode is None
+    ):
+        # incremental update (§7.5.6): an appended revision REDEFINES the
+        # first page object to add a /Link annotation — two xref sections
+        # chained by /Prev, newest-wins object resolution load-bearing.
+        # Golden text spans are update-invariant by construction.
+        from docprompt_spark.pdfwrite import append_incremental_link
+
+        uri, rect = _link_annotation_gt(doc_id, idx)
+        pdf = append_incremental_link(pdf, uri, rect)
     if envelope == "damaged":
         pdf = _damage(pdf, idx)
     wrapped = _wrap(pdf, idx % 4)

@@ -897,7 +897,7 @@ class PdfFile:
         if contents is None:
             return {
                 "width": pw, "height": ph, "words": [], "images": [],
-                "vectors": [],
+                "vectors": [], "annots": self._page_annotations(page),
             }
         contents = self.resolve(contents)
         if isinstance(contents, list):
@@ -926,7 +926,42 @@ class PdfFile:
             "words": words,
             "images": images,
             "vectors": vectors,
+            "annots": self._page_annotations(page),
         }
+
+    def _page_annotations(self, page: dict) -> List[dict]:
+        """Link-style annotations of a page (§12.5): subtype, /Rect in
+        stored page coordinates, and the /URI of any URI action. The page
+        object carrying /Annots is often REDEFINED by an incremental
+        update (§7.5.6) — resolving through the newest revision is what
+        makes appended link/markup layers visible."""
+        out: List[dict] = []
+        for aref in self.resolve(page.get("Annots", [])) or []:
+            a = self.resolve(aref)
+            a = a.dict if isinstance(a, Stream) else a
+            if not isinstance(a, dict):
+                continue
+            rect = [
+                float(self.resolve(v))
+                for v in (self.resolve(a.get("Rect")) or [0, 0, 0, 0])
+            ]
+            act = self.resolve(a.get("A")) or {}
+            uri = act.get("URI") if isinstance(act, dict) else None
+            if uri is not None:
+                uri = self.resolve(uri)
+                uri = (
+                    bytes(uri).decode("latin-1")
+                    if isinstance(uri, bytes)
+                    else str(uri)
+                )
+            out.append(
+                {
+                    "subtype": str(self.resolve(a.get("Subtype", ""))),
+                    "rect": rect,
+                    "uri": uri,
+                }
+            )
+        return out
 
     def glyph_outline_pool(self) -> Dict[str, tuple]:
         """char -> (advance width, contours) harvested from every embedded

@@ -907,3 +907,111 @@ def _show_op(op: dict, cid_of: Dict[str, int]) -> str:
         for s in segs
     ]
     return "[" + " ".join(items) + "] TJ"
+
+
+# ---------------------------------------------------------------------------
+# Incremental updates (§7.5.6): append a revision to an existing file
+# ---------------------------------------------------------------------------
+
+
+def _ser_parsed(v) -> str:
+    """Re-serialize a PARSED object (a pdfparse value tree) back to PDF
+    syntax — append_incremental_link uses it to redefine the page object
+    in an appended revision without re-writing the original bytes."""
+    from docprompt_spark import pdfparse as pp
+
+    if isinstance(v, pp.Ref):
+        return f"{v.num} {v.gen} R"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "true" if v else "false"
+    if isinstance(v, pp.Name):
+        return "/" + str(v)
+    if isinstance(v, pp.HexString):
+        return "<" + v.hex() + ">"
+    if isinstance(v, bytes):  # LitString and friends
+        return "(" + esc_literal(bytes(v)).decode("latin-1") + ")"
+    if isinstance(v, str):
+        return "(" + esc_literal(v.encode("latin-1")).decode("latin-1") + ")"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return fmt_num(v)
+    if isinstance(v, dict):
+        return (
+            "<< "
+            + " ".join(f"/{k} {_ser_parsed(x)}" for k, x in v.items())
+            + " >>"
+        )
+    if isinstance(v, list):
+        return "[" + " ".join(_ser_parsed(x) for x in v) + "]"
+    if v is None:
+        return "null"
+    raise TypeError(f"cannot serialize {type(v)!r}")
+
+
+def append_incremental_link(
+    pdf: bytes, uri: str, rect, page_index: int = 0
+) -> bytes:
+    """Append an INCREMENTAL UPDATE (§7.5.6) adding a /Link annotation
+    with a /URI action to one page: the original bytes stay untouched, a
+    new revision appends (1) the annotation object, (2) a REDEFINED page
+    object carrying /Annots, (3) a classic xref section whose trailer
+    /Prev chains to the previous xref. The redefined page shadows the
+    original (newest revision wins), so a reader that walks the /Prev
+    chain in the wrong order extracts no link — the override is
+    load-bearing. Classic-xref base files only."""
+    import re as _re
+
+    from docprompt_spark import pdfparse as pp
+
+    pf = pp.PdfFile(pdf)
+    pref = pf.page_refs[page_index]
+    page = dict(pf.resolve(pref))
+    size = int(pf.resolve(pf.trailer.get("Size", 0)) or 0)
+    annot_num = size
+    annots = list(pf.resolve(page.get("Annots", [])) or [])
+    annots.append(pp.Ref(annot_num, 0))
+    page["Annots"] = annots
+    m = None
+    for m in _re.finditer(rb"startxref\s+(\d+)", pdf):
+        pass
+    if m is None:
+        raise ValueError("no startxref in base file")
+    prev_off = int(m.group(1))
+    base = pdf if pdf.endswith((b"\n", b"\r")) else pdf + b"\n"
+    rect_s = " ".join(fmt_num(float(v)) for v in rect)
+    uri_s = esc_literal(uri.encode("latin-1")).decode("latin-1")
+    annot_body = (
+        f"{annot_num} 0 obj\n<< /Type /Annot /Subtype /Link"
+        f" /Rect [{rect_s}] /Border [0 0 0]"
+        f" /A << /S /URI /URI ({uri_s}) >> >>\nendobj\n"
+    )
+    gen = getattr(pref, "gen", 0)
+    page_body = f"{pref.num} {gen} obj\n{_ser_parsed(page)}\nendobj\n"
+    off_annot = len(base)
+    off_page = off_annot + len(annot_body)
+    xref_off = off_page + len(page_body)
+    entries = sorted([(pref.num, off_page), (annot_num, off_annot)])
+    secs: List[list] = []
+    for num, off in entries:
+        if secs and num == secs[-1][0] + len(secs[-1][1]):
+            secs[-1][1].append(off)
+        else:
+            secs.append([num, [off]])
+    xref_lines = ["xref"]
+    for start, offs in secs:
+        xref_lines.append(f"{start} {len(offs)}")
+        xref_lines.extend(f"{o:010d} 00000 n " for o in offs)
+    root = pf.trailer.get("Root")
+    tail = (
+        "\n".join(xref_lines)
+        + f"\ntrailer\n<< /Size {max(annot_num + 1, size)}"
+        f" /Root {root.num} {getattr(root, 'gen', 0)} R"
+        f" /Prev {prev_off} >>\nstartxref\n{xref_off}\n%%EOF\n"
+    )
+    return (
+        base
+        + annot_body.encode("latin-1")
+        + page_body.encode("latin-1")
+        + tail.encode("latin-1")
+    )

@@ -89,11 +89,13 @@ _PRIORITY_NAMES = [
     "extraction_scanned_spans",  # full-page scan + invisible (Tr 3) OCR text layer
     "repetition_quality_flags",  # Gopher-style repetition filters (integer-exact)
     "benchmark_decontamination",  # benchmark 5-gram overlap (broadcast bench set)
+    "link_annotations",  # incremental-update (§7.5.6) /Prev chain + /Link URI extraction
 ]
 _LOW_PRIORITY_NAMES = [
     "q5_supplier_volume_by_nation",  # TPC-H redundancy: q1+q3 stay in-window; q5 still bench-timed + local oracle
     "ngram_jaccard_self_similarity",  # (dedup) minhash_lsh_neardup_pairs' exact-verify stage runs the same relational Jaccard in-window
     "text_quality_scores",  # (quality) repetition_quality_flags is the in-window quality evidence; still bench-timed + local oracle
+    "media_inventory",  # (media counts) media_codec_histogram is the stronger in-window counting oracle; local oracle still checks it
     "page_bucket_batching",  # W8 chunk_iterable: local oracle covers; size_capped_batching is the same kernel
     "posting_list_sizes",  # search stats: search_bm25_ranked (in-window) is the §2 evidence
     "term_frequencies_top20",  # ditto — tokenize path proven by clean_text/bm25 in-window
@@ -3407,6 +3409,79 @@ def extraction_damaged_spans(spark, sf_dir):
 _REGISTRY["extraction_damaged_spans"] = (extraction_damaged_spans, None)
 
 
+def link_annotations(spark, sf_dir):
+    """Link-annotation extraction over INCREMENTALLY UPDATED documents
+    (§7.5.6 + §12.5): each corpus file carries an appended revision whose
+    redefined page object adds a /Link annotation with a /URI action —
+    the way stamping/review tools and link layers modify real PDFs
+    without rewriting them. The parser must chain /Prev across both xref
+    sections and resolve the NEWEST page object; a reader that takes the
+    original revision extracts zero links. URL extraction from document
+    corpora is also the crawl-graph input a training pipeline mines.
+    Arrow-batched mapInPandas, one row per annotation — no driver I/O."""
+    import pandas as pd
+
+    from docprompt_spark import pdfparse, pipeline
+
+    docs = pipeline.corpus_df(
+        spark, 8, seed=_FLAGSHIP_SEED, skew_every=0, envelope="incremental"
+    )
+    schema = (
+        "doc_id string, page_number int, subtype string, uri string,"
+        " x0 double, y0 double, x1 double, y1 double"
+    )
+    cols = ["doc_id", "page_number", "subtype", "uri", "x0", "y0", "x1", "y1"]
+
+    def fn(batches):
+        for b in batches:
+            rows = []
+            for doc_id, pdf in zip(b["doc_id"], b["pdf"]):
+                pf = pdfparse.PdfFile(pdfparse.unwrap_pdf_bytes(bytes(pdf)))
+                for i in range(len(pf.page_refs)):
+                    for a in pf.extract_page(i)["annots"]:
+                        r = a["rect"]
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "page_number": i + 1,
+                                "subtype": a["subtype"],
+                                "uri": a["uri"],
+                                "x0": r[0], "y0": r[1],
+                                "x1": r[2], "y1": r[3],
+                            }
+                        )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id", "pdf").mapInPandas(fn, schema=schema)
+
+
+def _link_annotations_oracle_sql() -> str:
+    """VALUES golden from the shared generator formula (corpus
+    _link_annotation_gt): every incremental-envelope doc carries exactly
+    one Link on page 1."""
+    from docprompt_spark.corpus import _link_annotation_gt
+
+    rows = []
+    for idx in range(8):
+        doc_id = f"doc-{_FLAGSHIP_SEED}-{idx:08d}"
+        uri, (x0, y0, x1, y1) = _link_annotation_gt(doc_id, idx)
+        rows.append(
+            f"({_sql_quote(doc_id)},1,'Link',{_sql_quote(uri)},"
+            f"{x0!r},{y0!r},{x1!r},{y1!r})"
+        )
+    return (
+        "SELECT doc_id, CAST(page_number AS INT) AS page_number, subtype,"
+        " uri, CAST(x0 AS DOUBLE) AS x0, CAST(y0 AS DOUBLE) AS y0,"
+        " CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1"
+        " FROM (VALUES " + ",".join(rows) +
+        ") AS t(doc_id, page_number, subtype, uri, x0, y0, x1, y1)"
+    )
+
+
+_REGISTRY["link_annotations"] = (link_annotations, None)
+
+
 def extraction_scanned_spans(spark, sf_dir):
     """Same pipeline over the SCANNED-document profile: every page is a
     full-page scan image (CCITT G4 bilevel on even docs, grayscale DCT on
@@ -4245,6 +4320,7 @@ def _build_oracle_sql() -> Dict[str, str]:
     out["extraction_damaged_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, envelope="damaged"
     )
+    out["link_annotations"] = _link_annotations_oracle_sql()
     out["extraction_scanned_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, envelope="scanned"
     )
