@@ -69,6 +69,10 @@ def main() -> None:
         "block_type_dispatch",
         "answer_parse_data_uri",
         "media_codec_histogram",
+        "repetition_quality_flags",
+        "benchmark_decontamination",
+        "link_annotations",
+        "embedding_cosine_neardup_pairs",
     ]:
         sections.append((name, formatted(reg[name][0](spark, sf))))
 
