@@ -602,6 +602,74 @@ def _link_annotation_gt(doc_id: str, idx: int):
     )
 
 
+def _doc_structure_gt(doc_id: str, idx: int, n_pages: int) -> dict:
+    """Deterministic document-STRUCTURE ground truth — the navigation /
+    interchange layer real producers attach around the page content:
+    /Info metadata + XMP, a nested /Outlines (bookmark) tree, AcroForm
+    form fields with filled values, and /EmbeddedFiles attachments.
+    One formula shared by the writer input (gen_doc) and the VALUES
+    oracles of document_metadata / outline_entries / form_field_values /
+    embedded_attachments, so parity proves the full author → serialize →
+    parse → walk loop. Arithmetic in ``idx`` only (no rng draws): page
+    content and golden spans are structure-invariant by construction."""
+    yy, mm, dd = 2019 + idx % 6, 1 + (idx * 7) % 12, 1 + (idx * 11) % 28
+    info = {
+        "author": f"Author {idx % 7}",
+        "subject": f"Subject {(idx * 3) % 5}",
+        "producer": "docprompt-spark",
+        "creation": f"D:{yy:04d}{mm:02d}{dd:02d}090000Z",
+    }
+    # bookmark tree: one section per page (max 3), page-1 section carries
+    # two subsections — exercises /First/:/Next sibling chains AND nesting
+    yb = 720.0 - 2.0 * (idx % 5)
+    outlines = []
+    for p in range(min(n_pages, 3)):
+        item = {"title": f"Section {p + 1}", "page": p, "y": yb - 8.0 * p,
+                "kids": []}
+        if p == 0:
+            item["kids"] = [
+                {"title": f"Section 1.{k + 1}", "page": 0,
+                 "y": yb - 100.0 - 50.0 * k, "kids": []}
+                for k in range(2)
+            ]
+        outlines.append(item)
+    # form fields: a hierarchical text field (dotted name — /Kids walk),
+    # a checkbox, and (on a third of docs) a choice field on page 2
+    fields = [
+        {"name": "applicant.name", "ftype": "Tx",
+         "value": f"Case {idx:04d}", "page": 0,
+         "rect": (72.0, 40.0, 272.0, 54.0)},
+        {"name": "approved", "ftype": "Btn",
+         "value": "Yes" if idx % 2 == 0 else "Off", "page": 0,
+         "rect": (300.0, 40.0, 312.0, 52.0)},
+    ]
+    if idx % 3 == 0:
+        fields.append(
+            {"name": "category", "ftype": "Ch",
+             "value": ("alpha", "beta", "gamma")[(idx * 5) % 3],
+             "page": min(1, n_pages - 1),
+             "rect": (72.0, 24.0, 200.0, 38.0),
+             "opts": ("alpha", "beta", "gamma")}
+        )
+    # attachments: text note always, a CSV on every other doc; payloads
+    # deterministic so the oracle can md5 them (proving stream decode)
+    attachments = [
+        {"name": f"notes-{idx % 5}.txt", "mime": "text/plain",
+         "data": (f"attachment {doc_id} note " + "payload " * (1 + idx % 3)
+                  ).encode()},
+    ]
+    if idx % 2 == 1:
+        attachments.append(
+            {"name": f"data-{idx % 3}.csv", "mime": "text/csv",
+             "data": ("k,v\n" + "".join(
+                 f"r{r},{(idx * (r + 3)) % 97}\n" for r in range(4 + idx % 4)
+             )).encode()}
+        )
+    return {"info": info, "outlines": outlines, "fields": fields,
+            "attachments": sorted(attachments, key=lambda a: a["name"]),
+            "xmp": True}
+
+
 def _damage(pdf: bytes, mode: int) -> bytes:
     """Deterministic real-world file corruption (envelope="damaged") —
     the salvage cases pdfium's RebuildCrossRef handles for the reference:
@@ -853,6 +921,22 @@ def gen_doc(
             # ObjStm envelopes — the modern encrypted-document profile
             enc_mode = "aes-256"
             use_xref_stream = idx % 2 == 0
+        elif envelope == "structured":
+            # document-structure oracle corpus: rotate both xref envelopes,
+            # all three content filters, and AES-128 on a quarter (classic
+            # envelope — idx%4==2 is even, so never combined with the
+            # ObjStm envelope here; the string-encryption rules differ)
+            use_xref_stream = idx % 2 == 1
+            comp = ["flate", False, "lzw"][idx % 3]
+            enc_mode = "aes-128" if idx % 4 == 2 else None
+    # document-structure layer (§12.3.3/§12.7/§7.11.4 + /Info + XMP):
+    # every "structured"-envelope doc and an eighth of the default corpus
+    # carry outlines, filled form fields, attachments and metadata —
+    # structure never touches content streams, so golden spans/rasters
+    # are structure-invariant by construction
+    structure = None
+    if envelope == "structured" or (envelope is None and idx % 8 == 2):
+        structure = _doc_structure_gt(doc_id, idx, n_pages)
     pdf = write_pdf(
         pages_w,
         doc_title=doc_id,
@@ -872,6 +956,7 @@ def gen_doc(
         form_xobject=idx % 3 == 1,
         rotate=rot,
         media_origin=orig,
+        structure=structure,
     )
     if envelope == "incremental" or (
         envelope is None

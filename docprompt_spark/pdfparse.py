@@ -963,6 +963,193 @@ class PdfFile:
             )
         return out
 
+    # -- document structure (metadata / outlines / forms / attachments) ----
+    def _str_of(self, v: Any) -> Optional[str]:
+        """Decode a PDF string value ((...) or <...>) to text."""
+        v = self.resolve(v)
+        if v is None:
+            return None
+        if isinstance(v, Name):
+            return str(v)
+        if isinstance(v, bytes):
+            return bytes(v).decode("latin-1")
+        return str(v)
+
+    def doc_info(self) -> Dict[str, Optional[str]]:
+        """Trailer /Info metadata dictionary (§14.3.3): the classic
+        document-information layer (reference surfaces provider metadata
+        per document; here it comes from the file itself)."""
+        d = self.resolve(self.trailer.get("Info")) or {}
+        return {
+            "title": self._str_of(d.get("Title")),
+            "author": self._str_of(d.get("Author")),
+            "subject": self._str_of(d.get("Subject")),
+            "producer": self._str_of(d.get("Producer")),
+            "creation": self._str_of(d.get("CreationDate")),
+        }
+
+    def xmp_metadata(self) -> Optional[str]:
+        """The catalog's XMP /Metadata packet (§14.3.2) as text, or None."""
+        m = self.resolve(self.root.get("Metadata"))
+        if not isinstance(m, Stream):
+            return None
+        return m.data(self.resolve).decode("utf-8", "replace")
+
+    def outline_entries(self) -> List[dict]:
+        """Flattened /Outlines (bookmark) tree (§12.3.3): depth-first over
+        /First chains, siblings via /Next; each entry carries its document
+        order, nesting level, title, and the 1-based page + y of its /Dest."""
+        out: List[dict] = []
+        ol = self.resolve(self.root.get("Outlines"))
+        if not isinstance(ol, dict):
+            return out
+        pgidx = {r.num: i for i, r in enumerate(self.page_refs)}
+        seen: set = set()
+
+        def walk(ref: Any, level: int) -> None:
+            while ref is not None:
+                if isinstance(ref, Ref):
+                    if ref.num in seen:  # cycle guard (damaged trees)
+                        return
+                    seen.add(ref.num)
+                node = self.resolve(ref)
+                if not isinstance(node, dict):
+                    return
+                dest = self.resolve(node.get("Dest")) or []
+                page_number = 0
+                y = None
+                if dest and isinstance(dest[0], Ref):
+                    page_number = pgidx.get(dest[0].num, -1) + 1
+                if len(dest) >= 4 and str(
+                    self.resolve(dest[1]) or ""
+                ) == "XYZ":
+                    yv = self.resolve(dest[3])
+                    y = float(yv) if yv is not None else None
+                out.append(
+                    {
+                        "order": len(out),
+                        "level": level,
+                        "title": self._str_of(node.get("Title")) or "",
+                        "page_number": page_number,
+                        "y": y,
+                    }
+                )
+                if node.get("First") is not None:
+                    walk(node["First"], level + 1)
+                ref = node.get("Next")
+
+        if ol.get("First") is not None:
+            walk(ol["First"], 0)
+        return out
+
+    def form_fields(self) -> List[dict]:
+        """AcroForm field values (§12.7): walks /AcroForm /Fields through
+        /Kids, joining partial names with '.' and inheriting /FT and /V
+        from parent nodes; terminal widgets yield (fully-qualified name,
+        type, value, 1-based page via /P, /Rect). /Btn values are names
+        (/Yes, /Off); text and choice values are strings — filled-form
+        extraction, the interchange layer review/intake tools write."""
+        out: List[dict] = []
+        acro = self.resolve(self.root.get("AcroForm"))
+        if not isinstance(acro, dict):
+            return out
+        pgidx = {r.num: i for i, r in enumerate(self.page_refs)}
+
+        def walk(ref: Any, prefix: str, ftype: Optional[str],
+                 value: Any) -> None:
+            f = self.resolve(ref)
+            f = f.dict if isinstance(f, Stream) else f
+            if not isinstance(f, dict):
+                return
+            t = self._str_of(f.get("T"))
+            name = f"{prefix}.{t}" if prefix and t else (t or prefix)
+            if "FT" in f:
+                ftype = str(self.resolve(f["FT"]))
+            if "V" in f:
+                value = f["V"]
+            kids = self.resolve(f.get("Kids"))
+            if kids:
+                for k in kids:
+                    walk(k, name, ftype, value)
+                return
+            if str(self.resolve(f.get("Subtype", ""))) != "Widget":
+                return
+            rect = [
+                float(self.resolve(v))
+                for v in (self.resolve(f.get("Rect")) or [0, 0, 0, 0])
+            ]
+            p = f.get("P")
+            page_number = (
+                pgidx.get(p.num, -1) + 1 if isinstance(p, Ref) else 0
+            )
+            out.append(
+                {
+                    "name": name,
+                    "ftype": ftype or "",
+                    "value": self._str_of(value),
+                    "page_number": page_number,
+                    "rect": rect,
+                }
+            )
+
+        for ref in self.resolve(acro.get("Fields", [])) or []:
+            walk(ref, "", None, None)
+        return out
+
+    def attachments(self) -> List[dict]:
+        """Embedded-file attachments (§7.11.4) behind the catalog's
+        /Names /EmbeddedFiles name tree (§7.9.6, incl. intermediate /Kids
+        nodes): yields name, declared MIME (/Subtype), declared /Params
+        size + /CheckSum, and the md5 of the DECODED payload — equality
+        of the two digests proves the stream decode (filters +
+        encryption) end to end."""
+        out: List[dict] = []
+        names_d = self.resolve(self.root.get("Names"))
+        if not isinstance(names_d, dict):
+            return out
+        tree = self.resolve(names_d.get("EmbeddedFiles"))
+        if not isinstance(tree, dict):
+            return out
+
+        pairs: List[tuple] = []
+
+        def walk_tree(node: Any) -> None:
+            node = self.resolve(node)
+            if not isinstance(node, dict):
+                return
+            arr = self.resolve(node.get("Names"))
+            if arr:
+                for i in range(0, len(arr) - 1, 2):
+                    pairs.append((self._str_of(arr[i]), arr[i + 1]))
+            for kid in self.resolve(node.get("Kids")) or []:
+                walk_tree(kid)
+
+        walk_tree(tree)
+        import hashlib as _hl
+
+        for nm, specref in pairs:
+            spec = self.resolve(specref)
+            spec = spec.dict if isinstance(spec, Stream) else spec
+            if not isinstance(spec, dict):
+                continue
+            ef = self.resolve(spec.get("EF")) or {}
+            fstm = self.resolve(ef.get("F"))
+            if not isinstance(fstm, Stream):
+                continue
+            data = fstm.data(self.resolve)
+            params = self.resolve(fstm.dict.get("Params")) or {}
+            size = self.resolve(params.get("Size"))
+            out.append(
+                {
+                    "name": nm,
+                    "mime": str(self.resolve(fstm.dict.get("Subtype", ""))),
+                    "size": int(size) if size is not None else len(data),
+                    "checksum": self._str_of(params.get("CheckSum")),
+                    "payload_md5": _hl.md5(data).hexdigest(),
+                }
+            )
+        return out
+
     def glyph_outline_pool(self) -> Dict[str, tuple]:
         """char -> (advance width, contours) harvested from every embedded
         outline font program — CFF (/FontFile3) and TrueType (/FontFile2)

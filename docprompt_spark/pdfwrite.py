@@ -291,6 +291,7 @@ def write_pdf(
     form_xobject: bool = False,
     rotate: int = 0,
     media_origin: Tuple[float, float] = (0.0, 0.0),
+    structure: Optional[dict] = None,
 ) -> bytes:
     """Serialize page dicts (see module comment) into PDF bytes.
 
@@ -301,7 +302,17 @@ def write_pdf(
     ``encrypt``: ``'rc4-40' | 'rc4-128' | 'aes-128' | 'aes-256'`` — Standard
     security handler, empty user password, composable with either envelope
     (the file ID, AES IVs, and R6 salts derive from the title so output
-    stays byte-deterministic)."""
+    stays byte-deterministic).
+
+    ``structure``: optional document-structure layer (corpus
+    ``_doc_structure_gt`` shape) — /Info metadata keys + an XMP /Metadata
+    stream, a nested /Outlines bookmark tree (§12.3.3), AcroForm fields
+    with filled values merged into page /Annots widgets (§12.7), and
+    /EmbeddedFiles attachments behind a name tree (§7.7.4, §7.11.4).
+    Strings in these dicts follow §7.6.2: encrypted per containing object
+    in the classic envelope, plaintext when they ride inside the ObjStm
+    (§7.5.7); strings in STREAM dicts (attachment /CheckSum) always
+    encrypt — stream objects never join the ObjStm."""
     b = _Builder()
     handler = None
     file_id = None
@@ -470,13 +481,51 @@ def write_pdf(
             ).encode()
         )
 
+    # --- document structure: string serializers + field reservation --------
+    def _dstr(txt, num: int) -> str:
+        """Literal string in a DICT object: encrypts with the containing
+        object's key in the classic envelope; ObjStm member strings stay
+        plaintext (§7.5.7)."""
+        data = txt.encode() if isinstance(txt, str) else bytes(txt)
+        if handler is not None and not xref_stream:
+            data = handler.encrypt(data, num)
+        return f"({esc_literal(data).decode('latin-1')})"
+
+    def _sstr(txt, num: int) -> str:
+        """Literal string in a STREAM dict: stream objects are always
+        direct, so these encrypt in BOTH envelopes."""
+        data = txt.encode() if isinstance(txt, str) else bytes(txt)
+        if handler is not None:
+            data = handler.encrypt(data, num)
+        return f"({esc_literal(data).decode('latin-1')})"
+
+    # AcroForm fields are merged field+widget annotations living in their
+    # page's /Annots — reserve object numbers now (pages need the refs),
+    # set the bodies after the page loop (fields need /P page refs)
+    struct = structure or {}
+    field_entries: List[tuple] = []  # (kind, num, parent_num, gt_dict)
+    annots_by_page: Dict[int, List[int]] = {}
+    parent_nodes: Dict[str, tuple] = {}  # parent name -> (num, ftype, kid nums)
+    for fdef in struct.get("fields", ()):
+        parts = fdef["name"].split(".")
+        pnum = None
+        if len(parts) == 2:
+            if parts[0] not in parent_nodes:
+                parent_nodes[parts[0]] = (b.reserve(), fdef["ftype"], [])
+            pnum = parent_nodes[parts[0]][0]
+        num = b.reserve()
+        if pnum is not None:
+            parent_nodes[parts[0]][2].append(num)
+        field_entries.append((parts[-1], num, pnum, fdef))
+        annots_by_page.setdefault(fdef["page"], []).append(num)
+
     # --- pages ------------------------------------------------------------
     page_nums: List[int] = []
     rotate = int(rotate) % 360
     if rotate not in (0, 90, 180, 270):
         raise ValueError(f"rotate must be a multiple of 90, got {rotate}")
     ox, oy = float(media_origin[0]), float(media_origin[1])
-    for page in pages:
+    for page_idx, page in enumerate(pages):
         if rotate or ox or oy:
             page = {**page, "rotate": rotate, "origin": (ox, oy)}
         content, form_data = _render_content(
@@ -555,10 +604,14 @@ def write_pdf(
             res += f" /ExtGState {gs_res}"
         res += " >>"
         # /MediaBox inherited from the page-tree root; /Resources per page
+        annots = ""
+        if page_idx in annots_by_page:
+            refs = " ".join(f"{n} 0 R" for n in annots_by_page[page_idx])
+            annots = f" /Annots [{refs}]"
         page_num = b.add(
             (
                 f"<< /Type /Page /Parent {pages_root} 0 R /Resources {res}"
-                f" /Contents {content_num} 0 R >>"
+                f" /Contents {content_num} 0 R{annots} >>"
             ).encode()
         )
         page_nums.append(page_num)
@@ -594,15 +647,201 @@ def write_pdf(
             + f" /Kids [{' '.join(f'{n} 0 R' for n in kids)}] >>"
         ).encode(),
     )
-    b.set(catalog, f"<< /Type /Catalog /Pages {pages_root} 0 R >>".encode())
-    info = b.reserve()
-    title = doc_title.encode()
-    if handler is not None and not xref_stream:
-        title = handler.encrypt(title, info)  # Info joins the ObjStm in 1.5+
+    # --- document-structure layer (fields / outlines / attachments / XMP) --
+    cat_extra = ""
+    # field bodies: parent nodes carry /FT + /T, terminal widgets inherit
+    # /FT through /Parent (§12.7.3.1 — dotted fully-qualified names)
+    for leaf_t, num, pnum, fdef in field_entries:
+        body = f"<< /Type /Annot /Subtype /Widget /T {_dstr(leaf_t, num)}"
+        if pnum is None:
+            body += f" /FT /{fdef['ftype']}"
+        else:
+            body += f" /Parent {pnum} 0 R"
+        v = fdef["value"]
+        if fdef["ftype"] == "Btn":
+            body += f" /V /{v} /AS /{v}"  # appearance-state NAMES, not strings
+        else:
+            body += f" /V {_dstr(v, num)}"
+        if fdef.get("opts"):
+            body += (
+                " /Opt [" + " ".join(_dstr(o, num) for o in fdef["opts"]) + "]"
+            )
+        x0, y0, x1, y1 = fdef["rect"]
+        body += (
+            f" /Rect [{fmt_num(x0)} {fmt_num(y0)} {fmt_num(x1)} {fmt_num(y1)}]"
+            f" /F 4 /P {page_nums[fdef['page']]} 0 R"
+            f" /DA {_dstr('/F1 9 Tf 0 g', num)} >>"
+        )
+        b.set(num, body.encode())
+    for pname, (pnum, ftype, kid_nums) in parent_nodes.items():
+        kids = " ".join(f"{k} 0 R" for k in kid_nums)
+        b.set(
+            pnum,
+            (
+                f"<< /FT /{ftype} /T {_dstr(pname, pnum)} /Kids [{kids}] >>"
+            ).encode(),
+        )
+    if field_entries:
+        top_refs = [pn for pn, *_ in parent_nodes.values()] + [
+            num for _t, num, pnum, _f in field_entries if pnum is None
+        ]
+        acro = b.reserve()
+        b.set(
+            acro,
+            (
+                "<< /Fields [" + " ".join(f"{n} 0 R" for n in top_refs) + "]"
+                f" /DA {_dstr('/F1 9 Tf 0 g', acro)} /NeedAppearances true >>"
+            ).encode(),
+        )
+        cat_extra += f" /AcroForm {acro} 0 R"
+
+    def _build_outline(items, parent_num):
+        nums = [b.reserve() for _ in items]
+        total = 0
+        for i, (it, num) in enumerate(zip(items, nums)):
+            kid_first = kid_last = None
+            cnt = 0
+            if it.get("kids"):
+                kid_first, kid_last, cnt = _build_outline(it["kids"], num)
+            total += 1 + cnt
+            body = f"<< /Title {_dstr(it['title'], num)} /Parent {parent_num} 0 R"
+            if i > 0:
+                body += f" /Prev {nums[i - 1]} 0 R"
+            if i < len(items) - 1:
+                body += f" /Next {nums[i + 1]} 0 R"
+            if kid_first is not None:
+                body += f" /First {kid_first} 0 R /Last {kid_last} 0 R /Count {cnt}"
+            body += (
+                f" /Dest [{page_nums[it['page']]} 0 R /XYZ 0"
+                f" {fmt_num(it['y'])} 0] >>"
+            )
+            b.set(num, body.encode())
+        return nums[0], nums[-1], total
+
+    if struct.get("outlines"):
+        ol_root = b.reserve()
+        first, last, total = _build_outline(struct["outlines"], ol_root)
+        b.set(
+            ol_root,
+            (
+                f"<< /Type /Outlines /First {first} 0 R /Last {last} 0 R"
+                f" /Count {total} >>"
+            ).encode(),
+        )
+        cat_extra += f" /Outlines {ol_root} 0 R /PageMode /UseOutlines"
+
+    if struct.get("attachments"):
+        import hashlib as _hl
+
+        spec_of: List[Tuple[str, int]] = []
+        for att in struct["attachments"]:
+            data = att["data"]
+            efnum = b.reserve()
+            payload = zlib.compress(data, 6)
+            if handler is not None:
+                payload = handler.encrypt(payload, efnum)
+            cks = _hl.md5(data).hexdigest()
+            mime_name = att["mime"].replace("/", "#2F")
+            b.set(
+                efnum,
+                (
+                    f"<< /Type /EmbeddedFile /Subtype /{mime_name}"
+                    f" /Params << /Size {len(data)}"
+                    f" /CheckSum {_sstr(cks, efnum)} >>"
+                    f" /Filter /FlateDecode /Length {len(payload)}"
+                    " >>\nstream\n"
+                ).encode()
+                + payload
+                + b"\nendstream",
+            )
+            spec = b.reserve()
+            b.set(
+                spec,
+                (
+                    f"<< /Type /Filespec /F {_dstr(att['name'], spec)}"
+                    f" /UF {_dstr(att['name'], spec)}"
+                    f" /EF << /F {efnum} 0 R >> >>"
+                ).encode(),
+            )
+            spec_of.append((att["name"], spec))
+        # name tree (§7.9.6): split into /Kids leaf nodes with /Limits when
+        # there's more than one entry — exercises the tree walk
+        if len(spec_of) > 1:
+            mid = (len(spec_of) + 1) // 2
+            kid_nums = []
+            for half in (spec_of[:mid], spec_of[mid:]):
+                kn = b.reserve()
+                names = " ".join(
+                    f"{_dstr(nm, kn)} {sp} 0 R" for nm, sp in half
+                )
+                b.set(
+                    kn,
+                    (
+                        f"<< /Limits [{_dstr(half[0][0], kn)}"
+                        f" {_dstr(half[-1][0], kn)}] /Names [{names}] >>"
+                    ).encode(),
+                )
+                kid_nums.append(kn)
+            ef_tree = b.add(
+                (
+                    "<< /Kids ["
+                    + " ".join(f"{k} 0 R" for k in kid_nums)
+                    + "] >>"
+                ).encode()
+            )
+        else:
+            nm, sp = spec_of[0]
+            ef_tree = b.reserve()
+            b.set(
+                ef_tree,
+                f"<< /Names [{_dstr(nm, ef_tree)} {sp} 0 R] >>".encode(),
+            )
+        cat_extra += f" /Names << /EmbeddedFiles {ef_tree} 0 R >>"
+
+    if struct.get("xmp"):
+        sinfo = struct.get("info", {})
+        c = sinfo.get("creation", "D:20200101000000Z")
+        iso = (
+            f"{c[2:6]}-{c[6:8]}-{c[8:10]}T{c[10:12]}:{c[12:14]}:{c[14:16]}Z"
+        )
+        esc_title = (
+            doc_title.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;")
+        )
+        xmp = (
+            '<?xpacket begin="﻿" id="W5M0MpCehiHzreSzNTczkc9d"?>\n'
+            '<x:xmpmeta xmlns:x="adobe:ns:meta/">'
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+            '<rdf:Description xmlns:dc="http://purl.org/dc/elements/1.1/"'
+            ' xmlns:xmp="http://ns.adobe.com/xap/1.0/"'
+            ' xmlns:pdf="http://ns.adobe.com/pdf/1.3/">'
+            "<dc:title><rdf:Alt>"
+            f'<rdf:li xml:lang="x-default">{esc_title}</rdf:li>'
+            "</rdf:Alt></dc:title>"
+            f"<xmp:CreateDate>{iso}</xmp:CreateDate>"
+            f"<pdf:Producer>{sinfo.get('producer', '')}</pdf:Producer>"
+            "</rdf:Description></rdf:RDF></x:xmpmeta>\n"
+            '<?xpacket end="w"?>'
+        )
+        meta_num = b.add_stream(
+            "/Type /Metadata /Subtype /XML", xmp.encode("utf-8")
+        )
+        cat_extra += f" /Metadata {meta_num} 0 R"
+
     b.set(
-        info,
-        f"<< /Title ({esc_literal(title).decode('latin-1')}) >>".encode(),
+        catalog,
+        f"<< /Type /Catalog /Pages {pages_root} 0 R{cat_extra} >>".encode(),
     )
+    info = b.reserve()
+    info_body = f"<< /Title {_dstr(doc_title, info)}"
+    sinfo = struct.get("info", {})
+    for key, label in (
+        ("author", "Author"), ("subject", "Subject"),
+        ("producer", "Producer"), ("creation", "CreationDate"),
+    ):
+        if key in sinfo:
+            info_body += f" /{label} {_dstr(sinfo[key], info)}"
+    b.set(info, (info_body + " >>").encode())
     if handler is None:
         return b.assemble(catalog, info, xref_stream=xref_stream)
     enc_num = b.add(handler.encrypt_dict_body().encode())

@@ -90,9 +90,17 @@ _PRIORITY_NAMES = [
     "repetition_quality_flags",  # Gopher-style repetition filters (integer-exact)
     "benchmark_decontamination",  # benchmark 5-gram overlap (broadcast bench set)
     "link_annotations",  # incremental-update (§7.5.6) /Prev chain + /Link URI extraction
+    "document_metadata",  # /Info + XMP metadata (§14.3) incl. encrypted-string parity
+    "outline_entries",  # /Outlines bookmark tree walk (§12.3.3)
+    "form_field_values",  # AcroForm filled-field extraction (§12.7, /Kids + inheritance)
+    "embedded_attachments",  # /EmbeddedFiles name tree + payload decode proof (§7.11.4)
 ]
 _LOW_PRIORITY_NAMES = [
     "q5_supplier_volume_by_nation",  # TPC-H redundancy: q1+q3 stay in-window; q5 still bench-timed + local oracle
+    "ann_bruteforce_cosine_top10",  # (ANN) ann_ivf_top5 in-window covers similarity; brute-force stays bench-timed + local oracle
+    "knn_top2_per_label",  # (J3) same broadcast-kNN join family as the in-window ANN queries; local oracle covers
+    "media_thumbnails",  # (D11) raster postprocess; media covered in-window by page_rasters/masked/png_export/codec_histogram
+    "media_image_features",  # (D11 features) same decode surface as media_codec_histogram (in-window); local oracle covers
     "ngram_jaccard_self_similarity",  # (dedup) minhash_lsh_neardup_pairs' exact-verify stage runs the same relational Jaccard in-window
     "text_quality_scores",  # (quality) repetition_quality_flags is the in-window quality evidence; still bench-timed + local oracle
     "media_inventory",  # (media counts) media_codec_histogram is the stronger in-window counting oracle; local oracle still checks it
@@ -3482,6 +3490,323 @@ def _link_annotations_oracle_sql() -> str:
 _REGISTRY["link_annotations"] = (link_annotations, None)
 
 
+_N_STRUCTURED = 12  # covers the structured envelope's %2/%3/%4 rotations
+
+
+def _structured_corpus(spark):
+    from docprompt_spark import pipeline
+
+    return pipeline.corpus_df(
+        spark, _N_STRUCTURED, seed=_FLAGSHIP_SEED, skew_every=0,
+        envelope="structured",
+    ).select("doc_id", "pdf")
+
+
+def document_metadata(spark, sf_dir):
+    """Document metadata extraction (§14.3): trailer /Info dictionary
+    (title/author/subject/producer/creation date) plus the catalog's XMP
+    /Metadata packet, over the STRUCTURED corpus (both xref envelopes,
+    all three content filters, AES-128 on a quarter — metadata strings
+    are object-key-encrypted there, so parity proves string decryption
+    too). The D:YYYYMMDD creation date parses to a DATE column JVM-side;
+    xmp_title_match proves the XMP packet round-trips and agrees with
+    /Info. Metadata is the first corpus-selection signal a training
+    pipeline filters on (producer/date slices)."""
+    import pandas as pd
+
+    from docprompt_spark import pdfparse
+
+    schema = (
+        "doc_id string, title string, author string, subject string,"
+        " producer string, creation string, xmp_title string"
+    )
+    cols = [
+        "doc_id", "title", "author", "subject", "producer", "creation",
+        "xmp_title",
+    ]
+
+    def fn(batches):
+        import re
+
+        for b in batches:
+            rows = []
+            for doc_id, pdf in zip(b["doc_id"], b["pdf"]):
+                pf = pdfparse.PdfFile(pdfparse.unwrap_pdf_bytes(bytes(pdf)))
+                info = pf.doc_info()
+                xmp = pf.xmp_metadata() or ""
+                m = re.search(
+                    r'<rdf:li xml:lang="x-default">([^<]*)</rdf:li>', xmp
+                )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "title": info["title"],
+                        "author": info["author"],
+                        "subject": info["subject"],
+                        "producer": info["producer"],
+                        "creation": info["creation"],
+                        "xmp_title": m.group(1) if m else None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    raw = _structured_corpus(spark).mapInPandas(fn, schema=schema)
+    return raw.select(
+        "doc_id",
+        "title",
+        "author",
+        "subject",
+        "producer",
+        # parse D:YYYYMMDD → DateType JVM-side, emit ISO string (dates
+        # cross the DuckDB/Spark/Arrow boundary engine-dependently —
+        # string form is the established cross-engine convention here)
+        F.date_format(
+            F.to_date(F.substring("creation", 3, 8), "yyyyMMdd"),
+            "yyyy-MM-dd",
+        ).alias("created_date"),
+        (F.col("xmp_title") == F.col("title")).alias("xmp_title_match"),
+    )
+
+
+def _document_metadata_oracle_sql() -> str:
+    from docprompt_spark.corpus import _doc_structure_gt, _gen_doc_pages
+
+    rows = []
+    for idx in range(_N_STRUCTURED):
+        doc_id, pages = _gen_doc_pages(idx, _FLAGSHIP_SEED, 0)
+        gt = _doc_structure_gt(doc_id, idx, len(pages))
+        c = gt["info"]["creation"]
+        rows.append(
+            f"({_sql_quote(doc_id)},{_sql_quote(doc_id)},"
+            f"{_sql_quote(gt['info']['author'])},"
+            f"{_sql_quote(gt['info']['subject'])},"
+            f"{_sql_quote(gt['info']['producer'])},"
+            f"'{c[2:6]}-{c[6:8]}-{c[8:10]}',TRUE)"
+        )
+    return (
+        "SELECT doc_id, title, author, subject, producer,"
+        " created_date, xmp_title_match"
+        " FROM (VALUES " + ",".join(rows) + ") AS t(doc_id, title, author,"
+        " subject, producer, created_date, xmp_title_match)"
+    )
+
+
+_REGISTRY["document_metadata"] = (document_metadata, None)
+
+
+def outline_entries(spark, sf_dir):
+    """Bookmark (/Outlines, §12.3.3) tree extraction: depth-first walk of
+    /First//Next sibling chains with nesting levels and /Dest page + y
+    targets — the navigation layer real producers attach, and the
+    section-structure signal a document-understanding pipeline mines for
+    chunking. One row per outline item, document order preserved as an
+    explicit ``ord`` column (order-insensitive gate; ord carries it)."""
+    import pandas as pd
+
+    from docprompt_spark import pdfparse
+
+    schema = (
+        "doc_id string, ord int, level int, title string,"
+        " page_number int, y double"
+    )
+    cols = ["doc_id", "ord", "level", "title", "page_number", "y"]
+
+    def fn(batches):
+        for b in batches:
+            rows = []
+            for doc_id, pdf in zip(b["doc_id"], b["pdf"]):
+                pf = pdfparse.PdfFile(pdfparse.unwrap_pdf_bytes(bytes(pdf)))
+                for e in pf.outline_entries():
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "ord": e["order"],
+                            "level": e["level"],
+                            "title": e["title"],
+                            "page_number": e["page_number"],
+                            "y": e["y"],
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return _structured_corpus(spark).mapInPandas(fn, schema=schema)
+
+
+def _outline_entries_oracle_sql() -> str:
+    from docprompt_spark.corpus import _doc_structure_gt, _gen_doc_pages
+
+    rows = []
+    for idx in range(_N_STRUCTURED):
+        doc_id, pages = _gen_doc_pages(idx, _FLAGSHIP_SEED, 0)
+        gt = _doc_structure_gt(doc_id, idx, len(pages))
+        order = [0]
+
+        def flat(items, level):
+            for it in items:
+                rows.append(
+                    f"({_sql_quote(doc_id)},{order[0]},{level},"
+                    f"{_sql_quote(it['title'])},{it['page'] + 1},"
+                    f"{it['y']!r})"
+                )
+                order[0] += 1
+                flat(it["kids"], level + 1)
+
+        flat(gt["outlines"], 0)
+    return (
+        "SELECT doc_id, CAST(ord AS INT) AS ord, CAST(level AS INT) AS"
+        " level, title, CAST(page_number AS INT) AS page_number,"
+        " CAST(y AS DOUBLE) AS y FROM (VALUES " + ",".join(rows) +
+        ") AS t(doc_id, ord, level, title, page_number, y)"
+    )
+
+
+_REGISTRY["outline_entries"] = (outline_entries, None)
+
+
+def form_field_values(spark, sf_dir):
+    """Filled-form extraction (AcroForm, §12.7): /Fields walked through
+    /Kids with '.'-joined partial names and /FT//V inheritance; terminal
+    widgets yield (fully-qualified name, type, value, page via /P,
+    /Rect). Covers text (/Tx string values), checkbox (/Btn name values
+    /Yes|/Off) and choice (/Ch with /Opt) fields — the intake-form data
+    layer document-processing pipelines exist to extract. Field values
+    are strings, so the AES-128 quarter of the corpus proves value
+    decryption."""
+    import pandas as pd
+
+    from docprompt_spark import pdfparse
+
+    schema = (
+        "doc_id string, field_name string, field_type string, value string,"
+        " page_number int, x0 double, y0 double, x1 double, y1 double"
+    )
+    cols = [
+        "doc_id", "field_name", "field_type", "value", "page_number",
+        "x0", "y0", "x1", "y1",
+    ]
+
+    def fn(batches):
+        for b in batches:
+            rows = []
+            for doc_id, pdf in zip(b["doc_id"], b["pdf"]):
+                pf = pdfparse.PdfFile(pdfparse.unwrap_pdf_bytes(bytes(pdf)))
+                for f in pf.form_fields():
+                    r = f["rect"]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "field_name": f["name"],
+                            "field_type": f["ftype"],
+                            "value": f["value"],
+                            "page_number": f["page_number"],
+                            "x0": r[0], "y0": r[1], "x1": r[2], "y1": r[3],
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return _structured_corpus(spark).mapInPandas(fn, schema=schema)
+
+
+def _form_field_values_oracle_sql() -> str:
+    from docprompt_spark.corpus import _doc_structure_gt, _gen_doc_pages
+
+    rows = []
+    for idx in range(_N_STRUCTURED):
+        doc_id, pages = _gen_doc_pages(idx, _FLAGSHIP_SEED, 0)
+        gt = _doc_structure_gt(doc_id, idx, len(pages))
+        for f in gt["fields"]:
+            x0, y0, x1, y1 = f["rect"]
+            rows.append(
+                f"({_sql_quote(doc_id)},{_sql_quote(f['name'])},"
+                f"{_sql_quote(f['ftype'])},{_sql_quote(f['value'])},"
+                f"{f['page'] + 1},{x0!r},{y0!r},{x1!r},{y1!r})"
+            )
+    return (
+        "SELECT doc_id, field_name, field_type, value,"
+        " CAST(page_number AS INT) AS page_number,"
+        " CAST(x0 AS DOUBLE) AS x0, CAST(y0 AS DOUBLE) AS y0,"
+        " CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1"
+        " FROM (VALUES " + ",".join(rows) +
+        ") AS t(doc_id, field_name, field_type, value, page_number,"
+        " x0, y0, x1, y1)"
+    )
+
+
+_REGISTRY["form_field_values"] = (form_field_values, None)
+
+
+def embedded_attachments(spark, sf_dir):
+    """Embedded-file attachments (§7.11.4) behind the /Names
+    /EmbeddedFiles name tree (incl. intermediate /Kids nodes): name,
+    declared MIME /Subtype, /Params /Size, the declared /CheckSum and
+    the md5 of the DECODED payload — their equality (both columns hash
+    into the gate) proves the Flate decode and, on the AES quarter, the
+    stream decryption byte-for-byte. Attachments are sidecar payloads
+    (source data, OCR JSON) real document stores carry inside the PDF."""
+    import pandas as pd
+
+    from docprompt_spark import pdfparse
+
+    schema = (
+        "doc_id string, att_name string, mime string, size_bytes int,"
+        " checksum string, payload_md5 string"
+    )
+    cols = [
+        "doc_id", "att_name", "mime", "size_bytes", "checksum",
+        "payload_md5",
+    ]
+
+    def fn(batches):
+        for b in batches:
+            rows = []
+            for doc_id, pdf in zip(b["doc_id"], b["pdf"]):
+                pf = pdfparse.PdfFile(pdfparse.unwrap_pdf_bytes(bytes(pdf)))
+                for a in pf.attachments():
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "att_name": a["name"],
+                            "mime": a["mime"],
+                            "size_bytes": a["size"],
+                            "checksum": a["checksum"],
+                            "payload_md5": a["payload_md5"],
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return _structured_corpus(spark).mapInPandas(fn, schema=schema)
+
+
+def _embedded_attachments_oracle_sql() -> str:
+    import hashlib as _hl
+
+    from docprompt_spark.corpus import _doc_structure_gt, _gen_doc_pages
+
+    rows = []
+    for idx in range(_N_STRUCTURED):
+        doc_id, pages = _gen_doc_pages(idx, _FLAGSHIP_SEED, 0)
+        gt = _doc_structure_gt(doc_id, idx, len(pages))
+        for a in gt["attachments"]:
+            md5 = _hl.md5(a["data"]).hexdigest()
+            rows.append(
+                f"({_sql_quote(doc_id)},{_sql_quote(a['name'])},"
+                f"{_sql_quote(a['mime'])},{len(a['data'])},"
+                f"{_sql_quote(md5)},{_sql_quote(md5)})"
+            )
+    return (
+        "SELECT doc_id, att_name, mime, CAST(size_bytes AS INT) AS"
+        " size_bytes, checksum, payload_md5 FROM (VALUES " + ",".join(rows)
+        + ") AS t(doc_id, att_name, mime, size_bytes, checksum,"
+        " payload_md5)"
+    )
+
+
+_REGISTRY["embedded_attachments"] = (embedded_attachments, None)
+
+
 def extraction_scanned_spans(spark, sf_dir):
     """Same pipeline over the SCANNED-document profile: every page is a
     full-page scan image (CCITT G4 bilevel on even docs, grayscale DCT on
@@ -4321,6 +4646,10 @@ def _build_oracle_sql() -> Dict[str, str]:
         6, _FLAGSHIP_SEED, envelope="damaged"
     )
     out["link_annotations"] = _link_annotations_oracle_sql()
+    out["document_metadata"] = _document_metadata_oracle_sql()
+    out["outline_entries"] = _outline_entries_oracle_sql()
+    out["form_field_values"] = _form_field_values_oracle_sql()
+    out["embedded_attachments"] = _embedded_attachments_oracle_sql()
     out["extraction_scanned_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, envelope="scanned"
     )

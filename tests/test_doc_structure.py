@@ -1,0 +1,165 @@
+"""Document-structure layer (§12.3.3 outlines, §12.7 AcroForm, §7.11.4
+embedded files, §14.3 metadata): author → serialize → parse → walk
+roundtrips across envelopes, plus the default-corpus rotation slice.
+
+Reference parity: docprompt surfaces per-document metadata and provider
+sidecars; the structure layer here is the PDF-native carrier of the same
+interchange data (reference delegates PDF object access to pdfium)."""
+
+import hashlib
+
+import pytest
+
+from docprompt_spark import corpus, pdfparse, pdfwrite
+
+
+def _flatten_outline_gt(items, level=0):
+    out = []
+    for it in items:
+        out.append((it["title"], level, it["page"] + 1, it["y"]))
+        out.extend(_flatten_outline_gt(it["kids"], level + 1))
+    return out
+
+
+def _parse(pdf_bytes):
+    return pdfparse.PdfFile(pdfparse.unwrap_pdf_bytes(pdf_bytes))
+
+
+@pytest.mark.parametrize("idx", range(12))
+def test_structured_envelope_roundtrip(idx):
+    """Every structured-envelope doc (both xref envelopes, flate/raw/lzw,
+    AES-128 quarter) round-trips metadata, outlines, fields, attachments."""
+    d = corpus.gen_doc(idx, seed=7, skew_every=0, envelope="structured")
+    gt = corpus._doc_structure_gt(d["doc_id"], idx, d["n_pages"])
+    pf = _parse(d["pdf"])
+
+    info = pf.doc_info()
+    assert info["title"] == d["doc_id"]
+    assert info["author"] == gt["info"]["author"]
+    assert info["subject"] == gt["info"]["subject"]
+    assert info["producer"] == gt["info"]["producer"]
+    assert info["creation"] == gt["info"]["creation"]
+
+    got = [
+        (e["title"], e["level"], e["page_number"], e["y"])
+        for e in pf.outline_entries()
+    ]
+    assert got == _flatten_outline_gt(gt["outlines"])
+    orders = [e["order"] for e in pf.outline_entries()]
+    assert orders == list(range(len(got)))
+
+    fields = {f["name"]: f for f in pf.form_fields()}
+    assert len(fields) == len(gt["fields"])
+    for g in gt["fields"]:
+        f = fields[g["name"]]
+        assert f["ftype"] == g["ftype"]
+        assert f["value"] == g["value"]
+        assert f["page_number"] == g["page"] + 1
+        assert tuple(f["rect"]) == g["rect"]
+
+    atts = pf.attachments()
+    assert [a["name"] for a in atts] == [a["name"] for a in gt["attachments"]]
+    for a, g in zip(atts, gt["attachments"]):
+        md5 = hashlib.md5(g["data"]).hexdigest()
+        assert a["mime"] == g["mime"]
+        assert a["size"] == len(g["data"])
+        # declared /CheckSum == md5 of the DECODED payload: proves the
+        # Flate decode and (on the AES quarter) stream decryption
+        assert a["checksum"] == md5
+        assert a["payload_md5"] == md5
+
+    xmp = pf.xmp_metadata()
+    assert xmp is not None and d["doc_id"] in xmp
+    assert gt["info"]["producer"] in xmp
+
+
+def test_hierarchical_field_name_and_inheritance():
+    """applicant.name: /T joins through /Kids with '.', /FT inherited from
+    the parent node (§12.7.3.1)."""
+    d = corpus.gen_doc(0, seed=7, skew_every=0, envelope="structured")
+    pf = _parse(d["pdf"])
+    f = {x["name"]: x for x in pf.form_fields()}["applicant.name"]
+    assert f["ftype"] == "Tx"  # parent carries /FT; widget kid inherits
+
+
+def test_checkbox_value_is_name_not_string():
+    for idx in (0, 1):
+        d = corpus.gen_doc(idx, seed=7, skew_every=0, envelope="structured")
+        pf = _parse(d["pdf"])
+        f = {x["name"]: x for x in pf.form_fields()}["approved"]
+        assert f["value"] == ("Yes" if idx % 2 == 0 else "Off")
+
+
+def test_name_tree_kids_split():
+    """Two attachments → the writer splits the /EmbeddedFiles tree into
+    two /Kids leaf nodes with /Limits; the parser walks them in order."""
+    idx = 1  # idx%2==1 → two attachments
+    d = corpus.gen_doc(idx, seed=7, skew_every=0, envelope="structured")
+    pf = _parse(d["pdf"])
+    root = pf.resolve(pf.root["Names"])
+    tree = pf.resolve(root["EmbeddedFiles"])
+    assert "Kids" in tree and len(pf.resolve(tree["Kids"])) == 2
+    atts = pf.attachments()
+    assert len(atts) == 2
+    assert atts[0]["name"] <= atts[1]["name"]  # name-tree order
+
+
+def test_encrypted_structure_strings_decrypt():
+    """idx%4==2 structured docs encrypt with AES-128 (classic envelope):
+    outline titles, field values and the attachment /CheckSum are
+    object-key-encrypted strings and must decrypt transparently."""
+    idx = 2
+    d = corpus.gen_doc(idx, seed=7, skew_every=0, envelope="structured")
+    pf = _parse(d["pdf"])
+    assert pf._crypt is not None, "idx%4==2 must be encrypted"
+    gt = corpus._doc_structure_gt(d["doc_id"], idx, d["n_pages"])
+    assert pf.doc_info()["author"] == gt["info"]["author"]
+    assert [e["title"] for e in pf.outline_entries()] == [
+        t for t, *_ in _flatten_outline_gt(gt["outlines"])
+    ]
+    atts = pf.attachments()
+    assert atts and all(a["checksum"] == a["payload_md5"] for a in atts)
+
+
+def test_default_corpus_slice_carries_structure():
+    """idx%8==2 default-rotation docs carry the structure layer; their
+    golden spans are structure-invariant (the flagship oracle proves it
+    at the gate; here: text still extracts and fields exist)."""
+    d = corpus.gen_doc(10, seed=42, skew_every=0)
+    pf = _parse(d["pdf"])
+    assert pf.form_fields() and pf.outline_entries() and pf.attachments()
+    assert pf.extract_page(0)["words"]
+    d3 = corpus.gen_doc(3, seed=42, skew_every=0)
+    pf3 = _parse(d3["pdf"])
+    assert not pf3.form_fields() and not pf3.outline_entries()
+
+
+def test_structure_absent_returns_empty():
+    pages = [
+        {
+            "width": 612.0, "height": 792.0, "images": [],
+            "text_ops": [
+                {"font": "F1", "size": 10.0, "x": 72.0, "y": 700.0,
+                 "mode": "Tm", "segments": ["hello world"]}
+            ],
+        }
+    ]
+    pdf = pdfwrite.write_pdf(pages, doc_title="t")
+    pf = _parse(pdf)
+    assert pf.outline_entries() == []
+    assert pf.form_fields() == []
+    assert pf.attachments() == []
+    assert pf.xmp_metadata() is None
+    info = pf.doc_info()
+    assert info["title"] == "t" and info["author"] is None
+
+
+def test_xref_stream_structure_objects_in_objstm():
+    """In the 1.5+ envelope the structure dicts ride inside the ObjStm
+    (plaintext strings, §7.5.7) while EF streams stay direct — the
+    roundtrip at idx 1/3/5… proves both; here assert the envelope."""
+    d = corpus.gen_doc(1, seed=7, skew_every=0, envelope="structured")
+    raw = pdfparse.unwrap_pdf_bytes(d["pdf"])
+    assert b"/ObjStm" in raw and b"/Filespec" not in raw.split(b"stream")[0]
+    pf = _parse(raw)
+    assert pf.attachments()
