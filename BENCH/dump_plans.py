@@ -72,6 +72,7 @@ def main() -> None:
         "repetition_quality_flags",
         "benchmark_decontamination",
         "link_annotations",
+        "tagged_reading_order",
         "embedding_cosine_neardup_pairs",
     ]:
         sections.append((name, formatted(reg[name][0](spark, sf))))

@@ -670,6 +670,24 @@ def _doc_structure_gt(doc_id: str, idx: int, n_pages: int) -> dict:
             "xmp": True}
 
 
+def _tagged_structure_gt(idx: int, seed: int) -> Tuple[str, List[tuple]]:
+    """Ground-truth logical structure of a tagged doc: (ord, level, tag,
+    page_number, text) rows in DFS order — the writer assigns one MCID per
+    text op (1:1 with golden words) and one /StructElem per y-run line
+    (pdfwrite._mcid_line_groups), so element text is the space-join of
+    that line's golden words. Shared by the tagged_reading_order oracle."""
+    from docprompt_spark.pdfwrite import _mcid_line_groups
+
+    doc_id, pages = _gen_doc_pages(idx, seed, 0)
+    rows: List[tuple] = [(0, 0, "Document", 0, "")]
+    for p, (page, words_gt, _img) in enumerate(pages):
+        for gi, group in enumerate(_mcid_line_groups(page["text_ops"])):
+            tag = "H1" if p == 0 and gi == 0 else "P"
+            text = " ".join(words_gt[m]["text"] for m in group)
+            rows.append((len(rows), 1, tag, p + 1, text))
+    return doc_id, rows
+
+
 def _damage(pdf: bytes, mode: int) -> bytes:
     """Deterministic real-world file corruption (envelope="damaged") —
     the salvage cases pdfium's RebuildCrossRef handles for the reference:
@@ -929,6 +947,9 @@ def gen_doc(
             use_xref_stream = idx % 2 == 1
             comp = ["flate", False, "lzw"][idx % 3]
             enc_mode = "aes-128" if idx % 4 == 2 else None
+        elif envelope == "tagged":
+            use_xref_stream = idx % 2 == 1
+            comp = ["flate", False, "lzw"][idx % 3]
     # document-structure layer (§12.3.3/§12.7/§7.11.4 + /Info + XMP):
     # every "structured"-envelope doc and an eighth of the default corpus
     # carry outlines, filled form fields, attachments and metadata —
@@ -937,6 +958,15 @@ def gen_doc(
     structure = None
     if envelope == "structured" or (envelope is None and idx % 8 == 2):
         structure = _doc_structure_gt(doc_id, idx, n_pages)
+    # tagged PDF (§14.8): the "tagged" envelope and an eighth of the
+    # default corpus mark every show op with an /MCID and carry the
+    # logical structure tree; BDC/EMC don't move the pen, so golden spans
+    # are tag-invariant. (Tagged composes with everything except the Form
+    # XObject split — elements would need /Stm indirection — so the
+    # default slice skips idx%3==1 form docs.)
+    tagged = envelope == "tagged" or (
+        envelope is None and idx % 8 == 6 and idx % 3 != 1
+    )
     pdf = write_pdf(
         pages_w,
         doc_title=doc_id,
@@ -953,10 +983,11 @@ def gen_doc(
         # a Form XObject (/Fm0 Do, §8.10) — the letterhead/stamp pattern
         # real producers emit; golden spans are envelope-invariant so the
         # extraction oracles prove the form interpretation path
-        form_xobject=idx % 3 == 1,
+        form_xobject=idx % 3 == 1 and not tagged,
         rotate=rot,
         media_origin=orig,
         structure=structure,
+        tagged=tagged,
     )
     if envelope == "incremental" or (
         envelope is None

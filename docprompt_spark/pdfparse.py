@@ -1150,6 +1150,59 @@ class PdfFile:
             )
         return out
 
+    def structure_tree(self) -> List[dict]:
+        """Flattened logical-structure tree (tagged PDF, §14.7): DFS over
+        /StructTreeRoot → /StructElem /K kids; each element yields its
+        document order, nesting level, /S tag, 1-based page (via /Pg) and
+        the MCIDs its /K holds (bare integers or /MCR dicts) — the
+        logical-reading-order surface screen readers and reflow engines
+        consume. Pair the MCIDs with extract_page words' ``mcid`` to
+        recover per-element text."""
+        out: List[dict] = []
+        st = self.resolve(self.root.get("StructTreeRoot"))
+        if not isinstance(st, dict):
+            return out
+        pgidx = {r.num: i for i, r in enumerate(self.page_refs)}
+
+        def walk(k: Any, level: int) -> None:
+            kr = self.resolve(k)
+            if isinstance(kr, list):
+                for item in kr:
+                    walk(item, level)
+                return
+            if not isinstance(kr, dict) or "S" not in kr:
+                return
+            pg = kr.get("Pg")
+            page_number = (
+                pgidx.get(pg.num, -1) + 1 if isinstance(pg, Ref) else 0
+            )
+            kids = self.resolve(kr.get("K"))
+            kid_list = kids if isinstance(kids, list) else [kids]
+            mcids: List[int] = []
+            sub: List[Any] = []
+            for item in kid_list:
+                it = self.resolve(item)
+                if isinstance(it, (int, float)):
+                    mcids.append(int(it))
+                elif isinstance(it, dict) and "MCID" in it:
+                    mcids.append(int(self.resolve(it["MCID"])))
+                elif it is not None:
+                    sub.append(item)
+            out.append(
+                {
+                    "order": len(out),
+                    "level": level,
+                    "tag": str(self.resolve(kr.get("S", ""))),
+                    "page_number": page_number,
+                    "mcids": mcids,
+                }
+            )
+            for s in sub:
+                walk(s, level + 1)
+
+        walk(st.get("K"), 0)
+        return out
+
     def glyph_outline_pool(self) -> Dict[str, tuple]:
         """char -> (advance width, contours) harvested from every embedded
         outline font program — CFF (/FontFile3) and TrueType (/FontFile2)
@@ -1683,6 +1736,8 @@ def _interpret_content(
     pending_clip = False  # W seen; the clip applies at the next path-end op
     fill_a = 1.0  # constant alpha (§11.3.7.2), set by `gs` /ca //CA
     stroke_a = 1.0
+    cur_mcid: Optional[int] = None  # innermost marked-content /MCID (§14.6)
+    mc_stack: List[Optional[int]] = []
 
     def xy(x: float, y: float) -> Tuple[float, float]:
         return (
@@ -1761,14 +1816,17 @@ def _interpret_content(
                 pend["x"], pend["y"], pend["w"], pend["size"],
                 pend["asc"], pend["desc"], page_w, page_h,
             )
-            words.append(
-                {
-                    "text": pend["text"],
-                    "inv": bool(pend.get("inv")),
-                    "x0": bbox[0], "top": bbox[1],
-                    "x1": bbox[2], "bottom": bbox[3],
-                }
-            )
+            w = {
+                "text": pend["text"],
+                "inv": bool(pend.get("inv")),
+                "x0": bbox[0], "top": bbox[1],
+                "x1": bbox[2], "bottom": bbox[3],
+            }
+            if pend.get("mcid") is not None:
+                # marked-content id (tagged PDFs only): keeps untagged
+                # word dicts byte-identical for the golden-parity tests
+                w["mcid"] = pend["mcid"]
+            words.append(w)
             pend = None
 
     def emit_chunk(chunk: dict, close: bool) -> None:
@@ -1855,16 +1913,17 @@ def _interpret_content(
                         ys.append(trm[1] * tx_c + trm[3] * ty_c + trm[5])
                     from docprompt_spark.kernels import round5
 
-                    words.append(
-                        {
-                            "text": "".join(cur_text),
-                            "inv": tr_mode == 3,
-                            "x0": round5(min(xs) / page_w),
-                            "top": round5((page_h - max(ys)) / page_h),
-                            "x1": round5(max(xs) / page_w),
-                            "bottom": round5((page_h - min(ys)) / page_h),
-                        }
-                    )
+                    wq = {
+                        "text": "".join(cur_text),
+                        "inv": tr_mode == 3,
+                        "x0": round5(min(xs) / page_w),
+                        "top": round5((page_h - max(ys)) / page_h),
+                        "x1": round5(max(xs) / page_w),
+                        "bottom": round5((page_h - min(ys)) / page_h),
+                    }
+                    if cur_mcid is not None:
+                        wq["mcid"] = cur_mcid
+                    words.append(wq)
                     cur_text = []
                     start_tx = tx
                     return
@@ -1875,6 +1934,7 @@ def _interpret_content(
                         "x": x_dev, "y": y_dev, "w": width,
                         "size": sz, "scale": sc,
                         "asc": font["ascent"], "desc": font["descent"],
+                        "mcid": cur_mcid,
                     },
                     close,
                 )
@@ -1927,14 +1987,29 @@ def _interpret_content(
                     arr.append(t)
                 stack.append(arr)
             elif type(tok) is bytes and tok == b"<<":
-                depth = 1  # inline dict (unused by text ops): skip balanced
+                # inline property-list dict (BDC operands, §14.6.2):
+                # collect depth-1 name/value pairs. NB: a fresh local —
+                # the old skip loop shadowed the form-recursion `depth`
+                d_depth = 1
+                items: List[Any] = []
                 for t in tokens:
                     if type(t) is bytes and t == b"<<":
-                        depth += 1
+                        d_depth += 1
                     elif type(t) is bytes and t == b">>":
-                        depth -= 1
-                        if depth == 0:
+                        d_depth -= 1
+                        if d_depth == 0:
                             break
+                    if d_depth == 1:
+                        items.append(t)
+                pdict: Dict[str, Any] = {}
+                j = 0
+                while j < len(items) - 1:
+                    if isinstance(items[j], Name):
+                        pdict[str(items[j])] = items[j + 1]
+                        j += 2
+                    else:
+                        j += 1
+                stack.append(pdict)
             elif type(tok) is InlineImage:
                 # BI/ID/EI image: painted in unit image space scaled by the
                 # CTM, exactly like an image XObject Do
@@ -1994,6 +2069,23 @@ def _interpret_content(
             stack.clear()
         elif op == b"Tr":
             tr_mode = int(float(stack[-1]))
+            stack.clear()
+        elif op in (b"BDC", b"BMC"):
+            # marked-content sequence (§14.6): BDC's property list may
+            # carry /MCID — the content-to-structure-tree link of tagged
+            # PDFs. Sequences nest; a nested sequence without /MCID
+            # inherits the enclosing one's.
+            mcid = None
+            if op == b"BDC" and stack:
+                props = stack[-1]
+                if isinstance(props, dict) and props.get("MCID") is not None:
+                    mcid = int(props["MCID"])
+            mc_stack.append(cur_mcid)
+            if mcid is not None:
+                cur_mcid = mcid
+            stack.clear()
+        elif op == b"EMC":
+            cur_mcid = mc_stack.pop() if mc_stack else None
             stack.clear()
         elif op == b"Tm":
             m = tuple(float(v) for v in stack[-6:])

@@ -292,6 +292,7 @@ def write_pdf(
     rotate: int = 0,
     media_origin: Tuple[float, float] = (0.0, 0.0),
     structure: Optional[dict] = None,
+    tagged: bool = False,
 ) -> bytes:
     """Serialize page dicts (see module comment) into PDF bytes.
 
@@ -499,6 +500,12 @@ def write_pdf(
             data = handler.encrypt(data, num)
         return f"({esc_literal(data).decode('latin-1')})"
 
+    if tagged and form_xobject:
+        # structure elements would need /Stm indirection to point into a
+        # Form XObject's content (§14.7.4.2) — out of scope; tagged docs
+        # keep all marked content in the page stream
+        raise ValueError("tagged=True is not supported with form_xobject")
+
     # AcroForm fields are merged field+widget annotations living in their
     # page's /Annots — reserve object numbers now (pages need the refs),
     # set the bodies after the page loop (fields need /P page refs)
@@ -529,7 +536,7 @@ def write_pdf(
         if rotate or ox or oy:
             page = {**page, "rotate": rotate, "origin": (ox, oy)}
         content, form_data = _render_content(
-            page, cid_of, form_split=form_xobject
+            page, cid_of, form_split=form_xobject, tagged=tagged
         )
         content_num = b.add_stream("", content, compress=compress_streams)
         sh_res = _shading_resource(
@@ -608,6 +615,8 @@ def write_pdf(
         if page_idx in annots_by_page:
             refs = " ".join(f"{n} 0 R" for n in annots_by_page[page_idx])
             annots = f" /Annots [{refs}]"
+        if tagged:
+            annots += f" /StructParents {page_idx}"
         page_num = b.add(
             (
                 f"<< /Type /Page /Parent {pages_root} 0 R /Resources {res}"
@@ -828,6 +837,73 @@ def write_pdf(
         )
         cat_extra += f" /Metadata {meta_num} 0 R"
 
+    if tagged:
+        # logical structure (§14.7) + tagged conventions (§14.8): one
+        # /StructElem per text LINE (y-run of MCIDs, _mcid_line_groups),
+        # first line of page 1 tagged /H1, the rest /P, all under one
+        # /Document elem; /K holds bare MCIDs (with /Pg), and the
+        # /ParentTree maps each page's /StructParents key to the
+        # MCID-indexed array of owning elements (§14.7.5.4) — the reverse
+        # lookup real consumers (screen readers, Acrobat reflow) use.
+        st_root = b.reserve()
+        doc_elem = b.reserve()
+        elem_nums_all: List[int] = []
+        mcid_maps: List[Dict[int, int]] = []
+        for page_idx, page in enumerate(pages):
+            groups = _mcid_line_groups(page["text_ops"])
+            m2e: Dict[int, int] = {}
+            for gi, group in enumerate(groups):
+                en = b.reserve()
+                tag = "H1" if page_idx == 0 and gi == 0 else "P"
+                k = (
+                    str(group[0])
+                    if len(group) == 1
+                    else "[" + " ".join(str(m) for m in group) + "]"
+                )
+                b.set(
+                    en,
+                    (
+                        f"<< /Type /StructElem /S /{tag} /P {doc_elem} 0 R"
+                        f" /Pg {page_nums[page_idx]} 0 R /K {k} >>"
+                    ).encode(),
+                )
+                elem_nums_all.append(en)
+                for m in group:
+                    m2e[m] = en
+            mcid_maps.append(m2e)
+        nums_entries = []
+        for page_idx, m2e in enumerate(mcid_maps):
+            arr = (
+                [
+                    (f"{m2e[m]} 0 R" if m in m2e else "null")
+                    for m in range(max(m2e) + 1)
+                ]
+                if m2e
+                else []
+            )
+            an = b.add(("[" + " ".join(arr) + "]").encode())
+            nums_entries.append(f"{page_idx} {an} 0 R")
+        pt = b.add(f"<< /Nums [{' '.join(nums_entries)}] >>".encode())
+        b.set(
+            doc_elem,
+            (
+                f"<< /Type /StructElem /S /Document /P {st_root} 0 R /K ["
+                + " ".join(f"{n} 0 R" for n in elem_nums_all)
+                + "] >>"
+            ).encode(),
+        )
+        b.set(
+            st_root,
+            (
+                f"<< /Type /StructTreeRoot /K {doc_elem} 0 R"
+                f" /ParentTree {pt} 0 R"
+                f" /ParentTreeNextKey {len(pages)} >>"
+            ).encode(),
+        )
+        cat_extra += (
+            f" /StructTreeRoot {st_root} 0 R /MarkInfo << /Marked true >>"
+        )
+
     b.set(
         catalog,
         f"<< /Type /Catalog /Pages {pages_root} 0 R{cat_extra} >>".encode(),
@@ -1019,7 +1095,7 @@ def _shading_resource(
 def _text_block(
     text_ops, cid_of: Dict[str, int], rot: int = 0,
     vw: float = 0.0, vh: float = 0.0, ox: float = 0.0, oy: float = 0.0,
-    tr3: bool = False,
+    tr3: bool = False, tagged: bool = False,
 ) -> List[str]:
     parts = ["BT"]
     if tr3:
@@ -1028,7 +1104,14 @@ def _text_block(
         parts.append("3 Tr")
     cur_font = None
     line_start: Optional[Tuple[float, float]] = None
-    for op in text_ops:
+    for mcid, op in enumerate(text_ops):
+        if tagged:
+            # tagged PDF (§14.6-14.8): each show op is its own marked-
+            # content sequence — /P << /MCID n >> BDC ... EMC, the form
+            # Word/LibreOffice emit; the structure tree's /K arrays point
+            # back at these MCIDs. BDC/EMC don't move the pen, so golden
+            # span geometry is tag-invariant by construction.
+            parts.append(f"/P << /MCID {mcid} >> BDC")
         key = (op["font"], op["size"])
         if key != cur_font:
             parts.append(f"/{op['font']} {fmt_num(op['size'])} Tf")
@@ -1045,6 +1128,8 @@ def _text_block(
             )
         line_start = (op["x"], op["y"])
         parts.append(_show_op(op, cid_of))
+        if tagged:
+            parts.append("EMC")
     parts.append("ET")
     return parts
 
@@ -1089,8 +1174,23 @@ def _rot_image_cm(rot: int, x, y, w, h, vw, vh, ox=0.0, oy=0.0):
     return " ".join(fmt_num(v) for v in m)
 
 
+def _mcid_line_groups(text_ops) -> List[List[int]]:
+    """Group a page's text ops (one MCID each, in emission order) into
+    LINES by y-run — the structure-element granularity the writer's
+    tagged tree uses, shared with the corpus GT formula."""
+    groups: List[List[int]] = []
+    last_y = None
+    for mcid, op in enumerate(text_ops):
+        if last_y is None or op["y"] != last_y:
+            groups.append([])
+        groups[-1].append(mcid)
+        last_y = op["y"]
+    return groups
+
+
 def _render_content(
-    page: dict, cid_of: Dict[str, int], form_split: bool = False
+    page: dict, cid_of: Dict[str, int], form_split: bool = False,
+    tagged: bool = False,
 ):
     """Content stream: images first (painted under text), then vector art,
     then one BT/ET.
@@ -1127,7 +1227,9 @@ def _render_content(
             "\n".join(form_parts).encode("latin-1"),
         )
     parts.extend(_vector_ops(page.get("vectors"), rot, vw, vh, ox, oy))
-    parts.extend(_text_block(text_ops, cid_of, rot, vw, vh, ox, oy, tr3))
+    parts.extend(
+        _text_block(text_ops, cid_of, rot, vw, vh, ox, oy, tr3, tagged)
+    )
     return "\n".join(parts).encode("latin-1"), None
 
 

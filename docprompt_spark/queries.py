@@ -90,6 +90,7 @@ _PRIORITY_NAMES = [
     "repetition_quality_flags",  # Gopher-style repetition filters (integer-exact)
     "benchmark_decontamination",  # benchmark 5-gram overlap (broadcast bench set)
     "link_annotations",  # incremental-update (§7.5.6) /Prev chain + /Link URI extraction
+    "tagged_reading_order",  # tagged PDF (§14.7-14.8) structure tree + MCID join
     "document_metadata",  # /Info + XMP metadata (§14.3) incl. encrypted-string parity
     "outline_entries",  # /Outlines bookmark tree walk (§12.3.3)
     "form_field_values",  # AcroForm filled-field extraction (§12.7, /Kids + inheritance)
@@ -108,6 +109,7 @@ _LOW_PRIORITY_NAMES = [
     "posting_list_sizes",  # search stats: search_bm25_ranked (in-window) is the §2 evidence
     "term_frequencies_top20",  # ditto — tokenize path proven by clean_text/bm25 in-window
     "fuzzy_term_match",  # (F17) same indel-ratio kernel exercised in-window by provenance_refined_search (D19)
+    "date_extraction",  # (F4) stronger evidence than the gate: tests/test_date_extraction.py asserts parity against the reference module ITSELF over all 22 patterns; local oracle still checks it
     "stratified_sample_10pct",  # (sampling) same md5-hash-split kernel as the in-window dedup family; local oracle covers
     "ann_lsh_bucketed_top5",  # (ANN scale path) ann_ivf_top5 in-window is the bucketed scale evidence; sign-LSH banding also proven in-window by embedding_cosine_neardup_pairs
     "doc_length_percentiles",  # (corpus stats) exact rank-window percentiles; q1/doc_fingerprints cover the agg surface in-window, local oracle still checks it
@@ -3490,6 +3492,101 @@ def _link_annotations_oracle_sql() -> str:
 _REGISTRY["link_annotations"] = (link_annotations, None)
 
 
+_N_TAGGED = 6  # covers the tagged envelope's %2 xref / %3 filter rotations
+
+
+def tagged_reading_order(spark, sf_dir):
+    """Tagged-PDF logical structure extraction (§14.7-14.8): every show op
+    in a tagged document is a marked-content sequence (/P <</MCID n>> BDC
+    ... EMC) and the catalog's /StructTreeRoot holds one /StructElem per
+    text line whose /K arrays point back at those MCIDs — the
+    content-to-structure link screen readers, Acrobat reflow, and
+    accessibility checkers consume, and the explicit reading-order /
+    heading signal (H1 vs P) a document-understanding pipeline mines
+    instead of re-deriving layout geometrically. The kernel DFS-walks the
+    structure tree (pdfparse.structure_tree) and joins each element's
+    MCIDs against the word extractor's per-word ``mcid`` to recover
+    per-element text — proving writer → BDC/EMC tokenizer → tree walk →
+    MCID join end-to-end. Arrow-batched mapInPandas; one row per
+    structure element, document order carried as ``ord``."""
+    import pandas as pd
+
+    from docprompt_spark import pdfparse, pipeline
+
+    docs = pipeline.corpus_df(
+        spark, _N_TAGGED, seed=_FLAGSHIP_SEED, skew_every=0,
+        envelope="tagged",
+    )
+    schema = (
+        "doc_id string, ord int, level int, tag string,"
+        " page_number int, text string"
+    )
+    cols = ["doc_id", "ord", "level", "tag", "page_number", "text"]
+
+    def fn(batches):
+        for b in batches:
+            rows = []
+            for doc_id, pdf in zip(b["doc_id"], b["pdf"]):
+                pf = pdfparse.PdfFile(pdfparse.unwrap_pdf_bytes(bytes(pdf)))
+                page_words: Dict[int, Dict[int, str]] = {}
+                for e in pf.structure_tree():
+                    text = ""
+                    if e["page_number"] > 0 and e["mcids"]:
+                        p = e["page_number"] - 1
+                        if p not in page_words:
+                            page_words[p] = {
+                                w["mcid"]: w["text"]
+                                for w in pf.extract_page(p)["words"]
+                                if "mcid" in w
+                            }
+                        text = " ".join(
+                            page_words[p][m]
+                            for m in e["mcids"]
+                            if m in page_words[p]
+                        )
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "ord": e["order"],
+                            "level": e["level"],
+                            "tag": e["tag"],
+                            "page_number": e["page_number"],
+                            "text": text,
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id", "pdf").mapInPandas(fn, schema=schema)
+
+
+def _tagged_reading_order_oracle_sql() -> str:
+    """VALUES golden from the shared generator formula
+    (corpus._tagged_structure_gt): one /StructElem per y-run line of
+    golden words, H1 for the first line of page 1, under one /Document
+    root."""
+    from docprompt_spark.corpus import _tagged_structure_gt
+
+    rows = []
+    for idx in range(_N_TAGGED):
+        doc_id, gt = _tagged_structure_gt(idx, _FLAGSHIP_SEED)
+        for order, level, tag, page_number, text in gt:
+            rows.append(
+                f"({_sql_quote(doc_id)},{order},{level},'{tag}',"
+                f"{page_number},{_sql_quote(text)})"
+            )
+    return (
+        "SELECT doc_id, CAST(ord AS INT) AS ord,"
+        " CAST(level AS INT) AS level, tag,"
+        " CAST(page_number AS INT) AS page_number, text"
+        " FROM (VALUES " + ",".join(rows) +
+        ") AS t(doc_id, ord, level, tag, page_number, text)"
+    )
+
+
+_REGISTRY["tagged_reading_order"] = (tagged_reading_order, None)
+
+
 _N_STRUCTURED = 12  # covers the structured envelope's %2/%3/%4 rotations
 
 
@@ -4646,6 +4743,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         6, _FLAGSHIP_SEED, envelope="damaged"
     )
     out["link_annotations"] = _link_annotations_oracle_sql()
+    out["tagged_reading_order"] = _tagged_reading_order_oracle_sql()
     out["document_metadata"] = _document_metadata_oracle_sql()
     out["outline_entries"] = _outline_entries_oracle_sql()
     out["form_field_values"] = _form_field_values_oracle_sql()
