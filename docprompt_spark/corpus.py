@@ -433,6 +433,25 @@ def _gen_page(
                 # rotated on existing `base` bits, no extra rng draws
                 decode_arr = "[1 0]"
                 samples_gt = bytes(255 - b for b in samples_gt)
+            smask = None
+            if not is_inline and not imagemask and (base >> 2) % 2 == 1:
+                # /SMask soft-mask alpha (§11.6.5.2): the transparent-logo/
+                # watermark form. XObjects only (SMask is not a legal inline
+                # key) and never on stencils (ImageMask excludes SMask).
+                # Fixed 16x8 plane ≠ parent dims, so the renderer's
+                # independent alpha resample path is always exercised;
+                # bytes derived arithmetically from `base` — NO extra rng
+                # draws, geometry/text/payload stay identical, media_ref
+                # (md5 of the PARENT stream) is smask-invariant.
+                aw, ah = 16, 8
+                smask = {
+                    "w": aw, "h": ah,
+                    "alpha": bytes(
+                        (base + 23 * x_ + 41 * y_) % 256
+                        for y_ in range(ah)
+                        for x_ in range(aw)
+                    ),
+                }
             images_w.append(
                 {
                     "data": data, "filter": filt, "samples": samples_gt,
@@ -440,6 +459,7 @@ def _gen_page(
                     "decode_parms": parms, "colorspace": cs,
                     "palette": palette,
                     "decode": decode_arr, "imagemask": imagemask,
+                    "smask": smask,
                     "x": ix, "y": y, "w": w, "h": h,
                     # BI/ID/EI inline images (scanned-page tiles / small
                     # logos in real PDFs): rotate ~25% of figures inline on
@@ -447,13 +467,16 @@ def _gen_page(
                     "inline": is_inline,
                 }
             )
-            images_gt.append(
-                {
-                    "media_ref": hashlib.md5(data).hexdigest(),
-                    "bbox": kernels.norm_rect_bbox(ix, y, w, h, PAGE_W, PAGE_H),
-                    "stencil": imagemask,
-                }
-            )
+            gt_im = {
+                "media_ref": hashlib.md5(data).hexdigest(),
+                "bbox": kernels.norm_rect_bbox(ix, y, w, h, PAGE_W, PAGE_H),
+                "stencil": imagemask,
+            }
+            if smask is not None:
+                gt_im["alpha_samples"] = smask["alpha"]
+                gt_im["alpha_w"] = smask["w"]
+                gt_im["alpha_h"] = smask["h"]
+            images_gt.append(gt_im)
             y -= IMG_GAP
             if y < MIN_Y:
                 break
@@ -766,6 +789,8 @@ def writer_entry_codec(w: dict) -> str:
         d["BitsPerComponent"] = w.get("bpc", 8)
     if w.get("decode"):
         d["Decode"] = [1, 0]
+    if w.get("smask"):
+        d["SMask"] = True  # classifier only checks presence
     if w.get("filter"):
         d["Filter"] = w["filter"]
     if w.get("decode_parms"):

@@ -118,6 +118,10 @@ def _codec_of(xo_dict, resolve, payload=None) -> str:
             out += ";d10"
         if resolve(xo_dict.get("ImageMask")):
             out += ";mask"
+        if xo_dict.get("SMask") is not None:
+            # soft-mask alpha attached (§11.6.5.2) — pixel decode is
+            # unchanged; compositing is the renderer's job
+            out += ";smk"
         return out
 
     if "DCTDecode" in filts:

@@ -2170,6 +2170,21 @@ def _interpret_content(
                         img["px_h"] = int(resolve(xo.dict.get("Height", 0)) or 0)
                         img["codec"] = _codec_of(xo.dict, resolve, xo.raw)
                         img["palette"] = indexed_palette(xo.dict, resolve)
+                        sm = resolve(xo.dict.get("SMask"))
+                        if sm is not None and hasattr(sm, "dict"):
+                            # soft-mask alpha (§11.6.5.2): its own gray8
+                            # image stream; the renderer source-over
+                            # blends with it per pixel
+                            img["smask_payload"] = sm.raw
+                            img["smask_w"] = int(
+                                resolve(sm.dict.get("Width", 0)) or 0
+                            )
+                            img["smask_h"] = int(
+                                resolve(sm.dict.get("Height", 0)) or 0
+                            )
+                            img["smask_codec"] = _codec_of(
+                                sm.dict, resolve, sm.raw
+                            )
                     images.append(img)
             stack.clear()
         elif op == b"m":

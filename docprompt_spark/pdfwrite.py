@@ -597,6 +597,20 @@ def write_pdf(
                 entries += f" /Filter /{im['filter']}"
             if im.get("decode_parms"):
                 entries += f" /DecodeParms {im['decode_parms']}"
+            if im.get("smask"):
+                # soft-mask alpha channel (§11.6.5.2): a separate gray8
+                # image XObject referenced from the parent dict — the
+                # logo/watermark-with-transparency form real producers emit
+                sm = im["smask"]
+                sm_num = b.add_stream(
+                    "/Type /XObject /Subtype /Image"
+                    f" /Width {sm['w']} /Height {sm['h']}"
+                    " /ColorSpace /DeviceGray /BitsPerComponent 8"
+                    " /Filter /FlateDecode",
+                    zlib.compress(sm["alpha"], 6),
+                    compress=False,
+                )
+                entries += f" /SMask {sm_num} 0 R"
             im_num = b.add_stream(entries, im["data"], compress=False)
             xobj_entries.append(f"/Im{i} {im_num} 0 R")
         fonts = f"/F1 {f1} 0 R"

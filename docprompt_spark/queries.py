@@ -3048,6 +3048,13 @@ def _golden_raster_rows(n_docs=16, seed=11):
                     im["px_h"], im["px_w"]
                 ),
                 "stencil": bool(im.get("stencil")),
+                "alpha": (
+                    np.frombuffer(im["alpha_samples"], np.uint8).reshape(
+                        im["alpha_h"], im["alpha_w"]
+                    )
+                    if im.get("alpha_samples") is not None
+                    else None
+                ),
             }
             for im in imgs
         ]

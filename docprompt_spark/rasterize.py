@@ -71,12 +71,17 @@ def _glyph_intensity(ch: str) -> int:
 
 
 def _paint_image(
-    canvas: np.ndarray, pixels: np.ndarray, rect, stencil: bool = False
+    canvas: np.ndarray, pixels: np.ndarray, rect, stencil: bool = False,
+    alpha: Optional[np.ndarray] = None,
 ) -> None:
     """Nearest-neighbor composite of ``pixels`` into ``rect`` (integer
     index math — no float resampling, fully deterministic). ``stencil``
     (an /ImageMask): paint ink (0) only where the sampled mask pixel is
-    ink, leaving the backdrop visible elsewhere (PDF §8.9.6.2)."""
+    ink, leaving the backdrop visible elsewhere (PDF §8.9.6.2).
+    ``alpha`` (an /SMask, §11.6.5.2): per-pixel gray8 alpha plane —
+    sampled to the same rect with its OWN dims (soft masks legally differ
+    in resolution from their parent) and source-over blended with
+    round-half-up integer math: (src*a + dst*(255-a) + 127) // 255."""
     x0, y0, x1, y1 = rect
     w, h = x1 - x0, y1 - y0
     if w <= 0 or h <= 0 or pixels.size == 0:
@@ -88,6 +93,15 @@ def _paint_image(
     if stencil:
         region = canvas[y0:y1, x0:x1]
         region[sampled == 0] = 0
+    elif alpha is not None and alpha.size:
+        a_h, a_w = alpha.shape
+        a = alpha[
+            np.ix_((np.arange(h) * a_h) // h, (np.arange(w) * a_w) // w)
+        ].astype(np.uint32)
+        dst = canvas[y0:y1, x0:x1].astype(np.uint32)
+        canvas[y0:y1, x0:x1] = (
+            (sampled.astype(np.uint32) * a + dst * (255 - a) + 127) // 255
+        ).astype(np.uint8)
     else:
         canvas[y0:y1, x0:x1] = sampled
 
@@ -354,7 +368,7 @@ def render_page(
     for im in images:
         _paint_image(
             canvas, im["pixels"], rect_px(im["bbox"], width_px, height_px),
-            stencil=bool(im.get("stencil")),
+            stencil=bool(im.get("stencil")), alpha=im.get("alpha"),
         )
     if vectors:
         paint_vectors(canvas, vectors, page_h, dpi / 72.0)
@@ -438,11 +452,22 @@ def _render_kernel(pages_per_bucket: int, dpi: int):
                             )
                         except Exception:
                             continue  # undecodable: skip, don't fail the task
+                        alpha = None
+                        if im.get("smask_payload") is not None:
+                            try:
+                                alpha = multimodal.decode_image(
+                                    bytes(im["smask_payload"]),
+                                    im["smask_w"], im["smask_h"],
+                                    im["smask_codec"],
+                                )
+                            except Exception:
+                                alpha = None  # bad mask: paint opaque
                         imgs.append(
                             {
                                 "bbox": im["bbox"],
                                 "pixels": px,
                                 "stencil": multimodal.is_stencil(im["codec"]),
+                                "alpha": alpha,
                             }
                         )
                     layout = kernels.build_page_layout(p["words"])
