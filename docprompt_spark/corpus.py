@@ -598,6 +598,34 @@ def _page_vectors(k: int):
              "closed": [True], "paint": "shade",
              "coords": ((bx, by), bxy), "c0": c0, "c1": c1, "n": nexp}
         )
+    if (k & 65) == 65:  # radial badge vignette (§8.7.4.3.4)
+        # the seal/button gradient form: a Type 3 shading through a square
+        # clip. Even k>>7 keeps the circles CONCENTRIC (r0=0, the common
+        # vignette); odd k>>7 offsets the outer center and starts r0>0, so
+        # the general quadratic root (not just the |p-c|/r shortcut) is
+        # exercised in the parity loop. Geometry arithmetic in k only.
+        rcx = x1 - 45.0
+        rcy = 132.0 + 2.0 * ((k >> 5) & 3)
+        rr1 = 18.0 + 6.0 * ((k >> 4) & 1)
+        ecc = (k >> 7) & 1 == 1
+        rc1 = (rcx + rr1 / 2.0, rcy) if ecc else (rcx, rcy)
+        rr0 = rr1 / 4.0 if ecc else 0.0
+        rc0g, rc1g = 0.2, 0.95
+        rn = 2.0 if (k >> 3) & 1 else 1.0
+        sq = (rcx - rr1, rcy - rr1, 2.0 * rr1, 2.0 * rr1)
+        writer.append(
+            {"path": [("re",) + sq], "paint": "shr",
+             "coords": (rcx, rcy, rr0, rc1[0], rc1[1], rr1),
+             "c0": rc0g, "c1": rc1g, "n": rn}
+        )
+        gt.append(
+            {"contours": [[(sq[0], sq[1]), (sq[0] + sq[2], sq[1]),
+                           (sq[0] + sq[2], sq[1] + sq[3]),
+                           (sq[0], sq[1] + sq[3])]],
+             "closed": [True], "paint": "shade3",
+             "coords": ((rcx, rcy, rr0), (rc1[0], rc1[1], rr1)),
+             "c0": rc0g, "c1": rc1g, "n": rn}
+        )
     if k & 8:  # footer bezier squiggle
         p0 = (x0, 60.0)
         p1 = (x0 + 120.0, 90.0)

@@ -2257,14 +2257,15 @@ def _interpret_content(
         elif op in (b"W", b"W*"):
             pending_clip = True  # applies at the next path-end operator
         elif op == b"sh":
-            # axial (Type 2) shading painted through the current clip —
-            # the gradient band/letterhead form real producers emit as
-            # `q ... re W n /ShN sh Q` (§8.7.4.3). Function: exponential
-            # interpolation (Type 2) on DeviceGray.
+            # axial (Type 2) or radial (Type 3) shading painted through
+            # the current clip — the `q ... re W n /ShN sh Q` gradient
+            # band / badge-vignette forms real producers emit (§8.7.4.3).
+            # Function: exponential interpolation (Type 2) on DeviceGray.
             name = str(stack[-1]) if stack else ""
             shd = resolve((shadings or {}).get(name))
             shd = shd.dict if hasattr(shd, "dict") else shd
-            if shd and int(resolve(shd.get("ShadingType", 0)) or 0) == 2:
+            st = int(resolve((shd or {}).get("ShadingType", 0)) or 0)
+            if shd and st in (2, 3):
                 co = [float(resolve(v)) for v in resolve(shd.get("Coords"))]
                 fn = resolve(shd.get("Function")) or {}
                 fn = fn.dict if hasattr(fn, "dict") else fn
@@ -2276,12 +2277,25 @@ def _interpret_content(
                     else [[(0.0, 0.0), (page_w, 0.0), (page_w, page_h),
                            (0.0, page_h)]]
                 )
+                if st == 2:
+                    coords = (xy(co[0], co[1]), xy(co[2], co[3]))
+                    paint = "shade"
+                else:
+                    # radii scale by the CTM's x-axis norm (orthogonal
+                    # viewing rotations keep it 1; circles stay circles
+                    # for the similarity transforms this engine emits)
+                    rs = math.hypot(ctm[0], ctm[1])
+                    coords = (
+                        xy(co[0], co[1]) + (co[2] * rs,),
+                        xy(co[3], co[4]) + (co[5] * rs,),
+                    )
+                    paint = "shade3"
                 vectors.append(
                     {
                         "contours": cts,
                         "closed": [True] * len(cts),
-                        "paint": "shade",
-                        "coords": (xy(co[0], co[1]), xy(co[2], co[3])),
+                        "paint": paint,
+                        "coords": coords,
                         "c0": c0,
                         "c1": c1,
                         "n": float(resolve(fn.get("N", 1)) or 1),

@@ -1022,11 +1022,12 @@ def _vector_ops(
     sh_idx = 0
     for vec in vectors or []:
         paint = vec.get("paint", "S")
-        if paint == "sh":
-            # axial shading band through a rect clip — the letterhead/
-            # separator gradient real producers emit (§8.7.4.3); the
-            # shading dict itself rides in /Resources /Shading (see
-            # _shading_resource, same enumeration order)
+        if paint in ("sh", "shr"):
+            # axial ("sh", §8.7.4.3.3) or radial ("shr", §8.7.4.3.4)
+            # shading through a rect clip — the letterhead gradient /
+            # badge-vignette forms real producers emit; the shading dict
+            # itself rides in /Resources /Shading (see _shading_resource,
+            # same enumeration order)
             seg = ["q"]
             for op in vec["path"]:
                 op = _rot_path_op(op, rot, vw, vh, ox, oy)
@@ -1090,19 +1091,39 @@ def _shading_resource(
     map visual→stored exactly like every other placement."""
     entries = []
     for vec in vectors or []:
-        if vec.get("paint") != "sh":
+        paint = vec.get("paint")
+        if paint not in ("sh", "shr"):
             continue
-        x0, y0, x1, y1 = vec["coords"]
-        sx0, sy0 = _rot_point(rot, x0, y0, vw, vh, ox, oy)
-        sx1, sy1 = _rot_point(rot, x1, y1, vw, vh, ox, oy)
-        entries.append(
-            f"/Sh{len(entries)} << /ShadingType 2 /ColorSpace /DeviceGray"
-            f" /Coords [{fmt_num(sx0)} {fmt_num(sy0)}"
-            f" {fmt_num(sx1)} {fmt_num(sy1)}] /Extend [true true]"
-            f" /Function << /FunctionType 2 /Domain [0 1]"
+        fn_ser = (
+            "/Function << /FunctionType 2 /Domain [0 1]"
             f" /C0 [{fmt_num(vec['c0'])}] /C1 [{fmt_num(vec['c1'])}]"
-            f" /N {fmt_num(vec['n'])} >> >>"
+            f" /N {fmt_num(vec['n'])} >>"
         )
+        if paint == "sh":
+            x0, y0, x1, y1 = vec["coords"]
+            sx0, sy0 = _rot_point(rot, x0, y0, vw, vh, ox, oy)
+            sx1, sy1 = _rot_point(rot, x1, y1, vw, vh, ox, oy)
+            entries.append(
+                f"/Sh{len(entries)} << /ShadingType 2"
+                " /ColorSpace /DeviceGray"
+                f" /Coords [{fmt_num(sx0)} {fmt_num(sy0)}"
+                f" {fmt_num(sx1)} {fmt_num(sy1)}] /Extend [true true]"
+                f" {fn_ser} >>"
+            )
+        else:
+            # radial: two circles (center + radius each); centers map
+            # visual→stored like every placement, radii are rotation-
+            # invariant (the viewing rotation is orthogonal)
+            cx0, cy0, r0, cx1, cy1, r1 = vec["coords"]
+            sx0, sy0 = _rot_point(rot, cx0, cy0, vw, vh, ox, oy)
+            sx1, sy1 = _rot_point(rot, cx1, cy1, vw, vh, ox, oy)
+            entries.append(
+                f"/Sh{len(entries)} << /ShadingType 3"
+                " /ColorSpace /DeviceGray"
+                f" /Coords [{fmt_num(sx0)} {fmt_num(sy0)} {fmt_num(r0)}"
+                f" {fmt_num(sx1)} {fmt_num(sy1)} {fmt_num(r1)}]"
+                f" /Extend [true true] {fn_ser} >>"
+            )
     return "" if not entries else "<< " + " ".join(entries) + " >>"
 
 
