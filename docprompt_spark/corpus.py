@@ -716,9 +716,49 @@ def _doc_structure_gt(doc_id: str, idx: int, n_pages: int) -> dict:
                  f"r{r},{(idx * (r + 3)) % 97}\n" for r in range(4 + idx % 4)
              )).encode()}
         )
+    # page labels (§12.4.2): single-page docs get one decimal range with a
+    # non-default start; multi-page docs get lowercase-roman front matter
+    # at page 0 plus a styled, prefixed range from page 1 — the chaptered
+    # form. Expected label strings computed here with an independent
+    # formatter (greedy-subtraction roman / base-26 letters) so the oracle
+    # does not reuse the parser's converter.
+    def _lbl(style: str, n: int) -> str:
+        if style == "D":
+            return str(n)
+        if style in ("R", "r"):
+            out, left = [], n
+            for v, sym in ((1000, "M"), (900, "CM"), (500, "D"),
+                           (400, "CD"), (100, "C"), (90, "XC"), (50, "L"),
+                           (40, "XL"), (10, "X"), (9, "IX"), (5, "V"),
+                           (4, "IV"), (1, "I")):
+                while left >= v:
+                    out.append(sym)
+                    left -= v
+            s = "".join(out)
+            return s if style == "R" else s.lower()
+        ch = chr(ord("A") + (n - 1) % 26)
+        s = ch * ((n - 1) // 26 + 1)
+        return s if style == "A" else s.lower()
+
+    if n_pages == 1:
+        pl_ranges = [(0, {"style": "D", "st": idx % 3 + 2})]
+        pl_labels = [_lbl("D", idx % 3 + 2)]
+    else:
+        ch_style = ("D", "A", "a", "R")[idx % 4]
+        ch_st = idx % 5 + 1
+        pfx = f"C{idx % 4}-"
+        pl_ranges = [
+            (0, {"style": "r", "st": 1}),
+            (1, {"style": ch_style, "prefix": pfx, "st": ch_st}),
+        ]
+        pl_labels = [_lbl("r", 1)] + [
+            pfx + _lbl(ch_style, ch_st + (p - 1))
+            for p in range(1, n_pages)
+        ]
     return {"info": info, "outlines": outlines, "fields": fields,
             "attachments": sorted(attachments, key=lambda a: a["name"]),
-            "xmp": True}
+            "xmp": True,
+            "page_labels": pl_ranges, "page_label_strings": pl_labels}
 
 
 def _tagged_structure_gt(idx: int, seed: int) -> Tuple[str, List[tuple]]:

@@ -1150,6 +1150,69 @@ class PdfFile:
             )
         return out
 
+    def page_labels(self) -> List[str]:
+        """Per-page display labels from the catalog's /PageLabels number
+        tree (§12.4.2) — the 'iv', 'C2-7' page numbering viewers show for
+        front matter / chaptered documents. Walks /Nums plus intermediate
+        /Kids nodes, applies each range (/S style, /P prefix, /St start)
+        to the pages up to the next range key. Pages before the first
+        range (malformed trees) fall back to ordinal numbering."""
+        pl = self.resolve(self.root.get("PageLabels"))
+        if not isinstance(pl, dict):
+            return []
+        nums: List[tuple] = []
+
+        def walk(node: Any) -> None:
+            node = self.resolve(node)
+            if not isinstance(node, dict):
+                return
+            arr = self.resolve(node.get("Nums")) or []
+            for i in range(0, len(arr) - 1, 2):
+                nums.append(
+                    (int(self.resolve(arr[i])), self.resolve(arr[i + 1]))
+                )
+            for kid in self.resolve(node.get("Kids")) or []:
+                walk(kid)
+
+        walk(pl)
+        nums.sort(key=lambda t: t[0])
+
+        def fmt(style: str, n: int) -> str:
+            if style == "D":
+                return str(n)
+            if style in ("R", "r"):
+                out = []
+                for v, sym in (
+                    (1000, "m"), (900, "cm"), (500, "d"), (400, "cd"),
+                    (100, "c"), (90, "xc"), (50, "l"), (40, "xl"),
+                    (10, "x"), (9, "ix"), (5, "v"), (4, "iv"), (1, "i"),
+                ):
+                    while n >= v:
+                        out.append(sym)
+                        n -= v
+                s = "".join(out)
+                return s.upper() if style == "R" else s
+            if style in ("A", "a"):
+                ch = chr(ord("A") + (n - 1) % 26)
+                s = ch * ((n - 1) // 26 + 1)
+                return s.lower() if style == "a" else s
+            return ""
+
+        labels: List[str] = []
+        for p in range(len(self.page_refs)):
+            rng, start = None, 0
+            for k, d in nums:
+                if k <= p:
+                    rng, start = d, k
+            if not isinstance(rng, dict):
+                labels.append(str(p + 1))
+                continue
+            st = int(self.resolve(rng.get("St", 1)) or 1)
+            style = str(self.resolve(rng.get("S", "")) or "")
+            prefix = self._str_of(rng.get("P")) or ""
+            labels.append(prefix + fmt(style, st + (p - start)))
+        return labels
+
     def structure_tree(self) -> List[dict]:
         """Flattened logical-structure tree (tagged PDF, §14.7): DFS over
         /StructTreeRoot → /StructElem /K kids; each element yields its

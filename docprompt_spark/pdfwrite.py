@@ -753,6 +753,49 @@ def write_pdf(
         )
         cat_extra += f" /Outlines {ol_root} 0 R /PageMode /UseOutlines"
 
+    if struct.get("page_labels"):
+        # /PageLabels number tree (§12.4.2): label-range dicts keyed by
+        # first page index. With >=2 ranges the tree is split into two
+        # intermediate /Kids nodes with /Limits — the nested form real
+        # many-chaptered documents carry — so the reader's number-tree
+        # walk (not just flat /Nums) is exercised.
+        def _range_ser(rd: dict, holder: int) -> str:
+            body = f"<< /S /{rd['style']}"
+            if rd.get("prefix"):
+                body += f" /P {_dstr(rd['prefix'], holder)}"
+            if rd.get("st", 1) != 1:
+                body += f" /St {rd['st']}"
+            return body + " >>"
+
+        ranges = struct["page_labels"]  # [(first_page, rangedict), ...]
+        if len(ranges) >= 2:
+            kid_nums = [b.reserve(), b.reserve()]
+            halves = [ranges[:1], ranges[1:]]
+            for kn, half in zip(kid_nums, halves):
+                nums_ser = " ".join(
+                    f"{k} {_range_ser(rd, kn)}" for k, rd in half
+                )
+                lims = f"[{half[0][0]} {half[-1][0]}]"
+                b.set(
+                    kn,
+                    f"<< /Limits {lims} /Nums [{nums_ser}] >>".encode(),
+                )
+            pl_num = b.add(
+                (
+                    "<< /Kids ["
+                    + " ".join(f"{k} 0 R" for k in kid_nums)
+                    + "] >>"
+                ).encode()
+            )
+        else:
+            pl_holder = b.reserve()
+            nums_ser = " ".join(
+                f"{k} {_range_ser(rd, pl_holder)}" for k, rd in ranges
+            )
+            b.set(pl_holder, f"<< /Nums [{nums_ser}] >>".encode())
+            pl_num = pl_holder
+        cat_extra += f" /PageLabels {pl_num} 0 R"
+
     if struct.get("attachments"):
         import hashlib as _hl
 

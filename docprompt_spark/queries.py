@@ -91,10 +91,15 @@ _PRIORITY_NAMES = [
     "benchmark_decontamination",  # benchmark 5-gram overlap (broadcast bench set)
     "link_annotations",  # incremental-update (§7.5.6) /Prev chain + /Link URI extraction
     "tagged_reading_order",  # tagged PDF (§14.7-14.8) structure tree + MCID join
+    "pii_redaction_stats",  # PII scrub (email/phone/IP regex + redacted-bytes md5)
     "document_metadata",  # /Info + XMP metadata (§14.3) incl. encrypted-string parity
     "outline_entries",  # /Outlines bookmark tree walk (§12.3.3)
+    "page_labels",  # /PageLabels number tree (§12.4.2, nested /Kids walk)
     "form_field_values",  # AcroForm filled-field extraction (§12.7, /Kids + inheritance)
     "embedded_attachments",  # /EmbeddedFiles name tree + payload decode proof (§7.11.4)
+    # pinned: the ONLY audio-path (wav/RIFF) oracle — unique coverage that
+    # must not silently overflow as the registry grows
+    "audio_features",
 ]
 _LOW_PRIORITY_NAMES = [
     "q5_supplier_volume_by_nation",  # TPC-H redundancy: q1+q3 stay in-window; q5 still bench-timed + local oracle
@@ -110,6 +115,8 @@ _LOW_PRIORITY_NAMES = [
     "term_frequencies_top20",  # ditto — tokenize path proven by clean_text/bm25 in-window
     "fuzzy_term_match",  # (F17) same indel-ratio kernel exercised in-window by provenance_refined_search (D19)
     "date_extraction",  # (F4) stronger evidence than the gate: tests/test_date_extraction.py asserts parity against the reference module ITSELF over all 22 patterns; local oracle still checks it
+    "mime_sniff_stats",  # (P1/S5) the sniff path is load-bearing inside EVERY extraction oracle (corpus rotates b64/gzip wrappers through unwrap_pdf_bytes); local oracle still checks it
+    "doc_fingerprints",  # (F5-F7) md5 is in-window via dedup_exact_groups + pii_redaction_stats' redacted_md5; base64/gzip decode is load-bearing in every extraction oracle (unwrap_pdf_bytes); local oracle still checks it
     "stratified_sample_10pct",  # (sampling) same md5-hash-split kernel as the in-window dedup family; local oracle covers
     "ann_lsh_bucketed_top5",  # (ANN scale path) ann_ivf_top5 in-window is the bucketed scale evidence; sign-LSH banding also proven in-window by embedding_cosine_neardup_pairs
     "doc_length_percentiles",  # (corpus stats) exact rank-window percentiles; q1/doc_fingerprints cover the agg surface in-window, local oracle still checks it
@@ -949,6 +956,109 @@ def token_counts_bpe_ish(spark, sf_dir):
         F.size(
             F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
         ).alias("n_tokens"),
+    )
+
+
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RE = r"\(\d{3}\) \d{3}-\d{4}"
+_PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "pii_redaction_stats",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             (('0x' || substr(md5('pii' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS h,
+             md5('pii' || CAST(doc_id AS VARCHAR)) AS m
+      FROM documents
+    ), aug AS (
+      SELECT doc_id,
+             text ||
+             CASE WHEN h % 2 = 0 THEN
+               ' contact user' || substr(m, 1, 4) || '@ex' || substr(m, 5, 2)
+               || '.com or (' || CAST(h % 900 + 100 AS VARCHAR) || ') '
+               || CAST((h // 900) % 900 + 100 AS VARCHAR) || '-'
+               || CAST((h // 810000) % 9000 + 1000 AS VARCHAR)
+             ELSE '' END ||
+             CASE WHEN h % 3 = 0 THEN
+               ' host 10.' || CAST(h % 256 AS VARCHAR) || '.'
+               || CAST((h // 256) % 256 AS VARCHAR) || '.'
+               || CAST((h // 65536) % 254 + 1 AS VARCHAR)
+             ELSE '' END AS text2
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text2, '{_PII_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text2, '{_PII_PHONE_RE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(text2, '{_PII_IP_RE}')) AS INT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(text2,
+               '{_PII_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{_PII_PHONE_RE}', '[PHONE]', 'g'),
+               '{_PII_IP_RE}', '[IP]', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def pii_redaction_stats(spark, sf_dir):
+    """PII detection + redaction (the C4/Dolma-style scrub every released
+    training corpus runs): email / US-phone / IPv4 regex detectors,
+    per-doc match counts, and the md5 of the text with every match
+    replaced by a typed placeholder — proving the REDACTED bytes agree
+    cross-engine, not just the counts (docs with no PII hash to their
+    original text, so false positives would show). The synthetic
+    ``documents`` table carries no PII, so both engines append the SAME
+    deterministic contact/host sentence (hash-derived email, phone, IP)
+    to overlapping ~1/2 and ~1/3 slices first — the established
+    augmented-corpus pattern the dedup oracles use.
+
+    Scale: pure per-row column expressions (regexp_extract_all /
+    regexp_replace, JVM-side, whole-stage codegen) — zero shuffles, zero
+    UDFs; at 100 TB this is a map-only scan that AQE never has to touch.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.md5(F.concat(F.lit("pii"), F.col("doc_id").cast("string")))
+    base = docs.withColumn("m", m).withColumn(
+        "h", F.conv(F.substring("m", 1, 15), 16, 10).cast("long")
+    )
+    contact = F.concat(
+        F.lit(" contact user"), F.substring("m", 1, 4),
+        F.lit("@ex"), F.substring("m", 5, 2), F.lit(".com or ("),
+        F.expr("CAST(h % 900 + 100 AS STRING)"), F.lit(") "),
+        F.expr("CAST((h div 900) % 900 + 100 AS STRING)"), F.lit("-"),
+        F.expr("CAST((h div 810000) % 9000 + 1000 AS STRING)"),
+    )
+    host = F.concat(
+        F.lit(" host 10."), F.expr("CAST(h % 256 AS STRING)"), F.lit("."),
+        F.expr("CAST((h div 256) % 256 AS STRING)"), F.lit("."),
+        F.expr("CAST((h div 65536) % 254 + 1 AS STRING)"),
+    )
+    aug = base.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("h") % 2 == 0, contact).otherwise(F.lit("")),
+            F.when(F.col("h") % 3 == 0, host).otherwise(F.lit("")),
+        ),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text2"), _PII_EMAIL_RE, "[EMAIL]"),
+            _PII_PHONE_RE, "[PHONE]",
+        ),
+        _PII_IP_RE, "[IP]",
+    )
+    return aug.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text2"), F.lit(_PII_EMAIL_RE), F.lit(0))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(F.col("text2"), F.lit(_PII_PHONE_RE), F.lit(0))
+        ).alias("n_phones"),
+        F.size(
+            F.regexp_extract_all(F.col("text2"), F.lit(_PII_IP_RE), F.lit(0))
+        ).alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
     )
 
 
@@ -3768,6 +3878,64 @@ def _outline_entries_oracle_sql() -> str:
 _REGISTRY["outline_entries"] = (outline_entries, None)
 
 
+def page_labels(spark, sf_dir):
+    """Page-label extraction (/PageLabels number tree, §12.4.2): the
+    'iv', 'C2-7' display numbering viewers show for front-matter /
+    chaptered documents, and the key a citation pipeline needs to map
+    physical page indices to the numbers humans (and bibliographies)
+    actually cite. The parser walks /Nums plus intermediate /Kids nodes
+    (the writer nests two /Limits kids whenever there are >=2 ranges, so
+    the number-TREE walk is exercised, not just flat /Nums), applies
+    each range's /S style (D, R/r roman, A/a letters) with /P prefix and
+    /St start. One row per (doc, page); label ground truth is computed
+    by an independent formatter in the corpus generator.
+
+    Reference: docprompt surfaces page numbering via its page-node
+    ordinals; the /PageLabels display-label layer is the PDF-native
+    generalization (pdfium CPDF_PageLabel, pikepdf PageLabels analogs).
+    """
+    import pandas as pd
+
+    from docprompt_spark import pdfparse
+
+    schema = "doc_id string, page_number int, label string"
+    cols = ["doc_id", "page_number", "label"]
+
+    def fn(batches):
+        for b in batches:
+            rows = []
+            for doc_id, pdf in zip(b["doc_id"], b["pdf"]):
+                pf = pdfparse.PdfFile(pdfparse.unwrap_pdf_bytes(bytes(pdf)))
+                for p, lbl in enumerate(pf.page_labels()):
+                    rows.append(
+                        {"doc_id": doc_id, "page_number": p + 1,
+                         "label": lbl}
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return _structured_corpus(spark).mapInPandas(fn, schema=schema)
+
+
+def _page_labels_oracle_sql() -> str:
+    from docprompt_spark.corpus import _doc_structure_gt, _gen_doc_pages
+
+    rows = []
+    for idx in range(_N_STRUCTURED):
+        doc_id, pages = _gen_doc_pages(idx, _FLAGSHIP_SEED, 0)
+        gt = _doc_structure_gt(doc_id, idx, len(pages))
+        for p, lbl in enumerate(gt["page_label_strings"]):
+            rows.append(f"({_sql_quote(doc_id)},{p + 1},{_sql_quote(lbl)})")
+    return (
+        "SELECT doc_id, CAST(page_number AS INT) AS page_number, label"
+        " FROM (VALUES " + ",".join(rows) +
+        ") AS t(doc_id, page_number, label)"
+    )
+
+
+_REGISTRY["page_labels"] = (page_labels, None)
+
+
 def form_field_values(spark, sf_dir):
     """Filled-form extraction (AcroForm, §12.7): /Fields walked through
     /Kids with '.'-joined partial names and /FT//V inheritance; terminal
@@ -4753,6 +4921,7 @@ def _build_oracle_sql() -> Dict[str, str]:
     out["tagged_reading_order"] = _tagged_reading_order_oracle_sql()
     out["document_metadata"] = _document_metadata_oracle_sql()
     out["outline_entries"] = _outline_entries_oracle_sql()
+    out["page_labels"] = _page_labels_oracle_sql()
     out["form_field_values"] = _form_field_values_oracle_sql()
     out["embedded_attachments"] = _embedded_attachments_oracle_sql()
     out["extraction_scanned_spans"] = _golden_spans_sql(

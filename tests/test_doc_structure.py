@@ -163,3 +163,90 @@ def test_xref_stream_structure_objects_in_objstm():
     assert b"/ObjStm" in raw and b"/Filespec" not in raw.split(b"stream")[0]
     pf = _parse(raw)
     assert pf.attachments()
+
+
+@pytest.mark.parametrize("idx", range(12))
+def test_page_labels_roundtrip(idx):
+    """/PageLabels (§12.4.2) author → serialize → parse across all
+    structured envelopes: the parsed per-page labels must equal the
+    corpus generator's independently-formatted ground truth (greedy
+    roman / base-26 letters, computed without the parser's converter)."""
+    d = corpus.gen_doc(idx, seed=7, skew_every=0, envelope="structured")
+    gt = corpus._doc_structure_gt(d["doc_id"], idx, d["n_pages"])
+    pf = _parse(d["pdf"])
+    assert pf.page_labels() == gt["page_label_strings"]
+    assert len(pf.page_labels()) == d["n_pages"]
+
+
+def test_page_labels_nested_kids_tree():
+    """Multi-range docs serialize as a two-kid number tree with /Limits
+    (not flat /Nums) — assert the nested form is actually on disk and
+    the walk still resolves it."""
+    for idx in range(12):
+        d = corpus.gen_doc(idx, seed=7, skew_every=0, envelope="structured")
+        if d["n_pages"] > 1:
+            break
+    else:
+        pytest.skip("no multi-page structured doc")
+    pf = _parse(d["pdf"])
+    pl = pf.resolve(pf.root["PageLabels"])
+    assert "Kids" in pl and "Nums" not in pl
+    kids = [pf.resolve(k) for k in pf.resolve(pl["Kids"])]
+    assert len(kids) == 2 and all("Limits" in k for k in kids)
+    gt = corpus._doc_structure_gt(d["doc_id"], idx, d["n_pages"])
+    assert pf.page_labels() == gt["page_label_strings"]
+    # front matter is lowercase roman, chapter pages carry the prefix
+    assert pf.page_labels()[0] == "i"
+    assert pf.page_labels()[1].startswith(f"C{idx % 4}-")
+
+
+def test_page_labels_encrypted_prefix_decrypts():
+    """idx%4==2 structured docs are AES-128: the /P prefix string is
+    object-key-encrypted and must decrypt transparently."""
+    idx = 2
+    d = corpus.gen_doc(idx, seed=7, skew_every=0, envelope="structured")
+    pf = _parse(d["pdf"])
+    assert pf._crypt is not None
+    gt = corpus._doc_structure_gt(d["doc_id"], idx, d["n_pages"])
+    assert pf.page_labels() == gt["page_label_strings"]
+
+
+def test_page_labels_absent_and_fallback():
+    pages = [
+        {
+            "width": 612.0, "height": 792.0, "images": [],
+            "text_ops": [
+                {"font": "F1", "size": 10.0, "x": 72.0, "y": 700.0,
+                 "mode": "Tm", "segments": ["hello"]}
+            ],
+        }
+    ] * 2
+    pdf = pdfwrite.write_pdf(pages, doc_title="t")
+    pf = _parse(pdf)
+    assert pf.page_labels() == []
+
+
+def test_page_label_roman_letter_formatting():
+    """Spot-check the style converters through a real document: roman
+    front matter counts i, ii, iii… and letter styles wrap at Z→AA."""
+    struct = {
+        "info": {"author": "a", "subject": "s", "producer": "p",
+                 "creation": "D:20200101000000Z"},
+        "outlines": [], "fields": [], "attachments": [], "xmp": False,
+        "page_labels": [(0, {"style": "r", "st": 1}),
+                        (3, {"style": "A", "prefix": "X-", "st": 25})],
+    }
+    pages = [
+        {
+            "width": 612.0, "height": 792.0, "images": [],
+            "text_ops": [
+                {"font": "F1", "size": 10.0, "x": 72.0, "y": 700.0,
+                 "mode": "Tm", "segments": ["p"]}
+            ],
+        }
+    ] * 8
+    pdf = pdfwrite.write_pdf(pages, doc_title="t", structure=struct)
+    pf = _parse(pdf)
+    assert pf.page_labels() == [
+        "i", "ii", "iii", "X-Y", "X-Z", "X-AA", "X-BB", "X-CC"
+    ]
