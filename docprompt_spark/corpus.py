@@ -653,6 +653,18 @@ def _link_annotation_gt(doc_id: str, idx: int):
     )
 
 
+def _signature_gt(doc_id: str, idx: int):
+    """(signer, sign_time) of the approval signature the signed revision
+    carries — one formula shared by the generator and the
+    signature_fields oracle."""
+    signer = f"Reviewer {chr(ord('A') + idx % 7)}. {doc_id[-4:]}"
+    t = (
+        f"2026{idx % 12 + 1:02d}{idx % 28 + 1:02d}"
+        f"{idx % 24:02d}{(idx * 7) % 60:02d}{(idx * 13) % 60:02d}Z"
+    )
+    return signer, t
+
+
 def _doc_structure_gt(doc_id: str, idx: int, n_pages: int) -> dict:
     """Deterministic document-STRUCTURE ground truth — the navigation /
     interchange layer real producers attach around the page content:
@@ -1043,6 +1055,12 @@ def gen_doc(
         elif envelope == "tagged":
             use_xref_stream = idx % 2 == 1
             comp = ["flate", False, "lzw"][idx % 3]
+        elif envelope == "signed":
+            # signature oracle corpus: classic xref only (the append
+            # machinery's constraint, like "incremental"), all three
+            # content filters rotated; unencrypted (appended revision
+            # strings are written plaintext)
+            comp = ["flate", False, "lzw"][idx % 3]
     # document-structure layer (§12.3.3/§12.7/§7.11.4 + /Info + XMP):
     # every "structured"-envelope doc and an eighth of the default corpus
     # carry outlines, filled form fields, attachments and metadata —
@@ -1096,6 +1114,22 @@ def gen_doc(
 
         uri, rect = _link_annotation_gt(doc_id, idx)
         pdf = append_incremental_link(pdf, uri, rect)
+    if envelope == "signed" or (
+        envelope is None
+        and idx % 8 == 7
+        and not use_xref_stream
+        and enc_mode is None
+    ):
+        # digital signature (§12.8): an appended approval-signature
+        # revision (sig dict + /FT /Sig widget + redefined page/catalog
+        # with /AcroForm) whose /ByteRange covers the whole file except
+        # the /Contents hex. idx%8==7 never collides with the structured
+        # (%8==2) or incremental (%8==5) slices, so the base catalog has
+        # no AcroForm. Golden spans are signature-invariant.
+        from docprompt_spark.pdfwrite import append_signature
+
+        signer, sign_time = _signature_gt(doc_id, idx)
+        pdf = append_signature(pdf, signer, sign_time)
     if envelope == "damaged":
         pdf = _damage(pdf, idx)
     wrapped = _wrap(pdf, idx % 4)

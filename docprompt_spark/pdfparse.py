@@ -1065,6 +1065,8 @@ class PdfFile:
             name = f"{prefix}.{t}" if prefix and t else (t or prefix)
             if "FT" in f:
                 ftype = str(self.resolve(f["FT"]))
+            if ftype == "Sig":
+                return  # signature fields surface via signatures()
             if "V" in f:
                 value = f["V"]
             kids = self.resolve(f.get("Kids"))
@@ -1212,6 +1214,74 @@ class PdfFile:
             prefix = self._str_of(rng.get("P")) or ""
             labels.append(prefix + fmt(style, st + (p - start)))
         return labels
+
+    def signatures(self) -> List[dict]:
+        """Digital-signature fields (§12.8): walks /AcroForm for /FT /Sig
+        fields and STRUCTURALLY verifies each /V signature dictionary —
+        the layer a corpus pipeline validates before trusting a signed
+        document. Per signature: recompute the SHA-256 digest over the
+        two /ByteRange segments and compare against /Contents
+        (``digest_valid``), and check the ranges cover the WHOLE file
+        except exactly the /Contents hex token (``covers_whole_file`` —
+        a signature whose ByteRange skips other bytes authenticates
+        nothing, the classic incremental-save attack). CMS/X.509
+        certificate validation is out of scope (declared); /Contents here
+        carries the bare digest under /SubFilter /sha256.digest.
+
+        Reference equivalence: docprompt's pdfium exposes this surface as
+        FPDF_GetSignatureObject / FPDFSignatureObj_GetByteRange."""
+        out: List[dict] = []
+        acro = self.resolve(self.root.get("AcroForm"))
+        if not isinstance(acro, dict):
+            return out
+        import hashlib as _hl
+
+        data = self.data
+        for ref in self.resolve(acro.get("Fields", [])) or []:
+            f = self.resolve(ref)
+            f = f.dict if isinstance(f, Stream) else f
+            if not isinstance(f, dict):
+                continue
+            if str(self.resolve(f.get("FT", ""))) != "Sig":
+                continue
+            v = self.resolve(f.get("V"))
+            if not isinstance(v, dict):
+                continue
+            br = [int(self.resolve(x)) for x in
+                  (self.resolve(v.get("ByteRange")) or [])]
+            contents = self.resolve(v.get("Contents"))
+            digest_valid = covers_whole = False
+            if len(br) == 4 and isinstance(contents, bytes):
+                a, la, bo, lb = br
+                ok_bounds = (
+                    0 <= a <= a + la <= bo <= bo + lb <= len(data)
+                )
+                if ok_bounds:
+                    covered = data[a : a + la] + data[bo : bo + lb]
+                    digest_valid = (
+                        _hl.sha256(covered).hexdigest()
+                        == bytes(contents).hex()
+                    )
+                    gap = data[a + la : bo]
+                    covers_whole = (
+                        a == 0
+                        and bo + lb == len(data)
+                        and gap[:1] == b"<"
+                        and gap[-1:] == b">"
+                    )
+            mval = self._str_of(v.get("M")) or ""
+            out.append(
+                {
+                    "field_name": self._str_of(f.get("T")) or "",
+                    "signer": self._str_of(v.get("Name")) or "",
+                    "sign_time": mval[2:] if mval.startswith("D:") else mval,
+                    "subfilter": str(self.resolve(v.get("SubFilter", ""))),
+                    "byte_range": br,
+                    "digest_valid": digest_valid,
+                    "covers_whole_file": covers_whole,
+                }
+            )
+        return out
 
     def structure_tree(self) -> List[dict]:
         """Flattened logical-structure tree (tagged PDF, §14.7): DFS over

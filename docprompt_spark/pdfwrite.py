@@ -1434,3 +1434,135 @@ def append_incremental_link(
         + page_body.encode("latin-1")
         + tail.encode("latin-1")
     )
+
+
+def append_signature(
+    pdf: bytes, signer: str, sign_time: str, page_index: int = 0
+) -> bytes:
+    """Append a digital-signature revision (§12.8): the approval-signature
+    form real signing tools write. A new incremental revision adds (1) a
+    /Sig value dictionary with /ByteRange + /Contents, (2) a merged
+    signature field/widget annotation (/FT /Sig, /SigFlags 3), (3) a
+    REDEFINED page carrying the widget and a REDEFINED catalog carrying
+    /AcroForm, then (4) a classic xref whose trailer /Prev chains back —
+    the original bytes stay untouched, exactly like append_incremental_link.
+
+    Two-pass layout, as real signers do it: the revision is serialized
+    with a fixed-width zero /ByteRange and an all-zero /Contents hex
+    placeholder; once offsets are final, /ByteRange is patched in place to
+    [0 a (a+gap) (len-a-gap)] — the whole file except the /Contents hex
+    string — and /Contents is patched with the digest over exactly those
+    two ranges.
+
+    /Contents carries a bare SHA-256 digest (64 hex chars) under
+    /SubFilter /sha256.digest rather than a DER PKCS#7 envelope:
+    the ByteRange arithmetic, whole-file-coverage check and
+    digest-over-two-ranges verification — the structural layer a corpus
+    pipeline validates — are real; CMS/X.509 cryptographic validation
+    (certificates, RSA bignum) is declared out of scope. Reference
+    equivalence: docprompt's pdfium exposes the same field surface
+    (FPDF_GetSignatureObject / FPDFSignatureObj_GetByteRange).
+    Classic-xref base files only."""
+    import hashlib as _hl
+    import re as _re
+
+    from docprompt_spark import pdfparse as pp
+
+    pf = pp.PdfFile(pdf)
+    pref = pf.page_refs[page_index]
+    page = dict(pf.resolve(pref))
+    root_ref = pf.trailer.get("Root")
+    cat = dict(pf.resolve(root_ref))
+    if "AcroForm" in cat:
+        raise ValueError("append_signature: base file already has AcroForm")
+    size = int(pf.resolve(pf.trailer.get("Size", 0)) or 0)
+    sig_num, wid_num = size, size + 1
+
+    annots = list(pf.resolve(page.get("Annots", [])) or [])
+    annots.append(pp.Ref(wid_num, 0))
+    page["Annots"] = annots
+    cat["AcroForm"] = {
+        "Fields": [pp.Ref(wid_num, 0)],
+        "SigFlags": 3,
+    }
+
+    m = None
+    for m in _re.finditer(rb"startxref\s+(\d+)", pdf):
+        pass
+    if m is None:
+        raise ValueError("no startxref in base file")
+    prev_off = int(m.group(1))
+    base = pdf if pdf.endswith((b"\n", b"\r")) else pdf + b"\n"
+
+    br_pat = "/ByteRange [0 0000000000 0000000000 0000000000]"
+    contents_pat = "<" + "0" * 64 + ">"
+    sig_body = (
+        f"{sig_num} 0 obj\n<< /Type /Sig /Filter /Adobe.PPKLite"
+        f" /SubFilter /sha256.digest {br_pat}"
+        f" /Contents {contents_pat}"
+        f" /Name ({esc_literal(signer.encode('latin-1')).decode('latin-1')})"
+        f" /M (D:{sign_time}) >>\nendobj\n"
+    )
+    wid_body = (
+        f"{wid_num} 0 obj\n<< /Type /Annot /Subtype /Widget /FT /Sig"
+        f" /T (Sig1) /V {sig_num} 0 R /F 132"
+        f" /Rect [0 0 0 0] /P {pref.num} {getattr(pref, 'gen', 0)} R"
+        f" >>\nendobj\n"
+    )
+    gen = getattr(pref, "gen", 0)
+    page_body = f"{pref.num} {gen} obj\n{_ser_parsed(page)}\nendobj\n"
+    cat_body = (
+        f"{root_ref.num} {getattr(root_ref, 'gen', 0)} obj\n"
+        f"{_ser_parsed(cat)}\nendobj\n"
+    )
+
+    off_sig = len(base)
+    off_wid = off_sig + len(sig_body)
+    off_page = off_wid + len(wid_body)
+    off_cat = off_page + len(page_body)
+    xref_off = off_cat + len(cat_body)
+    entries = sorted(
+        [
+            (sig_num, off_sig),
+            (wid_num, off_wid),
+            (pref.num, off_page),
+            (root_ref.num, off_cat),
+        ]
+    )
+    secs: List[list] = []
+    for num, off in entries:
+        if secs and num == secs[-1][0] + len(secs[-1][1]):
+            secs[-1][1].append(off)
+        else:
+            secs.append([num, [off]])
+    xref_lines = ["xref"]
+    for start, offs in secs:
+        xref_lines.append(f"{start} {len(offs)}")
+        xref_lines.extend(f"{o:010d} 00000 n " for o in offs)
+    tail = (
+        "\n".join(xref_lines)
+        + f"\ntrailer\n<< /Size {wid_num + 1}"
+        f" /Root {root_ref.num} {getattr(root_ref, 'gen', 0)} R"
+        f" /Prev {prev_off} >>\nstartxref\n{xref_off}\n%%EOF\n"
+    )
+    out = bytearray(
+        base
+        + sig_body.encode("latin-1")
+        + wid_body.encode("latin-1")
+        + page_body.encode("latin-1")
+        + cat_body.encode("latin-1")
+        + tail.encode("latin-1")
+    )
+
+    # pass 2: patch /ByteRange + /Contents in place (lengths are fixed)
+    c_start = out.index(contents_pat.encode(), off_sig)
+    c_end = c_start + len(contents_pat)
+    br = f"/ByteRange [0 {c_start:010d} {c_end:010d} {len(out) - c_end:010d}]"
+    assert len(br) == len(br_pat)
+    b_start = out.index(br_pat.encode(), off_sig)
+    out[b_start : b_start + len(br_pat)] = br.encode()
+    digest = _hl.sha256(
+        bytes(out[:c_start]) + bytes(out[c_end:])
+    ).hexdigest()
+    out[c_start : c_end] = ("<" + digest + ">").encode()
+    return bytes(out)

@@ -90,6 +90,7 @@ _PRIORITY_NAMES = [
     "repetition_quality_flags",  # Gopher-style repetition filters (integer-exact)
     "benchmark_decontamination",  # benchmark 5-gram overlap (broadcast bench set)
     "link_annotations",  # incremental-update (§7.5.6) /Prev chain + /Link URI extraction
+    "signature_fields",  # digital signatures (§12.8): ByteRange digest + whole-file coverage
     "tagged_reading_order",  # tagged PDF (§14.7-14.8) structure tree + MCID join
     "pii_redaction_stats",  # PII scrub (email/phone/IP regex + redacted-bytes md5)
     "document_metadata",  # /Info + XMP metadata (§14.3) incl. encrypted-string parity
@@ -103,6 +104,7 @@ _PRIORITY_NAMES = [
 ]
 _LOW_PRIORITY_NAMES = [
     "q5_supplier_volume_by_nation",  # TPC-H redundancy: q1+q3 stay in-window; q5 still bench-timed + local oracle
+    "q3_shipping_priority",  # TPC-H redundancy: q1 stays in-window; W6 top-n evidenced in-window by search_bm25_ranked's rank-pushdown + ann TakeOrderedAndProject; q3 still bench-timed + local oracle
     "ann_bruteforce_cosine_top10",  # (ANN) ann_ivf_top5 in-window covers similarity; brute-force stays bench-timed + local oracle
     "knn_top2_per_label",  # (J3) same broadcast-kNN join family as the in-window ANN queries; local oracle covers
     "media_thumbnails",  # (D11) raster postprocess; media covered in-window by page_rasters/masked/png_export/codec_histogram
@@ -3609,6 +3611,90 @@ def _link_annotations_oracle_sql() -> str:
 _REGISTRY["link_annotations"] = (link_annotations, None)
 
 
+_N_SIGNED = 9  # covers the signed envelope's %3 filter rotation
+
+
+def signature_fields(spark, sf_dir):
+    """Digital-signature extraction + STRUCTURAL verification (§12.8):
+    every corpus file carries an appended approval-signature revision
+    (/FT /Sig field, /SigFlags 3, sig dict with /ByteRange + /Contents).
+    Per signature the kernel recomputes the SHA-256 digest over the two
+    /ByteRange segments and compares it to /Contents (``digest_valid``),
+    and checks the ranges cover the whole file except exactly the
+    /Contents hex token (``covers_whole_file`` — a ByteRange that skips
+    other bytes authenticates nothing). This is the trust-triage layer a
+    document pipeline runs before ingesting signed corpora: pdfium
+    exposes the same surface (FPDF_GetSignatureObject /
+    FPDFSignatureObj_GetByteRange); CMS/X.509 certificate-chain
+    validation is declared out of scope. Arrow-batched mapInPandas; at
+    scale a zero-shuffle map over the files."""
+    import pandas as pd
+
+    from docprompt_spark import pdfparse, pipeline
+
+    docs = pipeline.corpus_df(
+        spark, _N_SIGNED, seed=_FLAGSHIP_SEED, skew_every=0,
+        envelope="signed",
+    )
+    schema = (
+        "doc_id string, field_name string, signer string,"
+        " sign_time string, subfilter string, digest_valid boolean,"
+        " covers_whole_file boolean"
+    )
+    cols = [
+        "doc_id", "field_name", "signer", "sign_time", "subfilter",
+        "digest_valid", "covers_whole_file",
+    ]
+
+    def fn(batches):
+        for b in batches:
+            rows = []
+            for doc_id, pdf in zip(b["doc_id"], b["pdf"]):
+                pf = pdfparse.PdfFile(pdfparse.unwrap_pdf_bytes(bytes(pdf)))
+                for s in pf.signatures():
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "field_name": s["field_name"],
+                            "signer": s["signer"],
+                            "sign_time": s["sign_time"],
+                            "subfilter": s["subfilter"],
+                            "digest_valid": s["digest_valid"],
+                            "covers_whole_file": s["covers_whole_file"],
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id", "pdf").mapInPandas(fn, schema=schema)
+
+
+def _signature_fields_oracle_sql() -> str:
+    """VALUES golden from the shared generator formula (corpus
+    _signature_gt): every signed-envelope doc carries exactly one valid
+    whole-file approval signature."""
+    from docprompt_spark.corpus import _signature_gt
+
+    rows = []
+    for idx in range(_N_SIGNED):
+        doc_id = f"doc-{_FLAGSHIP_SEED}-{idx:08d}"
+        signer, sign_time = _signature_gt(doc_id, idx)
+        rows.append(
+            f"({_sql_quote(doc_id)},'Sig1',{_sql_quote(signer)},"
+            f"{_sql_quote(sign_time)},'sha256.digest',TRUE,TRUE)"
+        )
+    return (
+        "SELECT doc_id, field_name, signer, sign_time, subfilter,"
+        " digest_valid, covers_whole_file"
+        " FROM (VALUES " + ",".join(rows) +
+        ") AS t(doc_id, field_name, signer, sign_time, subfilter,"
+        " digest_valid, covers_whole_file)"
+    )
+
+
+_REGISTRY["signature_fields"] = (signature_fields, None)
+
+
 _N_TAGGED = 6  # covers the tagged envelope's %2 xref / %3 filter rotations
 
 
@@ -4918,6 +5004,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         6, _FLAGSHIP_SEED, envelope="damaged"
     )
     out["link_annotations"] = _link_annotations_oracle_sql()
+    out["signature_fields"] = _signature_fields_oracle_sql()
     out["tagged_reading_order"] = _tagged_reading_order_oracle_sql()
     out["document_metadata"] = _document_metadata_oracle_sql()
     out["outline_entries"] = _outline_entries_oracle_sql()
