@@ -653,6 +653,48 @@ def _link_annotation_gt(doc_id: str, idx: int):
     )
 
 
+def _ocg_watermark_on(idx: int) -> bool:
+    """Default visibility of the Watermark layer for ocg-envelope doc
+    ``idx`` — one formula shared by the generator, the write_pdf call and
+    the ocg oracle (decoupled from the idx%2 xref rotation)."""
+    return (idx >> 1) % 2 == 1
+
+
+def _ocg_page_overlay(idx: int, p: int, page: dict, words_gt: list) -> None:
+    """Mutate one generated page into the LAYERED (optional-content,
+    §8.11) profile: an always-on 'Annotations' layer line near the page
+    foot plus a 'DRAFT watermark' line mid-page on the 'Watermark' layer.
+    Ground-truth words include the watermark ONLY when the default
+    configuration shows it — a parser that ignores /OCProperties extracts
+    phantom text on half the corpus and diverges. Positions/sizes are
+    dyadic and derived from (idx, p) alone — no rng draws, so the base
+    page's golden geometry is unchanged."""
+    wm_on = _ocg_watermark_on(idx)
+    entries = [
+        # (layer, font size, y, words)
+        (0, 10.0, 76.0, ["review", "note", f"p{p + 1}"]),
+        (1, 24.0, 395.0 + 0.25 * (idx % 8), ["DRAFT", "watermark"]),
+    ]
+    for layer, size, y, tokens in entries:
+        x = MARGIN_X + 0.25 * ((idx + p) % 16)
+        for word in tokens:
+            width = advance_width([word], size)
+            page["text_ops"].append(
+                {"font": "F1", "size": size, "x": x, "y": y,
+                 "mode": "Tm", "segments": [word], "oc": layer}
+            )
+            if layer == 0 or wm_on:
+                bbox = kernels.norm_word_bbox(
+                    x, y, width, size, ASCENT_PM, DESCENT_PM,
+                    PAGE_W, PAGE_H,
+                )
+                words_gt.append(
+                    {"text": word, "x0": bbox[0], "top": bbox[1],
+                     "x1": bbox[2], "bottom": bbox[3]}
+                )
+            x = _snap16(x + width + size * 0.375)
+
+
 def _signature_gt(doc_id: str, idx: int):
     """(signer, sign_time) of the approval signature the signed revision
     carries — one formula shared by the generator and the
@@ -981,6 +1023,9 @@ def gen_doc(
     if envelope == "scanned":
         for p, (page, _w, images_gt) in enumerate(gen_pages):
             _scanned_page_overlay(idx, p, page, images_gt)
+    if envelope == "ocg":
+        for p, (page, words_gt, _im) in enumerate(gen_pages):
+            _ocg_page_overlay(idx, p, page, words_gt)
 
     pages_w: List[dict] = []
     page_results: List[dict] = []
@@ -1055,6 +1100,13 @@ def gen_doc(
         elif envelope == "tagged":
             use_xref_stream = idx % 2 == 1
             comp = ["flate", False, "lzw"][idx % 3]
+        elif envelope == "ocg":
+            # optional-content oracle corpus: both xref envelopes, all
+            # three content filters; the Watermark layer's default
+            # visibility toggles on (idx>>1)%2 (decoupled from the xref
+            # rotation so every combination occurs)
+            use_xref_stream = idx % 2 == 1
+            comp = ["flate", False, "lzw"][idx % 3]
         elif envelope == "signed":
             # signature oracle corpus: classic xref only (the append
             # machinery's constraint, like "incremental"), all three
@@ -1099,6 +1151,14 @@ def gen_doc(
         media_origin=orig,
         structure=structure,
         tagged=tagged,
+        ocgs=(
+            [
+                {"name": "Annotations", "on": True},
+                {"name": "Watermark", "on": _ocg_watermark_on(idx)},
+            ]
+            if envelope == "ocg"
+            else None
+        ),
     )
     if envelope == "incremental" or (
         envelope is None

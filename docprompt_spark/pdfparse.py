@@ -919,6 +919,8 @@ class PdfFile:
             ctm0=None if ctm0 is _ID else ctm0,
             shadings=self.resolve(resources.get("Shading", {})) or {},
             ext_gstates=self.resolve(resources.get("ExtGState", {})) or {},
+            properties=self.resolve(resources.get("Properties", {})) or {},
+            oc_off=self._oc_off_nums(),
         )
         return {
             "width": pw,
@@ -1214,6 +1216,47 @@ class PdfFile:
             prefix = self._str_of(rng.get("P")) or ""
             labels.append(prefix + fmt(style, st + (p - start)))
         return labels
+
+    def _oc_off_nums(self) -> set:
+        """Object numbers of optional-content groups that are OFF in the
+        default configuration (catalog /OCProperties /D /OFF, §8.11.4.3)
+        — the set a conforming viewer hides with default layer state.
+        Cached; empty for documents without layers."""
+        cached = getattr(self, "_oc_off_cache", None)
+        if cached is not None:
+            return cached
+        off: set = set()
+        ocp = self.resolve(self.root.get("OCProperties"))
+        if isinstance(ocp, dict):
+            d = self.resolve(ocp.get("D"))
+            if isinstance(d, dict):
+                for r in self.resolve(d.get("OFF")) or []:
+                    if isinstance(r, Ref):
+                        off.add(r.num)
+        self._oc_off_cache = off
+        return off
+
+    def ocg_layers(self) -> List[dict]:
+        """Optional-content groups (§8.11): one row per declared layer —
+        /Name and whether the default configuration shows it. The order
+        is the catalog /OCGs array order."""
+        out: List[dict] = []
+        ocp = self.resolve(self.root.get("OCProperties"))
+        if not isinstance(ocp, dict):
+            return out
+        off = self._oc_off_nums()
+        for r in self.resolve(ocp.get("OCGs")) or []:
+            g = self.resolve(r)
+            if isinstance(g, dict):
+                out.append(
+                    {
+                        "name": self._str_of(g.get("Name")) or "",
+                        "default_on": not (
+                            isinstance(r, Ref) and r.num in off
+                        ),
+                    }
+                )
+        return out
 
     def signatures(self) -> List[dict]:
         """Digital-signature fields (§12.8): walks /AcroForm for /FT /Sig
@@ -1837,7 +1880,7 @@ def _interpret_content(
     data: bytes, *, fonts: dict, xobjects: dict, resolve, page_w: float,
     page_h: float, with_image_data: bool = False, ctm0: tuple = None,
     load_font=None, depth: int = 0, shadings: dict = None,
-    ext_gstates: dict = None,
+    ext_gstates: dict = None, properties: dict = None, oc_off=None,
 ) -> Tuple[List[dict], List[dict]]:
     # iter(): the op loop and the nested array/dict collectors share one
     # cursor (the tokenizer returns a plain list for speed)
@@ -1871,6 +1914,34 @@ def _interpret_content(
     stroke_a = 1.0
     cur_mcid: Optional[int] = None  # innermost marked-content /MCID (§14.6)
     mc_stack: List[Optional[int]] = []
+    # optional content (§8.11): content inside a /OC BDC…EMC sequence whose
+    # group is OFF in the default configuration is interpreted (pen/state
+    # advance normally) but never EMITTED — words, images, vectors and
+    # shadings are all suppressed, matching what a viewer with the layer
+    # unchecked shows and what pdfium rasterizes by default.
+    oc_hidden = False
+    oc_stack: List[bool] = []
+
+    def oc_group_hidden(props: Any) -> bool:
+        """Visibility of a /OC BDC property: a Name is looked up in the
+        page's /Properties resource; the target is an OCG (hidden iff its
+        object number is in the default-config /OFF set) or an /OCMD
+        (default /AnyOn policy: hidden iff EVERY member OCG is off)."""
+        if not oc_off:
+            return False
+        target = (properties or {}).get(str(props)) if isinstance(
+            props, Name
+        ) else props
+        num = target.num if isinstance(target, Ref) else None
+        d = resolve(target)
+        if isinstance(d, dict) and str(resolve(d.get("Type", ""))) == "OCMD":
+            ocgs = d.get("OCGs")
+            refs = ocgs if isinstance(ocgs, list) else (
+                [ocgs] if ocgs is not None else []
+            )
+            nums = [r.num for r in refs if isinstance(r, Ref)]
+            return bool(nums) and all(n in oc_off for n in nums)
+        return num is not None and num in oc_off
 
     def xy(x: float, y: float) -> Tuple[float, float]:
         return (
@@ -1901,7 +1972,7 @@ def _interpret_content(
         if closes:
             sub_closed[-1] = True
         take_clip()
-        if subpaths:
+        if subpaths and not oc_hidden:
             if fill:
                 entry = {
                     "contours": subpaths,
@@ -2017,6 +2088,13 @@ def _interpret_content(
 
         def chunk_out(close: bool) -> None:
             nonlocal cur_text, start_tx
+            if cur_text and oc_hidden:
+                # optional-content-hidden text: pen advanced, nothing
+                # emitted; never merge a visible pending word across it
+                finalize_pend()
+                cur_text = []
+                start_tx = tx
+                return
             if cur_text:
                 if tm_plain and tm_axis:
                     x_dev = e_x + scale_x * start_tx if start_tx else e_x
@@ -2144,6 +2222,8 @@ def _interpret_content(
                         j += 1
                 stack.append(pdict)
             elif type(tok) is InlineImage:
+                if oc_hidden:
+                    continue
                 # BI/ID/EI image: painted in unit image space scaled by the
                 # CTM, exactly like an image XObject Do
                 img = {
@@ -2209,16 +2289,27 @@ def _interpret_content(
             # PDFs. Sequences nest; a nested sequence without /MCID
             # inherits the enclosing one's.
             mcid = None
+            hide = False
             if op == b"BDC" and stack:
                 props = stack[-1]
                 if isinstance(props, dict) and props.get("MCID") is not None:
                     mcid = int(props["MCID"])
+                if (
+                    len(stack) >= 2
+                    and str(stack[-2]) == "OC"
+                    and oc_group_hidden(props)
+                ):
+                    hide = True
             mc_stack.append(cur_mcid)
+            oc_stack.append(oc_hidden)
             if mcid is not None:
                 cur_mcid = mcid
+            if hide:
+                oc_hidden = True
             stack.clear()
         elif op == b"EMC":
             cur_mcid = mc_stack.pop() if mc_stack else None
+            oc_hidden = oc_stack.pop() if oc_stack else False
             stack.clear()
         elif op == b"Tm":
             m = tuple(float(v) for v in stack[-6:])
@@ -2240,6 +2331,9 @@ def _interpret_content(
         elif op == b"Do":
             name = str(stack[-1])
             ref = xobjects.get(name)
+            if oc_hidden:
+                stack.clear()
+                continue
             if ref is not None:
                 xo = resolve(ref)
                 if xo.dict.get("Subtype") == "Form" and depth < 8:
@@ -2280,6 +2374,9 @@ def _interpret_content(
                         or shadings,
                         ext_gstates=resolve(sub_res.get("ExtGState", {}))
                         or ext_gstates,
+                        properties=resolve(sub_res.get("Properties", {}))
+                        or properties,
+                        oc_off=oc_off,
                     )
                     words.extend(w2)
                     images.extend(i2)
@@ -2423,6 +2520,9 @@ def _interpret_content(
                         xy(co[3], co[4]) + (co[5] * rs,),
                     )
                     paint = "shade3"
+                if oc_hidden:
+                    stack.clear()
+                    continue
                 vectors.append(
                     {
                         "contours": cts,

@@ -293,6 +293,7 @@ def write_pdf(
     media_origin: Tuple[float, float] = (0.0, 0.0),
     structure: Optional[dict] = None,
     tagged: bool = False,
+    ocgs: Optional[List[dict]] = None,
 ) -> bytes:
     """Serialize page dicts (see module comment) into PDF bytes.
 
@@ -526,6 +527,22 @@ def write_pdf(
         field_entries.append((parts[-1], num, pnum, fdef))
         annots_by_page.setdefault(fdef["page"], []).append(num)
 
+    # optional-content groups (§8.11): OCG objects written up front (pages
+    # reference them from /Properties, the catalog from /OCProperties);
+    # /Name strings encrypt with the containing object's key like every
+    # other dict string
+    ocg_nums: List[int] = []
+    if ocgs:
+        for g in ocgs:
+            num = b.reserve()
+            b.set(
+                num,
+                (
+                    f"<< /Type /OCG /Name {_dstr(g['name'], num)} >>"
+                ).encode("latin-1"),
+            )
+            ocg_nums.append(num)
+
     # --- pages ------------------------------------------------------------
     page_nums: List[int] = []
     rotate = int(rotate) % 360
@@ -623,6 +640,11 @@ def write_pdf(
             res += f" /Shading {sh_res}"
         if gs_res and form_data is None:
             res += f" /ExtGState {gs_res}"
+        if ocg_nums:
+            props = " ".join(
+                f"/OC{i} {n} 0 R" for i, n in enumerate(ocg_nums)
+            )
+            res += f" /Properties << {props} >>"
         res += " >>"
         # /MediaBox inherited from the page-tree root; /Resources per page
         annots = ""
@@ -672,6 +694,21 @@ def write_pdf(
     )
     # --- document-structure layer (fields / outlines / attachments / XMP) --
     cat_extra = ""
+    if ocg_nums:
+        # /OCProperties (§8.11.4): declared groups + the default viewer
+        # configuration — groups listed in /D /OFF start hidden
+        refs = " ".join(f"{n} 0 R" for n in ocg_nums)
+        off = " ".join(
+            f"{n} 0 R"
+            for g, n in zip(ocgs, ocg_nums)
+            if not g.get("on", True)
+        )
+        cat_extra += (
+            f" /OCProperties << /OCGs [{refs}]"
+            f" /D << /Order [{refs}]"
+            + (f" /OFF [{off}]" if off else "")
+            + " >> >>"
+        )
     # field bodies: parent nodes carry /FT + /T, terminal widgets inherit
     # /FT through /Parent (§12.7.3.1 — dotted fully-qualified names)
     for leaf_t, num, pnum, fdef in field_entries:
@@ -1183,6 +1220,12 @@ def _text_block(
     cur_font = None
     line_start: Optional[Tuple[float, float]] = None
     for mcid, op in enumerate(text_ops):
+        ocv = op.get("oc")
+        if ocv is not None:
+            # optional content (§8.11.3): the op belongs to a layer —
+            # /OC /OCn BDC ... EMC, the named-resource form real
+            # producers emit (outside any tagged /P sequence)
+            parts.append(f"/OC /OC{ocv} BDC")
         if tagged:
             # tagged PDF (§14.6-14.8): each show op is its own marked-
             # content sequence — /P << /MCID n >> BDC ... EMC, the form
@@ -1207,6 +1250,8 @@ def _text_block(
         line_start = (op["x"], op["y"])
         parts.append(_show_op(op, cid_of))
         if tagged:
+            parts.append("EMC")
+        if ocv is not None:
             parts.append("EMC")
     parts.append("ET")
     return parts

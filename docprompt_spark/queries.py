@@ -87,6 +87,7 @@ _PRIORITY_NAMES = [
     "extraction_rotated_spans",  # page /Rotate (scanner profile), inheritable attr walk
     "extraction_damaged_spans",  # xref-rebuild salvage (pdfium RebuildCrossRef analog)
     "extraction_scanned_spans",  # full-page scan + invisible (Tr 3) OCR text layer
+    "extraction_ocg_spans",  # optional-content layers (§8.11): default-OFF suppression
     "repetition_quality_flags",  # Gopher-style repetition filters (integer-exact)
     "benchmark_decontamination",  # benchmark 5-gram overlap (broadcast bench set)
     "link_annotations",  # incremental-update (§7.5.6) /Prev chain + /Link URI extraction
@@ -119,6 +120,7 @@ _LOW_PRIORITY_NAMES = [
     "date_extraction",  # (F4) stronger evidence than the gate: tests/test_date_extraction.py asserts parity against the reference module ITSELF over all 22 patterns; local oracle still checks it
     "mime_sniff_stats",  # (P1/S5) the sniff path is load-bearing inside EVERY extraction oracle (corpus rotates b64/gzip wrappers through unwrap_pdf_bytes); local oracle still checks it
     "doc_fingerprints",  # (F5-F7) md5 is in-window via dedup_exact_groups + pii_redaction_stats' redacted_md5; base64/gzip decode is load-bearing in every extraction oracle (unwrap_pdf_bytes); local oracle still checks it
+    "token_counts_bpe_ish",  # (tokens) the token-scan kernel is in-window inside repetition_quality_flags (same split) and search_bm25_ranked; local oracle still checks it
     "stratified_sample_10pct",  # (sampling) same md5-hash-split kernel as the in-window dedup family; local oracle covers
     "ann_lsh_bucketed_top5",  # (ANN scale path) ann_ivf_top5 in-window is the bucketed scale evidence; sign-LSH banding also proven in-window by embedding_cosine_neardup_pairs
     "doc_length_percentiles",  # (corpus stats) exact rank-window percentiles; q1/doc_fingerprints cover the agg surface in-window, local oracle still checks it
@@ -4165,6 +4167,40 @@ def _embedded_attachments_oracle_sql() -> str:
 _REGISTRY["embedded_attachments"] = (embedded_attachments, None)
 
 
+def extraction_ocg_spans(spark, sf_dir):
+    """Same pipeline over LAYERED documents (optional content, §8.11):
+    every doc declares two OCGs — an always-on 'Annotations' layer and a
+    'Watermark' layer that the default viewer configuration HIDES on half
+    the corpus (/OCProperties /D /OFF). Content rides in /OC /OCn BDC…EMC
+    marked-content sequences resolved through the page's /Properties
+    resource; the interpreter keeps pen/graphics state moving through
+    hidden sequences but suppresses their words/images/vectors — what a
+    conforming viewer shows with default layer state, and what pdfium
+    rasterizes for the reference (FPDF_SetRenderOCGFlags default). Golden
+    spans contain the watermark text ONLY where the layer is on: a parser
+    that ignores /OCProperties extracts phantom 'DRAFT watermark' text on
+    half the docs and hash-diverges. Both xref envelopes, all three
+    content filters."""
+    from docprompt_spark import pipeline
+
+    docs = pipeline.corpus_df(
+        spark, 12, seed=_FLAGSHIP_SEED, skew_every=0, envelope="ocg"
+    )
+    result = pipeline.run_extraction(spark, docs.select("doc_id", "pdf", "n_pages"))
+    flat = pipeline.spans_exploded(result)
+    return flat.select(
+        "doc_id",
+        F.col("seq").cast("int").alias("seq"),
+        "kind",
+        "text",
+        "media_ref",
+        F.col("offset").cast("int").alias("offset"),
+    )
+
+
+_REGISTRY["extraction_ocg_spans"] = (extraction_ocg_spans, None)
+
+
 def extraction_scanned_spans(spark, sf_dir):
     """Same pipeline over the SCANNED-document profile: every page is a
     full-page scan image (CCITT G4 bilevel on even docs, grayscale DCT on
@@ -4999,6 +5035,9 @@ def _build_oracle_sql() -> Dict[str, str]:
     )
     out["extraction_rotated_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, envelope="rotated"
+    )
+    out["extraction_ocg_spans"] = _golden_spans_sql(
+        12, _FLAGSHIP_SEED, envelope="ocg"
     )
     out["extraction_damaged_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, envelope="damaged"
