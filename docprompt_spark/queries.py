@@ -94,6 +94,8 @@ _PRIORITY_NAMES = [
     "signature_fields",  # digital signatures (§12.8): ByteRange digest + whole-file coverage
     "tagged_reading_order",  # tagged PDF (§14.7-14.8) structure tree + MCID join
     "pii_redaction_stats",  # PII scrub (email/phone/IP regex + redacted-bytes md5)
+    "paragraph_dedup_fraction",  # C4-style paragraph-level exact dedup (integer-exact flag)
+    "url_domain_filter",  # RefinedWeb-style domain gate (broadcast counts + hash blocklist)
     "document_metadata",  # /Info + XMP metadata (§14.3) incl. encrypted-string parity
     "outline_entries",  # /Outlines bookmark tree walk (§12.3.3)
     "page_labels",  # /PageLabels number tree (§12.4.2, nested /Kids walk)
@@ -121,6 +123,8 @@ _LOW_PRIORITY_NAMES = [
     "mime_sniff_stats",  # (P1/S5) the sniff path is load-bearing inside EVERY extraction oracle (corpus rotates b64/gzip wrappers through unwrap_pdf_bytes); local oracle still checks it
     "doc_fingerprints",  # (F5-F7) md5 is in-window via dedup_exact_groups + pii_redaction_stats' redacted_md5; base64/gzip decode is load-bearing in every extraction oracle (unwrap_pdf_bytes); local oracle still checks it
     "token_counts_bpe_ish",  # (tokens) the token-scan kernel is in-window inside repetition_quality_flags (same split) and search_bm25_ranked; local oracle still checks it
+    "clean_text_lengths",  # (P8/F1) the clean/normalize path runs in-window inside provenance_search + search_bm25_ranked token normalization; local oracle still checks it
+    "bbox_iou_vs_query",  # (J2) geometric-predicate joins evidenced in-window by line_block_word_assignment (J1) + textblock_bounding_polys; theta_quantity_near_size is the same-family overflow dup; local oracle still checks it
     "stratified_sample_10pct",  # (sampling) same md5-hash-split kernel as the in-window dedup family; local oracle covers
     "ann_lsh_bucketed_top5",  # (ANN scale path) ann_ivf_top5 in-window is the bucketed scale evidence; sign-LSH banding also proven in-window by embedding_cosine_neardup_pairs
     "doc_length_percentiles",  # (corpus stats) exact rank-window percentiles; q1/doc_fingerprints cover the agg surface in-window, local oracle still checks it
@@ -1120,6 +1124,171 @@ def dedup_exact_groups(spark, sf_dir):
         .groupBy("h")
         .agg(F.count("*").alias("n"), F.min("doc_id").alias("keeper"))
         .filter(F.col("n") > 1)
+    )
+
+
+@query(
+    "paragraph_dedup_fraction",
+    f"""
+    WITH aug AS ({{AUG}}),
+    base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM aug
+    ),
+    paras AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest((n + 19) // 20, 1)),
+               j -> array_to_string(
+                 list_slice(toks, (j - 1) * 20 + 1, j * 20), ' ')
+             )) AS para
+      FROM base
+    ),
+    ph AS (SELECT doc_id, md5(para) AS h FROM paras),
+    dup AS (
+      SELECT h, count(DISTINCT doc_id) AS ndocs FROM ph GROUP BY h
+    )
+    SELECT ph.doc_id,
+           CAST(count(*) AS INT) AS n_paras,
+           CAST(sum(CASE WHEN dup.ndocs > 1 THEN 1 ELSE 0 END) AS INT)
+             AS n_dup_paras,
+           (sum(CASE WHEN dup.ndocs > 1 THEN 1 ELSE 0 END) * 5
+              >= count(*)) AS drop_flag
+    FROM ph JOIN dup ON ph.h = dup.h
+    GROUP BY ph.doc_id
+    """.replace("{AUG}", _AUG_EXACT_SQL),
+)
+def paragraph_dedup_fraction(spark, sf_dir):
+    """Paragraph-level exact dedup (the C4/Dolma scrub between whole-doc
+    dedup and n-gram decontamination): chunk each document into
+    fixed-20-token 'paragraphs', hash each, count how many of a doc's
+    paragraphs also appear (by hash) in ANOTHER document, and flag docs
+    whose cross-document-duplicated fraction reaches 20% — the
+    INTEGER cross-multiplication ``n_dup * 5 >= n_paras`` so engines
+    agree exactly, never a float division. Runs over the established
+    augmented corpus (deterministic exact copies of the doc_id%5==0
+    slice), so flagged docs exist by construction.
+
+    Scale plan: paragraphs assemble relationally (posexplode + one
+    groupBy on (doc_id, chunk) with in-group sort — linear work, no
+    array-lambda recomputation), then one groupBy on paragraph hash and
+    one hash join back; every stage partial-aggregates map-side. No
+    windows over unbounded partitions, no UDFs — the same shape at
+    100 TB, where the paragraph-hash exchange is the only wide edge."""
+    aug = _aug_exact(spark, sf_dir)
+    tokens = aug.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    paras = (
+        tokens.groupBy("doc_id", (F.col("pos") / 20).cast("int").alias("pk"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("para")
+        )
+    )
+    ph = paras.select("doc_id", F.md5("para").alias("h"))
+    dup = ph.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    return (
+        ph.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_paras"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+            .cast("int")
+            .alias("n_dup_paras"),
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_dup_paras",
+            (F.col("n_dup_paras") * 5 >= F.col("n_paras")).alias(
+                "drop_flag"
+            ),
+        )
+    )
+
+
+@query(
+    "url_domain_filter",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             'www.' || source || CAST(
+               (('0x' || substr(md5('url' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 50
+               AS VARCHAR) || '.example' AS domain
+      FROM documents
+    ),
+    counts AS (SELECT domain, count(*) AS n_domain_docs FROM base GROUP BY domain)
+    SELECT base.doc_id, base.domain,
+           CAST(counts.n_domain_docs AS BIGINT) AS n_domain_docs,
+           ((('0x' || substr(md5(base.domain), 1, 15))::BIGINT) % 10 = 0)
+             AS blocked
+    FROM base JOIN counts ON base.domain = counts.domain
+    """,
+)
+def url_domain_filter(spark, sf_dir):
+    """URL/domain filtering (the RefinedWeb/C4 source-level gate): derive
+    each document's host from its provenance (deterministic
+    source+hash-derived subdomain — the synthetic ``documents`` table
+    carries no URLs, so both engines build the SAME ones, the established
+    augmented-corpus pattern), count documents per domain, and flag
+    domains on an md5-hash-selected ~10% blocklist (the UT1-blocklist
+    analog; hash membership so the 'list' needs no side file and engines
+    agree exactly).
+
+    Scale plan: domain cardinality is tiny relative to documents, so the
+    per-domain counts aggregate map-side and BROADCAST back — one small
+    exchange plus a broadcast-hash join against the full scan; the
+    blocklist test is a pure column expression. At 100 TB this is the
+    right shape: never shuffle the corpus on domain to attach a count."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("www."),
+            F.col("source"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("url"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 50
+            ).cast("string"),
+            F.lit(".example"),
+        ).alias("domain"),
+    )
+    counts = base.groupBy("domain").agg(
+        F.count("*").alias("n_domain_docs")
+    )
+    return base.join(F.broadcast(counts), "domain").select(
+        "doc_id",
+        "domain",
+        "n_domain_docs",
+        (
+            F.conv(F.substring(F.md5("domain"), 1, 15), 16, 10).cast("long")
+            % 10
+            == 0
+        ).alias("blocked"),
     )
 
 
