@@ -293,9 +293,16 @@ def _gen_page(
                         # arith slots: (base>>4)%2 turns on TPGDON (typical
                         # prediction, §6.2.5.7 — jbig2enc's default)
                         if (base >> 7) % 2 == 1:
+                            # GB template rotates 0-3 (§6.2.5.3) — pdfium/
+                            # pdf.js decode all four; template = base%4
+                            # (bits 0-1 are free here: the inline pick
+                            # base%8 in (3,6) is excluded on this slot,
+                            # and all four %4 values still occur) so every
+                            # (template, tpgdon) pair shows up corpus-wide
                             data = _jbig2.encode_generic_arith(
                                 (arr < 128).astype(_np.uint8),
                                 tpgdon=(base >> 4) % 2 == 1,
+                                template=base % 4,
                             )
                         elif (base >> 4) % 2 == 1:
                             # REFINEMENT organization (§6.3): a coarse

@@ -37,11 +37,14 @@ Segment header parsing (§7.2) is complete — segment number, flags,
 referred-to segment count + retain bits (incl. the long form), 1- or
 4-byte page association, data length — so foreign embedded streams with
 extra segments are walked correctly. TPGDON (typical prediction,
-§6.2.5.7) is supported on generic regions in both directions. Out of
-scope (raise): non-zero GB/GR templates, non-nominal AT pixels outside
-the pattern-dictionary AT1=(-HDPW,0) profile, Huffman-coded
-dictionaries, aggregate (refinement-within-dictionary) symbol coding,
-MMR halftones, skip bitmaps.
+§6.2.5.7) is supported on generic regions in both directions, and ALL
+FOUR GB templates (§6.2.5.3, nominal AT pixels) encode and decode —
+the context compositions follow pdf.js CodingTemplates order so streams
+interoperate with the open readers. Out of scope (raise): GR template 0,
+non-nominal AT pixels outside the pattern-dictionary AT1=(-HDPW,0)
+profile, Huffman-coded dictionaries, aggregate
+(refinement-within-dictionary) symbol coding, MMR halftones, skip
+bitmaps.
 
 Bitmap convention: JBIG2 codes 1 = black ink. :func:`decode` returns the
 ink bitmap; the media pipeline maps it to viewer gray via
@@ -237,15 +240,15 @@ def decode(data: bytes, width: Optional[int] = None,
             if gflags & 0x08:
                 raise ValueError("JBIG2 TPGDON is invalid with MMR=1")
             bits = ccitt.decode(s.data[18:], rw, rh)
-        else:  # MQ arithmetic, GB template 0, nominal AT pixels
+        else:  # MQ arithmetic, GB templates 0-3, nominal AT pixels
             template = (gflags >> 1) & 3
-            if template != 0:
-                raise ValueError(f"JBIG2 GB template {template} unsupported")
-            at = s.data[18:26]
-            if at != _NOMINAL_AT:
+            nat = _NOMINAL_AT_T[template]
+            at = s.data[18 : 18 + len(nat)]
+            if at != nat:
                 raise ValueError("non-nominal JBIG2 AT pixels unsupported")
             bits = _decode_generic_arith(
-                s.data[26:], rw, rh, tpgdon=bool(gflags & 0x08)
+                s.data[18 + len(nat) :], rw, rh,
+                tpgdon=bool(gflags & 0x08), template=template,
             )
         regions.append((rx, ry, bits, "or"))
     if not regions:
@@ -315,14 +318,56 @@ def _new_cx(n: int) -> list:
     return [[0, 0] for _ in range(n)]
 
 
-# pseudo-pixel context for the TPGDON SLTP bit, GB template 0 (§6.2.5.7;
-# value under the same 16-bit context composition pdf.js/jbig2dec use)
+# pseudo-pixel context for the TPGDON SLTP bit per GB template (§6.2.5.7;
+# values under the same context composition pdf.js/jbig2dec use)
 _TPGDON_CTX0 = 0x9B25
+_TPGDON_CTX = {0: 0x9B25, 1: 0x0795, 2: 0x00E5, 3: 0x0195}
+
+# nominal AT-pixel bytes per template (§6.2.5.3): template 0 carries four
+# adaptive pixels, templates 1-3 one — A1=(3,-1) for template 1 and
+# A1=(2,-1) for templates 2/3
+_NOMINAL_AT_T = {
+    0: _NOMINAL_AT,
+    1: bytes([3, 0xFF]),
+    2: bytes([2, 0xFF]),
+    3: bytes([2, 0xFF]),
+}
+
+
+def _ctx_fn(template: int):
+    """Per-template nominal-AT context composition (pixels sorted by
+    (y, x), packed MSB-first — pdf.js CodingTemplates order, so streams
+    interoperate with the open readers):
+      T1 (13 bits): r2[x-1..x+2] | r1[x-2..x+3] | r0[x-3..x-1]
+      T2 (10 bits): r2[x-1..x+1] | r1[x-2..x+2] | r0[x-2..x-1]
+      T3 (10 bits, single reference row): r1[x-3..x+2] | r0[x-4..x-1]
+    """
+    if template == 1:
+        def ctx(r2, r1, r0, x, w):
+            return (
+                (_row_bits(r2, x - 1, 4, w) << 9)
+                | (_row_bits(r1, x - 2, 6, w) << 3)
+                | _row_bits(r0, x - 3, 3, w)
+            )
+    elif template == 2:
+        def ctx(r2, r1, r0, x, w):
+            return (
+                (_row_bits(r2, x - 1, 3, w) << 7)
+                | (_row_bits(r1, x - 2, 5, w) << 2)
+                | _row_bits(r0, x - 2, 2, w)
+            )
+    else:  # template 3: one reference row, r2 unused
+        def ctx(r2, r1, r0, x, w):
+            return (
+                (_row_bits(r1, x - 3, 6, w) << 4)
+                | _row_bits(r0, x - 4, 4, w)
+            )
+    return ctx
 
 
 def _generic_encode_into(
     enc, gb_cx, bits: np.ndarray, tpgdon: bool = False,
-    at1: Tuple[int, int] = (3, -1),
+    at1: Tuple[int, int] = (3, -1), template: int = 0,
 ) -> None:
     """MQ-encode one template-0 generic bitmap into a shared encoder with
     a caller-owned GB context array (symbol dictionaries code every symbol
@@ -338,6 +383,7 @@ def _generic_encode_into(
     zrow = np.zeros(w, dtype=np.uint8)
     nominal_at1 = at1 == (3, -1)
     a1x, a1y = at1
+    tctx = _ctx_fn(template) if template else None
     ltp = 0
     for y in range(h):
         r2 = bits[y - 2] if y >= 2 else zrow
@@ -345,11 +391,14 @@ def _generic_encode_into(
         r0 = bits[y]
         if tpgdon:
             typical = int(np.array_equal(r0, r1))
-            enc.encode(typical ^ ltp, _TPGDON_CTX0, gb_cx)
+            enc.encode(typical ^ ltp, _TPGDON_CTX[template], gb_cx)
             ltp = typical
             if ltp:
                 continue  # row == previous row: not coded
-        if nominal_at1:
+        if tctx is not None:
+            for x in range(w):
+                enc.encode(int(r0[x]), tctx(r2, r1, r0, x, w), gb_cx)
+        elif nominal_at1:
             for x in range(w):
                 ctx = (
                     (_row_bits(r2, x - 2, 5, w) << 11)
@@ -373,24 +422,28 @@ def _generic_encode_into(
 
 def _generic_decode_from(
     dec, gb_cx, rw: int, rh: int, tpgdon: bool = False,
-    at1: Tuple[int, int] = (3, -1),
+    at1: Tuple[int, int] = (3, -1), template: int = 0,
 ) -> np.ndarray:
     """Mirror of :func:`_generic_encode_into` over a shared decoder."""
     out = np.zeros((rh, rw), dtype=np.uint8)
     zrow = np.zeros(rw, dtype=np.uint8)
     nominal_at1 = at1 == (3, -1)
     a1x, a1y = at1
+    tctx = _ctx_fn(template) if template else None
     ltp = 0
     for y in range(rh):
         r2 = out[y - 2] if y >= 2 else zrow
         r1 = out[y - 1] if y >= 1 else zrow
         r0 = out[y]
         if tpgdon:
-            ltp ^= dec.decode(_TPGDON_CTX0, gb_cx)
+            ltp ^= dec.decode(_TPGDON_CTX[template], gb_cx)
             if ltp:
                 out[y] = r1  # typical row: copy of the previous row
                 continue
-        if nominal_at1:
+        if tctx is not None:
+            for x in range(rw):
+                r0[x] = dec.decode(tctx(r2, r1, r0, x, rw), gb_cx)
+        elif nominal_at1:
             for x in range(rw):
                 ctx = (
                     (_row_bits(r2, x - 2, 5, rw) << 11)
@@ -414,24 +467,30 @@ def _generic_decode_from(
 
 
 def encode_generic_arith(
-    bits: np.ndarray, page: int = 1, tpgdon: bool = False
+    bits: np.ndarray, page: int = 1, tpgdon: bool = False,
+    template: int = 0,
 ) -> bytes:
     """Ink bitmap -> embedded JBIG2 stream with an MQ-coded (MMR=0,
-    template 0) immediate lossless generic region — the coding real
-    scanned-document producers emit. ``tpgdon`` turns on typical
-    prediction (flags bit 3), the option jbig2enc enables by default."""
+    GB template 0-3, nominal AT) immediate lossless generic region — the
+    coding real scanned-document producers emit. ``tpgdon`` turns on
+    typical prediction (flags bit 3), the option jbig2enc enables by
+    default; ``template`` selects the context template (§6.2.5.3 —
+    templates 1-3 trade context size for speed and appear in real
+    encoder output; pdfium/pdf.js decode all four)."""
     from docprompt_spark.mq import MQEncoder
 
     bits = np.asarray(bits, dtype=np.uint8)
     h, w = bits.shape
     enc = MQEncoder(1)
-    _generic_encode_into(enc, _new_cx(1 << 16), bits, tpgdon=tpgdon)
+    _generic_encode_into(
+        enc, _new_cx(1 << 16), bits, tpgdon=tpgdon, template=template
+    )
     mqdata = enc.flush()
 
     page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0, 0)
     region_info = struct.pack(">IIIIB", w, h, 0, 0, 0)
-    gflags = 0x08 if tpgdon else 0  # MMR=0, template 0
-    generic = region_info + bytes([gflags]) + _NOMINAL_AT + mqdata
+    gflags = (0x08 if tpgdon else 0) | (template << 1)  # MMR=0
+    generic = region_info + bytes([gflags]) + _NOMINAL_AT_T[template] + mqdata
     out = _segment_header(0, SEG_PAGE_INFO, page, len(page_info)) + page_info
     out += (
         _segment_header(1, SEG_IMM_LOSSLESS_GENERIC, page, len(generic))
@@ -442,12 +501,13 @@ def encode_generic_arith(
 
 
 def _decode_generic_arith(
-    data: bytes, rw: int, rh: int, tpgdon: bool = False
+    data: bytes, rw: int, rh: int, tpgdon: bool = False, template: int = 0
 ) -> np.ndarray:
     from docprompt_spark.mq import MQDecoder
 
     return _generic_decode_from(
-        MQDecoder(data, 1), _new_cx(1 << 16), rw, rh, tpgdon=tpgdon
+        MQDecoder(data, 1), _new_cx(1 << 16), rw, rh, tpgdon=tpgdon,
+        template=template,
     )
 
 

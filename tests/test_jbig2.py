@@ -49,19 +49,24 @@ def test_region_offset_composites_onto_page():
     assert np.array_equal(page, want)
 
 
-def test_unsupported_gb_template_raises():
+def test_non_nominal_at_pixels_raise():
     import struct
 
     page_info = struct.pack(">IIIIBH", 4, 4, 0, 0, 0, 0)
-    # flags: MMR=0, GBTEMPLATE=1 (bits 1-2) -> unsupported
-    region = struct.pack(">IIIIB", 4, 4, 0, 0, 0) + bytes([0x02]) + b"\x00" * 4
+    # flags: MMR=0, GBTEMPLATE=1 (bits 1-2) with a NON-nominal AT pixel
+    # (5,-1) -> declared out of scope, must raise (never mis-decode)
+    region = (
+        struct.pack(">IIIIB", 4, 4, 0, 0, 0)
+        + bytes([0x02])
+        + bytes([5, 0xFF])
+    )
     data = (
         jbig2._segment_header(0, jbig2.SEG_PAGE_INFO, 1, len(page_info))
         + page_info
         + jbig2._segment_header(1, jbig2.SEG_IMM_GENERIC, 1, len(region))
         + region
     )
-    with pytest.raises(ValueError, match="template"):
+    with pytest.raises(ValueError, match="AT"):
         jbig2.decode(data)
 
 
@@ -318,3 +323,44 @@ def test_tpgdon_wins_on_blank_heavy_ink():
     tp = jbig2.encode_generic_arith(bits, tpgdon=True)
     assert len(tp) < len(plain)
     assert np.array_equal(jbig2.decode(tp), bits)
+
+
+def test_generic_templates_1_2_3_roundtrip():
+    """GB templates 1-3 (§6.2.5.3, nominal AT): bit-exact roundtrip with
+    and without TPGDON, context compositions in pdf.js CodingTemplates
+    order so streams interoperate with the open readers."""
+    import numpy as np
+
+    from docprompt_spark import jbig2
+
+    rng = np.random.RandomState(9)
+    for t in (1, 2, 3):
+        for tp in (False, True):
+            bits = (rng.rand(37, 61) < 0.35).astype(np.uint8)
+            bits[::4, :] = 0  # blank rows exercise TPGDON row-skips
+            data = jbig2.encode_generic_arith(bits, tpgdon=tp, template=t)
+            out = jbig2.decode(data, 61, 37)
+            assert np.array_equal(out, bits), (t, tp)
+
+
+def test_generic_template_flag_bits_on_wire():
+    """The segment flags byte carries the template in bits 1-2 and the
+    right AT-pixel count follows (4 pairs for template 0, 1 pair for
+    templates 1-3)."""
+    import numpy as np
+
+    from docprompt_spark import jbig2
+
+    img = np.zeros((16, 16), np.uint8)
+    img[4:12, 4:12] = 1
+    for t in range(4):
+        data = jbig2.encode_generic_arith(img, template=t)
+        segs = jbig2.parse_segments(data)
+        gen = next(s for s in segs if s.seg_type == 39)
+        flags = gen.data[17]
+        assert (flags >> 1) & 3 == t
+        assert flags & 1 == 0
+        n_at = 8 if t == 0 else 2
+        assert gen.data[18 : 18 + n_at] == jbig2._NOMINAL_AT_T[t]
+        out = jbig2.decode(data, 16, 16)
+        assert np.array_equal(out, img)
