@@ -1076,6 +1076,20 @@ def gen_doc(
         orig = (16.0 * (1 + (idx >> 1) % 3), 8.5 * ((idx >> 3) % 3))
     else:
         orig = (0.0, 0.0)
+    # /CropBox bleed (§14.11.2): another fifth of the default corpus keeps
+    # press-sheet margins in the MediaBox with /CropBox marking the
+    # visible region — the form imposition/scan tools write. Dyadic,
+    # idx-derived; goldens are crop-invariant bit-exactly (the flagship
+    # span oracle covers this slice). Composes with /Rotate (idx%4 slice
+    # overlap) and the origin machinery.
+    bleed = None
+    if envelope is None and idx % 5 == 4:
+        bleed = (
+            18.0 + 2.0 * ((idx >> 1) % 3),
+            12.5 * ((idx >> 2) % 2),
+            24.0 * ((idx >> 3) % 2),
+            9.0 + 0.5 * ((idx >> 4) % 2),
+        )
     if envelope is None:
         use_xref_stream = idx % 5 == 1
         comp = ["flate", False, "lzw", False][idx % 4]
@@ -1156,6 +1170,7 @@ def gen_doc(
         form_xobject=idx % 3 == 1 and not tagged,
         rotate=rot,
         media_origin=orig,
+        crop_bleed=bleed,
         structure=structure,
         tagged=tagged,
         ocgs=(

@@ -875,7 +875,21 @@ class PdfFile:
         """Words + images for 0-based page ``index`` (normalized bboxes)."""
         page = self.resolve(self.page_refs[index])
         media = self._inherited(page, "MediaBox")
-        pw, ph = float(media[2]) - float(media[0]), float(media[3]) - float(media[1])
+        media = [float(self.resolve(v)) for v in media]
+        # /CropBox (inheritable, §7.7.3.3): the region a conforming
+        # viewer displays and pdfium renders — the extraction/raster
+        # frame. Defaults to the MediaBox; intersected with it per
+        # §14.11.2 (a CropBox sticking past the MediaBox is clamped).
+        crop = self._inherited(page, "CropBox")
+        if crop is not None:
+            c = [float(self.resolve(v)) for v in crop]
+            media = [
+                max(min(c[0], c[2]), media[0]),
+                max(min(c[1], c[3]), media[1]),
+                min(max(c[0], c[2]), media[2]),
+                min(max(c[1], c[3]), media[3]),
+            ]
+        pw, ph = media[2] - media[0], media[3] - media[1]
         # /Rotate (inheritable, §7.7.3.3): compose the viewing rotation
         # into the base CTM so coordinates come out in the VISUAL frame —
         # the frame pdfium rasterizes and providers OCR, so a sideways

@@ -294,6 +294,7 @@ def write_pdf(
     structure: Optional[dict] = None,
     tagged: bool = False,
     ocgs: Optional[List[dict]] = None,
+    crop_bleed: Optional[Tuple[float, float, float, float]] = None,
 ) -> bytes:
     """Serialize page dicts (see module comment) into PDF bytes.
 
@@ -549,6 +550,19 @@ def write_pdf(
     if rotate not in (0, 90, 180, 270):
         raise ValueError(f"rotate must be a multiple of 90, got {rotate}")
     ox, oy = float(media_origin[0]), float(media_origin[1])
+    # /CropBox bleed (§7.7.3.3/§14.11.2): the MediaBox keeps (left,
+    # bottom, right, top) extra stored-frame margins around the visible
+    # region and /CropBox marks the region itself — the press-sheet /
+    # cropped-scan form. Placements translate to the CropBox origin, so
+    # the visible content is identical with or without the bleed.
+    cb = (
+        tuple(float(v) for v in crop_bleed)
+        if crop_bleed is not None
+        else None
+    )
+    if cb is not None:
+        ox += cb[0]
+        oy += cb[1]
     for page_idx, page in enumerate(pages):
         if rotate or ox or oy:
             page = {**page, "rotate": rotate, "origin": (ox, oy)}
@@ -686,8 +700,15 @@ def write_pdf(
         pages_root,
         (
             f"<< /Type /Pages /Count {len(page_nums)}"
-            f" /MediaBox [{fmt_num(ox)} {fmt_num(oy)}"
-            f" {fmt_num(ox + pw)} {fmt_num(oy + ph)}]"
+            + (
+                f" /MediaBox [{fmt_num(ox - cb[0])} {fmt_num(oy - cb[1])}"
+                f" {fmt_num(ox + pw + cb[2])} {fmt_num(oy + ph + cb[3])}]"
+                f" /CropBox [{fmt_num(ox)} {fmt_num(oy)}"
+                f" {fmt_num(ox + pw)} {fmt_num(oy + ph)}]"
+                if cb is not None
+                else f" /MediaBox [{fmt_num(ox)} {fmt_num(oy)}"
+                f" {fmt_num(ox + pw)} {fmt_num(oy + ph)}]"
+            )
             + (f" /Rotate {rotate}" if rotate else "")
             + f" /Kids [{' '.join(f'{n} 0 R' for n in kids)}] >>"
         ).encode(),
