@@ -660,6 +660,54 @@ def _link_annotation_gt(doc_id: str, idx: int):
     )
 
 
+def _tile_decoration(idx: int, p: int):
+    """Tiling-pattern background (§8.7.3) for eligible default-corpus
+    pages -> (writer tile spec, parser-equivalent GT entries). Dot cells
+    expand to per-tile fill rects, hatch cells to per-tile diagonal
+    strokes — the GT mirrors the interpreter's expansion exactly (region
+    and steps are dyadic 12pt-aligned, so every tile is whole). Flat
+    pages only (pattern space = default user space; the rotated/offset
+    slices skip the decoration)."""
+    shape = "dot" if (idx + p) % 2 == 0 else "hatch"
+    cs = 12.0
+    rx = 72.0 + 12.0 * ((idx >> 1) % 4)
+    ry = 48.0 + 12.0 * (p % 2)
+    rw = 12.0 * (2 + (idx >> 2) % 3)
+    rh = 12.0 * (1 + (idx >> 3) % 2)
+    if shape == "dot":
+        g = 0.25
+        cell = {"w": cs, "h": cs, "gray": g, "shape": "dot",
+                "rect": (3.0, 3.0, 6.0, 6.0)}
+    else:
+        g = 0.5
+        cell = {"w": cs, "h": cs, "gray": g, "shape": "hatch", "lw": 1.0}
+    writer = {
+        "paint": "tile", "path": [("re", rx, ry, rw, rh)],
+        "cell": cell, "xstep": cs, "ystep": cs,
+    }
+    gt: List[dict] = []
+    gi = int(round(g * 255.0))
+    for i in range(int(rw / cs)):
+        for j in range(int(rh / cs)):
+            dx, dy = rx + i * cs, ry + j * cs
+            if shape == "dot":
+                x0, y0 = dx + 3.0, dy + 3.0
+                x1, y1 = x0 + 6.0, y0 + 6.0
+                gt.append(
+                    {"contours": [[(x0, y0), (x1, y0), (x1, y1),
+                                   (x0, y1)]],
+                     "closed": [True], "paint": "fill", "gray": gi,
+                     "lw": 0.0}
+                )
+            else:
+                gt.append(
+                    {"contours": [[(dx, dy), (dx + cs, dy + cs)]],
+                     "closed": [False], "paint": "stroke", "gray": gi,
+                     "lw": 1.0}
+                )
+    return writer, gt
+
+
 def _ocg_watermark_on(idx: int) -> bool:
     """Default visibility of the Watermark layer for ocg-envelope doc
     ``idx`` — one formula shared by the generator, the write_pdf call and
@@ -881,13 +929,29 @@ def _wrap(pdf: bytes, variant: int) -> bytes:
     return pdf
 
 
+def _tiles_eligible(idx: int, img_codec=None, inline=None) -> bool:
+    """Default-rotation docs that carry the tiling-pattern background
+    (§8.7.3): flat pages only — the rotated (idx%4==3), offset (idx%5==2)
+    and cropped (idx%5==4) slices skip it (pattern space is the page's
+    default user space), and forced-codec/inline corpora model non-default
+    envelopes. One formula for gen_doc AND the golden regenerators."""
+    return (
+        img_codec is None
+        and inline is None
+        and idx % 4 == 1
+        and idx % 5 not in (2, 4)
+    )
+
+
 def _gen_doc_pages(
     idx: int, seed: int, skew_every: int, img_codec: str = None,
-    inline: Optional[bool] = None,
+    inline: Optional[bool] = None, tiles: Optional[bool] = None,
 ):
     """Deterministic page set for document ``idx``: (doc_id, [(writer_page,
     words_gt, images_gt), ...]). Single source of truth for the rng replay —
-    gen_doc and golden_page_layouts both consume it."""
+    gen_doc and golden_page_layouts both consume it. ``tiles`` adds the
+    tiling-pattern background after the rng replay (no extra draws);
+    None = the default-corpus eligibility formula."""
     rng = random.Random(f"doc:{seed}:{idx}")
     doc_id = f"doc-{seed}-{idx:08d}"
     if skew_every and idx > 0 and idx % skew_every == 0:
@@ -895,9 +959,17 @@ def _gen_doc_pages(
     else:
         n_pages = rng.randint(1, 3)
     use_f2 = idx % 3 == 0
-    return doc_id, [
+    pages = [
         _gen_page(rng, use_f2, seed, img_codec, inline) for _ in range(n_pages)
     ]
+    if tiles is None:
+        tiles = _tiles_eligible(idx, img_codec, inline)
+    if tiles:
+        for p, (page, _w, _im) in enumerate(pages):
+            tw, tgt = _tile_decoration(idx, p)
+            page["vectors"] = list(page.get("vectors") or []) + [tw]
+            page["vectors_gt"] = list(page.get("vectors_gt") or []) + tgt
+    return doc_id, pages
 
 
 def writer_entry_codec(w: dict) -> str:
@@ -1025,6 +1097,7 @@ def gen_doc(
         idx, seed, skew_every,
         img_codec="ccitt" if envelope == "ccitt" else None,
         inline=True if envelope == "inline" else None,
+        tiles=_tiles_eligible(idx) if envelope is None else False,
     )
     n_pages = len(gen_pages)
     if envelope == "scanned":

@@ -935,6 +935,7 @@ class PdfFile:
             ext_gstates=self.resolve(resources.get("ExtGState", {})) or {},
             properties=self.resolve(resources.get("Properties", {})) or {},
             oc_off=self._oc_off_nums(),
+            patterns=self.resolve(resources.get("Pattern", {})) or {},
         )
         return {
             "width": pw,
@@ -1895,12 +1896,14 @@ def _interpret_content(
     page_h: float, with_image_data: bool = False, ctm0: tuple = None,
     load_font=None, depth: int = 0, shadings: dict = None,
     ext_gstates: dict = None, properties: dict = None, oc_off=None,
+    patterns: dict = None,
 ) -> Tuple[List[dict], List[dict]]:
     # iter(): the op loop and the nested array/dict collectors share one
     # cursor (the tokenizer returns a plain list for speed)
     tokens = iter(_tokenize_content(data))
     stack: List[Any] = []
     ctm = _ID if ctm0 is None else ctm0
+    base_ctm = ctm  # default-user-space -> device (pattern space, §8.7.3.1)
     gs_stack: List[tuple] = []
     tm = tlm = _ID
     tl = 0.0
@@ -1926,6 +1929,9 @@ def _interpret_content(
     pending_clip = False  # W seen; the clip applies at the next path-end op
     fill_a = 1.0  # constant alpha (§11.3.7.2), set by `gs` /ca //CA
     stroke_a = 1.0
+    # tiling-pattern fill (§8.7.3): set by `/Pattern cs /PtN scn`, cleared
+    # by a non-Pattern cs; (cell vector entries, cell bbox, xstep, ystep)
+    fill_pattern: Optional[tuple] = None
     cur_mcid: Optional[int] = None  # innermost marked-content /MCID (§14.6)
     mc_stack: List[Optional[int]] = []
     # optional content (§8.11): content inside a /OC BDC…EMC sequence whose
@@ -1979,6 +1985,91 @@ def _interpret_content(
             clip_cts = [list(c) for c in subpaths if len(c) >= 3]
             pending_clip = False
 
+    def _emit_tiled() -> None:
+        """Expand a tiling-pattern fill (§8.7.3) into plain fill/stroke
+        vector entries: one instance of each cell shape per tile covering
+        the fill region, rectangle shapes clipped exactly to the region,
+        stroke shapes kept when their cell lies inside it. Pattern space
+        is the page's DEFAULT user space (PaintType 1, no /Matrix), so
+        instances map through base_ctm — not the op-time CTM."""
+        import math as _m
+
+        cells, bb, xs, ys = fill_pattern
+        if xs <= 0 or ys <= 0 or not cells:
+            return
+        # region bbox in pattern space: exact inverse of the orthogonal
+        # base transform (rotation multiples of 90 + dyadic translate)
+        a, b_, c, d, e, f = base_ctm
+        det = a * d - b_ * c
+        inv = (
+            d / det, -b_ / det, -c / det, a / det,
+            (c * f - d * e) / det, (b_ * e - a * f) / det,
+        )
+
+        def ixy(p):
+            return (
+                inv[0] * p[0] + inv[2] * p[1] + inv[4],
+                inv[1] * p[0] + inv[3] * p[1] + inv[5],
+            )
+
+        def fwd(x, y):
+            return (a * x + c * y + e, b_ * x + d * y + f)
+
+        pts = [ixy(p) for cnt in subpaths for p in cnt]
+        rx0 = min(p[0] for p in pts)
+        ry0 = min(p[1] for p in pts)
+        rx1 = max(p[0] for p in pts)
+        ry1 = max(p[1] for p in pts)
+        i = _m.floor(rx0 / xs)
+        while i * xs < rx1:
+            j = _m.floor(ry0 / ys)
+            while j * ys < ry1:
+                dx, dy = i * xs, j * ys
+                for ce in cells:
+                    if ce["paint"] == "fill":
+                        cxs = [p[0] for c2 in ce["contours"] for p in c2]
+                        cys = [p[1] for c2 in ce["contours"] for p in c2]
+                        x0 = max(min(cxs) + dx, rx0)
+                        y0 = max(min(cys) + dy, ry0)
+                        x1 = min(max(cxs) + dx, rx1)
+                        y1 = min(max(cys) + dy, ry1)
+                        if x0 >= x1 or y0 >= y1:
+                            continue
+                        vectors.append(
+                            {
+                                "contours": [[
+                                    fwd(x0, y0), fwd(x1, y0),
+                                    fwd(x1, y1), fwd(x0, y1),
+                                ]],
+                                "closed": [True],
+                                "paint": "fill",
+                                "gray": ce["gray"],
+                                "lw": 0.0,
+                            }
+                        )
+                    elif ce["paint"] == "stroke":
+                        # stroke shapes only for cells wholly inside the
+                        # region (rect-exact clipping is fill-only)
+                        if not (
+                            dx + bb[0] >= rx0 and dy + bb[1] >= ry0
+                            and dx + bb[2] <= rx1 and dy + bb[3] <= ry1
+                        ):
+                            continue
+                        vectors.append(
+                            {
+                                "contours": [
+                                    [fwd(p[0] + dx, p[1] + dy) for p in c2]
+                                    for c2 in ce["contours"]
+                                ],
+                                "closed": list(ce["closed"]),
+                                "paint": "stroke",
+                                "gray": ce["gray"],
+                                "lw": ce["lw"],
+                            }
+                        )
+                j += 1
+            i += 1
+
     def emit_paint(fill: bool, stroke: bool, close: bool) -> None:
         nonlocal subpaths, sub_closed, cur_sub
         closes = close and len(cur_sub) >= 2
@@ -1987,7 +2078,9 @@ def _interpret_content(
             sub_closed[-1] = True
         take_clip()
         if subpaths and not oc_hidden:
-            if fill:
+            if fill and fill_pattern is not None:
+                _emit_tiled()
+            elif fill:
                 entry = {
                     "contours": subpaths,
                     "closed": list(sub_closed),
@@ -2263,12 +2356,12 @@ def _interpret_content(
         if op == b"q":
             gs_stack.append(
                 (ctm, fill_g, stroke_g, line_w, tr_mode, clip_cts,
-                 fill_a, stroke_a)
+                 fill_a, stroke_a, fill_pattern)
             )
         elif op == b"Q":
             if gs_stack:
                 (ctm, fill_g, stroke_g, line_w, tr_mode, clip_cts,
-                 fill_a, stroke_a) = gs_stack.pop()
+                 fill_a, stroke_a, fill_pattern) = gs_stack.pop()
         elif op == b"cm":
             m = tuple(float(v) for v in stack[-6:])
             ctm = _mat_mul(m, ctm)
@@ -2391,6 +2484,8 @@ def _interpret_content(
                         properties=resolve(sub_res.get("Properties", {}))
                         or properties,
                         oc_off=oc_off,
+                        patterns=resolve(sub_res.get("Pattern", {}))
+                        or patterns,
                     )
                     words.extend(w2)
                     images.extend(i2)
@@ -2565,6 +2660,46 @@ def _interpret_content(
             stack.clear()
         elif op == b"w":
             line_w = float(stack[-1])
+            stack.clear()
+        elif op == b"cs":
+            # non-stroking colorspace: only /Pattern matters to this
+            # interpreter; any other space clears an active pattern
+            if stack and str(stack[-1]) != "Pattern":
+                fill_pattern = None
+            stack.clear()
+        elif op == b"scn":
+            # pattern selection (§8.7.3.3): /PtN names a tiling-pattern
+            # stream in the page's /Pattern resource; numeric scn
+            # operands (color components) leave the gray state alone
+            if stack and isinstance(stack[-1], Name):
+                pat = resolve((patterns or {}).get(str(stack[-1])))
+                fill_pattern = None
+                if (
+                    pat is not None
+                    and hasattr(pat, "dict")
+                    and int(resolve(pat.dict.get("PatternType", 0)) or 0)
+                    == 1
+                ):
+                    pd = pat.dict
+                    bb = [
+                        float(resolve(v)) for v in resolve(pd["BBox"])
+                    ]
+                    xs = float(
+                        resolve(pd.get("XStep", bb[2] - bb[0]))
+                    )
+                    ys = float(
+                        resolve(pd.get("YStep", bb[3] - bb[1]))
+                    )
+                    _, _, cells = _interpret_content(
+                        pat.data(resolve),
+                        fonts={},
+                        xobjects={},
+                        resolve=resolve,
+                        page_w=page_w,
+                        page_h=page_h,
+                        depth=depth + 1,
+                    )
+                    fill_pattern = (cells, bb, xs, ys)
             stack.clear()
         elif op == b"gs":
             # ExtGState: constant alpha (/ca non-stroking, /CA stroking,

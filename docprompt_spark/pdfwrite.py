@@ -575,6 +575,7 @@ def write_pdf(
             ox, oy,
         )
         gs_res = _gstate_resource(page.get("vectors"))
+        pat_res = _pattern_streams(b, page.get("vectors"))
         xobj_entries = []
         if form_data is not None:
             # Form XObject carrying the vector art + header line; its own
@@ -593,6 +594,8 @@ def write_pdf(
                 form_res += f" /Shading {sh_res}"
             if gs_res:
                 form_res += f" /ExtGState {gs_res}"
+            if pat_res:
+                form_res += f" /Pattern {pat_res}"
             fm_num = b.add_stream(
                 "/Type /XObject /Subtype /Form"
                 f" /BBox [{fmt_num(ox)} {fmt_num(oy)} {fmt_num(ox + fw)}"
@@ -654,6 +657,8 @@ def write_pdf(
             res += f" /Shading {sh_res}"
         if gs_res and form_data is None:
             res += f" /ExtGState {gs_res}"
+        if pat_res and form_data is None:
+            res += f" /Pattern {pat_res}"
         if ocg_nums:
             props = " ".join(
                 f"/OC{i} {n} 0 R" for i, n in enumerate(ocg_nums)
@@ -1121,8 +1126,22 @@ def _vector_ops(
     # "lw": points}
     parts: List[str] = []
     sh_idx = 0
+    pt_idx = 0
     for vec in vectors or []:
         paint = vec.get("paint", "S")
+        if paint == "tile":
+            # tiling-pattern fill (§8.7.3.3): /Pattern cs /PtN scn then
+            # the region path filled — the hatched/dotted background form
+            seg = ["q", "/Pattern cs", f"/Pt{pt_idx} scn"]
+            for op in vec["path"]:
+                op = _rot_path_op(op, rot, vw, vh, ox, oy)
+                seg.append(
+                    " ".join(fmt_num(v) for v in op[1:]) + " " + op[0]
+                )
+            seg.append("f Q")
+            pt_idx += 1
+            parts.append(" ".join(seg))
+            continue
         if paint in ("sh", "shr"):
             # axial ("sh", §8.7.4.3.3) or radial ("shr", §8.7.4.3.4)
             # shading through a rect clip — the letterhead gradient /
@@ -1155,6 +1174,42 @@ def _vector_ops(
         seg.append("Q")
         parts.append(" ".join(seg))
     return parts
+
+
+def _pattern_streams(b, vectors) -> str:
+    """Serialize one tiling-pattern stream (§8.7.3) per "tile" vector
+    entry: /PatternType 1 /PaintType 1 colored cells — a filled "dot"
+    rect or a diagonal "hatch" stroke — with /XStep//YStep tiling. The
+    /PtN resource names enumerate in entry order, the same enumeration
+    :func:`_vector_ops` uses at the `scn` site."""
+    entries: List[str] = []
+    for vec in vectors or []:
+        if vec.get("paint") != "tile":
+            continue
+        cell = vec["cell"]
+        cw, ch = cell["w"], cell["h"]
+        g = cell["gray"]
+        if cell["shape"] == "dot":
+            dx, dy, dw, dh = cell["rect"]
+            content = (
+                f"{fmt_num(g)} g {fmt_num(dx)} {fmt_num(dy)}"
+                f" {fmt_num(dw)} {fmt_num(dh)} re f"
+            )
+        else:  # hatch: one diagonal stroke across the cell
+            content = (
+                f"{fmt_num(g)} G {fmt_num(cell.get('lw', 1.0))} w"
+                f" 0 0 m {fmt_num(cw)} {fmt_num(ch)} l S"
+            )
+        num = b.add_stream(
+            "/Type /Pattern /PatternType 1 /PaintType 1 /TilingType 1"
+            f" /BBox [0 0 {fmt_num(cw)} {fmt_num(ch)}]"
+            f" /XStep {fmt_num(vec['xstep'])}"
+            f" /YStep {fmt_num(vec['ystep'])}"
+            " /Resources << >>",
+            content.encode("latin-1"),
+        )
+        entries.append(f"/Pt{len(entries)} {num} 0 R")
+    return "" if not entries else "<< " + " ".join(entries) + " >>"
 
 
 def _alpha_index(vectors, vec) -> int:

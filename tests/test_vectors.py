@@ -161,3 +161,60 @@ def test_extgstate_alpha_blend():
         g = 0.5 if (k & 4) else 0.75
         expected = int(round(int(round(g * 255.0)) * 0.5 + 255.0 * 0.5))
         assert expected in set(np.unique(a).tolist()), f"k={k}"
+
+
+def test_tiling_pattern_expansion_matches_gt():
+    """Tiling-pattern fills (§8.7.3): the interpreter expands /Pattern cs
+    /PtN scn fills into per-tile cell instances that equal the corpus
+    generator's mirrored ground truth exactly — dot rects and hatch
+    strokes, including docs whose vector art rides in a Form XObject."""
+    from docprompt_spark import corpus, pdfparse
+
+    checked = 0
+    for idx in range(24):
+        if not (idx % 4 == 1 and idx % 5 not in (2, 4)):
+            continue
+        d = corpus.gen_doc(idx, seed=42, skew_every=0)
+        _, pages = corpus._gen_doc_pages(idx, 42, 0)  # tiles auto-injected
+        pf = pdfparse.PdfFile(pdfparse.unwrap_pdf_bytes(d["pdf"]))
+        for p, (page, _w, _im) in enumerate(pages):
+            want = page["vectors_gt"]
+            assert any(v.get("paint") == "tile" for v in page["vectors"])
+            assert pf.extract_page(p)["vectors"] == want
+            checked += 1
+    assert checked
+
+
+def test_tiling_pattern_partial_tiles_clip_to_region():
+    """A region NOT step-aligned clips boundary dot rects exactly
+    (rect∩rect) and drops boundary hatch strokes (stroke shapes render
+    only for wholly-inside cells)."""
+    from docprompt_spark import pdfparse, pdfwrite
+
+    pages = [{
+        "width": 612.0, "height": 792.0, "images": [],
+        "text_ops": [
+            {"font": "F1", "size": 10.0, "x": 72.0, "y": 700.0,
+             "mode": "Tm", "segments": ["x"]}
+        ],
+        "vectors": [
+            {"paint": "tile", "path": [("re", 78.0, 126.0, 30.0, 18.0)],
+             "cell": {"w": 12.0, "h": 12.0, "gray": 0.25, "shape": "dot",
+                      "rect": (3.0, 3.0, 6.0, 6.0)},
+             "xstep": 12.0, "ystep": 12.0},
+        ],
+    }]
+    pdf = pdfwrite.write_pdf(pages, doc_title="t")
+    vecs = [
+        v for v in pdfparse.PdfFile(pdf).extract_page(0)["vectors"]
+        if v["paint"] == "fill"
+    ]
+    # region x 78..108 spans tiles i=6,7,8 (72,84,96/ i=8 dot at 99..105);
+    # y 126..144 spans j=10 (dot 123..129 -> clipped to 126..129), j=11
+    xs = sorted({v["contours"][0][0][0] for v in vecs})
+    assert xs == [78.0, 87.0, 99.0]  # first dot clipped from 75->78
+    y0s = sorted({v["contours"][0][0][1] for v in vecs})
+    assert y0s == [126.0, 135.0]  # bottom dots clipped from 123->126
+    for v in vecs:
+        (x0, y0), _, (x1, y1), _ = v["contours"][0]
+        assert 78.0 <= x0 < x1 <= 108.0 and 126.0 <= y0 < y1 <= 144.0
