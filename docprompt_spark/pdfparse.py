@@ -1526,18 +1526,39 @@ _HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
 _HEXTRIPLE_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
 
 
+_BFRANGE_ARR_RE = re.compile(
+    rb"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*\[((?:\s*<[0-9a-fA-F]+>)+)\s*\]"
+)
+
+
 @cff.memo_bytes_fn
 def _parse_tounicode(data: bytes) -> Dict[int, str]:
+    """ToUnicode CMap (§9.10.3): bfchar pairs, continuous bfrange (the
+    destination string incremented per code — as a BYTE string, so
+    multi-code-unit destinations incl. UTF-16 surrogate pairs advance on
+    their last unit), and the ARRAY-destination bfrange form
+    `<lo> <hi> [<d0> <d1> …]` word processors emit for non-contiguous
+    glyph runs."""
     cmap: Dict[int, str] = {}
     for section in _BFCHAR_RE.findall(data):
         for src, dst in _HEXPAIR_RE.findall(section):
             cmap[int(src, 16)] = bytes.fromhex(dst.decode()).decode("utf-16-be")
     for section in _BFRANGE_RE.findall(data):
+        for lo, hi, dsts in _BFRANGE_ARR_RE.findall(section):
+            lo_i = int(lo, 16)
+            vals = re.findall(rb"<([0-9a-fA-F]+)>", dsts)
+            for k, d in enumerate(vals):
+                cmap[lo_i + k] = bytes.fromhex(d.decode()).decode(
+                    "utf-16-be"
+                )
+        section = _BFRANGE_ARR_RE.sub(b"", section)
         for lo, hi, dst in _HEXTRIPLE_RE.findall(section):
             lo_i, hi_i = int(lo, 16), int(hi, 16)
-            base = int(dst, 16)
+            raw = bytes.fromhex(dst.decode())
+            base = int.from_bytes(raw, "big")
             for cid in range(lo_i, hi_i + 1):
-                cmap[cid] = chr(base + (cid - lo_i))
+                v = base + (cid - lo_i)
+                cmap[cid] = v.to_bytes(len(raw), "big").decode("utf-16-be")
     return cmap
 
 

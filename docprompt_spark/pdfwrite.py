@@ -267,14 +267,29 @@ def _tounicode_cmap(charset: Sequence[str]) -> bytes:
         "<0000> <FFFF>",
         "endcodespacerange",
     ]
-    # bfchar sections max 100 entries each per spec
+    # serialization form rotates deterministically per charset: bfchar
+    # pairs or the ARRAY-destination bfrange form (`<lo> <hi> [<d> …]`)
+    # word processors emit — same mapping, different wire form, so golden
+    # text is serialization-invariant while the reader proves both paths.
+    # Sections max 100 entries each per spec.
+    use_array = sum(ord(c) for c in charset) % 2 == 1
     for start in range(0, len(charset), 100):
         chunk = charset[start : start + 100]
-        lines.append(f"{len(chunk)} beginbfchar")
-        for cid, ch in enumerate(chunk, start=start):
-            u = ch.encode("utf-16-be").hex()
-            lines.append(f"<{cid:04x}> <{u}>")
-        lines.append("endbfchar")
+        if use_array:
+            dsts = " ".join(
+                f"<{ch.encode('utf-16-be').hex()}>" for ch in chunk
+            )
+            lines.append("1 beginbfrange")
+            lines.append(
+                f"<{start:04x}> <{start + len(chunk) - 1:04x}> [{dsts}]"
+            )
+            lines.append("endbfrange")
+        else:
+            lines.append(f"{len(chunk)} beginbfchar")
+            for cid, ch in enumerate(chunk, start=start):
+                u = ch.encode("utf-16-be").hex()
+                lines.append(f"<{cid:04x}> <{u}>")
+            lines.append("endbfchar")
     lines += ["endcmap", "CMapName currentdict /CMap defineresource pop", "end", "end"]
     return "\n".join(lines).encode()
 

@@ -176,3 +176,40 @@ def test_full_envelope_matrix_roundtrips(xref_stream, comp, enc):
     got = pdfparse.extract_pages(pdf)
     assert [p["words"] for p in got] == [p["words"] for p in base]
     assert [p["images"] for p in got] == [p["images"] for p in base]
+
+
+def test_tounicode_bfrange_forms_and_surrogates():
+    """ToUnicode (§9.10.3): continuous bfrange increments the destination
+    as a BYTE string (so a UTF-16 surrogate-pair destination advances on
+    its last code unit — the emoji form), the array-destination bfrange
+    (`1 beginbfrange <lo> <hi> [<d> ...]`) maps positionally incl.
+    multi-char ligature destinations, and bfchar handles surrogate
+    pairs."""
+    from docprompt_spark import pdfparse
+
+    cm = pdfparse._parse_tounicode(
+        b"2 beginbfrange\n"
+        b"<0001> <0003> <d83dde00>\n"
+        b"<0010> <0012> [<0041> <00420043> <d83dde42>]\n"
+        b"endbfrange\n"
+        b"1 beginbfchar\n<0020> <d83ddc4d>\nendbfchar\n"
+    )
+    assert cm[1] == "\U0001F600"
+    assert cm[3] == "\U0001F602"
+    assert cm[0x10] == "A" and cm[0x11] == "BC"
+    assert cm[0x12] == "\U0001F642"
+    assert cm[0x20] == "\U0001F44D"
+
+
+def test_tounicode_serialization_forms_rotate_in_corpus():
+    """The writer rotates bfchar vs array-bfrange serialization per doc
+    charset; the mapping — and therefore golden text — is
+    serialization-invariant."""
+    from docprompt_spark import corpus, pdfparse
+
+    forms = set()
+    for idx in (0, 3, 6, 9, 12, 15, 18, 21):
+        d = corpus.gen_doc(idx, seed=42, skew_every=0)
+        raw = pdfparse.unwrap_pdf_bytes(d["pdf"])
+        forms.add(b"beginbfrange" in raw)
+    assert forms == {True, False}
