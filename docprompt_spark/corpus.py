@@ -594,17 +594,43 @@ def _page_vectors(k: int):
         nexp = 2.0 if (k >> 6) & 1 else 1.0
         diag = (k >> 7) & 1 == 1  # diagonal axis exercises the projection
         bxy = (bx + bw, by + bh if diag else by)
-        writer.append(
-            {"path": [("re", bx, by, bw, bh)], "paint": "sh",
-             "coords": (bx, by, bxy[0], bxy[1]),
-             "c0": c0, "c1": c1, "n": nexp}
-        )
-        gt.append(
-            {"contours": [[(bx, by), (bx + bw, by), (bx + bw, by + bh),
-                           (bx, by + bh)]],
-             "closed": [True], "paint": "shade",
-             "coords": ((bx, by), bxy), "c0": c0, "c1": c1, "n": nexp}
-        )
+        # function form multiplexes existing k bits ((k>>2)&3): the plain
+        # exponential, a 3-stop STITCHING function (§7.10.4 — the
+        # multi-stop gradient Illustrator/Inkscape emit), or a sampled
+        # Type 0 stream (§7.10.2) with linear interpolation
+        fsel = (k >> 2) & 3
+        w_entry = {"path": [("re", bx, by, bw, bh)], "paint": "sh",
+                   "coords": (bx, by, bxy[0], bxy[1])}
+        g_entry = {
+            "contours": [[(bx, by), (bx + bw, by), (bx + bw, by + bh),
+                          (bx, by + bh)]],
+            "closed": [True], "paint": "shade",
+            "coords": ((bx, by), bxy),
+        }
+        if fsel == 3:
+            mid = 0.875 if c0 < c1 else 0.125
+            spec = {
+                "t": 3,
+                "bounds": [0.5],
+                "encode": [0.0, 1.0, 0.0, 1.0],
+                "subs": [
+                    {"t": 2, "c0": c0, "c1": mid, "n": 1.0},
+                    {"t": 2, "c0": mid, "c1": c1, "n": nexp},
+                ],
+            }
+            w_entry["fn"] = g_entry["fn"] = spec
+        elif fsel == 1:
+            base = int(round(c0 * 255.0))
+            top = int(round(c1 * 255.0))
+            samples = [base, (base * 3 + top) // 4,
+                       (base + top) // 2, top, (base + top) // 2]
+            spec = {"t": 0, "samples": samples, "bps": 8}
+            w_entry["fn"] = g_entry["fn"] = spec
+        else:
+            w_entry.update({"c0": c0, "c1": c1, "n": nexp})
+            g_entry.update({"c0": c0, "c1": c1, "n": nexp})
+        writer.append(w_entry)
+        gt.append(g_entry)
     if (k & 65) == 65:  # radial badge vignette (§8.7.4.3.4)
         # the seal/button gradient form: a Type 3 shading through a square
         # clip. Even k>>7 keeps the circles CONCENTRIC (r0=0, the common

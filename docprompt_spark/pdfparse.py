@@ -1912,6 +1912,45 @@ def _mat_mul(a, b):
 _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
 
+def _parse_pdf_function(obj, resolve) -> dict:
+    """Normalize a PDF function (§7.10) for shading evaluation — the
+    1-in/1-out gray case. Type 2 (exponential), Type 3 (stitching, with
+    sub-functions parsed recursively) and Type 0 (sampled stream,
+    BitsPerSample 8) map to the spec dicts
+    :func:`rasterize.eval_shading_fn` consumes."""
+    o = resolve(obj)
+    d = o.dict if hasattr(o, "dict") else (o or {})
+    ftv = resolve(d.get("FunctionType"))
+    ft = 2 if ftv is None else int(ftv)  # NOT `or 2`: type 0 is falsy
+    if ft == 2:
+        return {
+            "t": 2,
+            "c0": float(resolve((resolve(d.get("C0")) or [0.0])[0])),
+            "c1": float(resolve((resolve(d.get("C1")) or [1.0])[0])),
+            "n": float(resolve(d.get("N", 1)) or 1),
+        }
+    if ft == 3:
+        return {
+            "t": 3,
+            "bounds": [
+                float(resolve(v)) for v in resolve(d.get("Bounds")) or []
+            ],
+            "encode": [
+                float(resolve(v)) for v in resolve(d.get("Encode")) or []
+            ],
+            "subs": [
+                _parse_pdf_function(f, resolve)
+                for f in resolve(d.get("Functions")) or []
+            ],
+        }
+    if ft == 0:
+        bps = int(resolve(d.get("BitsPerSample", 8)) or 8)
+        if bps != 8:
+            raise ValueError(f"sampled function BitsPerSample {bps}")
+        return {"t": 0, "samples": list(o.data(resolve)), "bps": 8}
+    raise ValueError(f"unsupported shading FunctionType {ft}")
+
+
 def _interpret_content(
     data: bytes, *, fonts: dict, xobjects: dict, resolve, page_w: float,
     page_h: float, with_image_data: bool = False, ctm0: tuple = None,
@@ -2627,10 +2666,7 @@ def _interpret_content(
             st = int(resolve((shd or {}).get("ShadingType", 0)) or 0)
             if shd and st in (2, 3):
                 co = [float(resolve(v)) for v in resolve(shd.get("Coords"))]
-                fn = resolve(shd.get("Function")) or {}
-                fn = fn.dict if hasattr(fn, "dict") else fn
-                c0 = float(resolve((resolve(fn.get("C0")) or [0.0])[0]))
-                c1 = float(resolve((resolve(fn.get("C1")) or [1.0])[0]))
+                spec = _parse_pdf_function(shd.get("Function"), resolve)
                 cts = (
                     [list(c) for c in clip_cts]
                     if clip_cts
@@ -2653,17 +2689,21 @@ def _interpret_content(
                 if oc_hidden:
                     stack.clear()
                     continue
-                vectors.append(
-                    {
-                        "contours": cts,
-                        "closed": [True] * len(cts),
-                        "paint": paint,
-                        "coords": coords,
-                        "c0": c0,
-                        "c1": c1,
-                        "n": float(resolve(fn.get("N", 1)) or 1),
-                    }
-                )
+                entry = {
+                    "contours": cts,
+                    "closed": [True] * len(cts),
+                    "paint": paint,
+                    "coords": coords,
+                }
+                if spec["t"] == 2:
+                    # plain exponential keeps the historical keys (GT
+                    # byte-compat); stitching/sampled carry the spec
+                    entry["c0"] = spec["c0"]
+                    entry["c1"] = spec["c1"]
+                    entry["n"] = spec["n"]
+                else:
+                    entry["fn"] = spec
+                vectors.append(entry)
             stack.clear()
         elif op == b"g":
             fill_g = float(stack[-1])

@@ -586,7 +586,7 @@ def write_pdf(
         )
         content_num = b.add_stream("", content, compress=compress_streams)
         sh_res = _shading_resource(
-            page.get("vectors"), rotate, page["width"], page["height"],
+            b, page.get("vectors"), rotate, page["width"], page["height"],
             ox, oy,
         )
         gs_res = _gstate_resource(page.get("vectors"))
@@ -1252,24 +1252,53 @@ def _gstate_resource(vectors) -> str:
     return "" if not entries else "<< " + " ".join(entries) + " >>"
 
 
+def _fn_ser(spec: dict, b) -> str:
+    """Serialize a normalized function spec (§7.10): Type 2 inline, Type
+    3 stitching with inline sub-functions, Type 0 as an indirect sampled
+    STREAM (the only function form that must be a stream object)."""
+    if spec["t"] == 2:
+        return (
+            "<< /FunctionType 2 /Domain [0 1]"
+            f" /C0 [{fmt_num(spec['c0'])}] /C1 [{fmt_num(spec['c1'])}]"
+            f" /N {fmt_num(spec['n'])} >>"
+        )
+    if spec["t"] == 3:
+        subs = " ".join(_fn_ser(s, b) for s in spec["subs"])
+        bounds = " ".join(fmt_num(v) for v in spec["bounds"])
+        enc = " ".join(fmt_num(v) for v in spec["encode"])
+        return (
+            "<< /FunctionType 3 /Domain [0 1]"
+            f" /Functions [{subs}] /Bounds [{bounds}]"
+            f" /Encode [{enc}] >>"
+        )
+    if spec["t"] == 0:
+        num = b.add_stream(
+            "/FunctionType 0 /Domain [0 1] /Range [0 1]"
+            f" /Size [{len(spec['samples'])}] /BitsPerSample 8",
+            bytes(spec["samples"]),
+        )
+        return f"{num} 0 R"
+    raise ValueError(f"unsupported function spec {spec['t']}")
+
+
 def _shading_resource(
-    vectors, rot: int = 0, vw: float = 0.0, vh: float = 0.0,
+    b, vectors, rot: int = 0, vw: float = 0.0, vh: float = 0.0,
     ox: float = 0.0, oy: float = 0.0,
 ) -> str:
     """/Shading resource dict for the 'sh' vector entries (axial Type 2
-    on DeviceGray with an exponential-interpolation Type 2 function);
-    names /Sh0.. in the same order _vector_ops references them. Coords
-    map visual→stored exactly like every other placement."""
+    on DeviceGray; the function is exponential Type 2, stitching Type 3
+    or a sampled Type 0 stream per the entry's spec); names /Sh0.. in
+    the same order _vector_ops references them. Coords map visual→stored
+    exactly like every other placement."""
     entries = []
     for vec in vectors or []:
         paint = vec.get("paint")
         if paint not in ("sh", "shr"):
             continue
-        fn_ser = (
-            "/Function << /FunctionType 2 /Domain [0 1]"
-            f" /C0 [{fmt_num(vec['c0'])}] /C1 [{fmt_num(vec['c1'])}]"
-            f" /N {fmt_num(vec['n'])} >>"
-        )
+        spec = vec.get("fn") or {
+            "t": 2, "c0": vec["c0"], "c1": vec["c1"], "n": vec["n"]
+        }
+        fn_ser = f"/Function {_fn_ser(spec, b)}"
         if paint == "sh":
             x0, y0, x1, y1 = vec["coords"]
             sx0, sy0 = _rot_point(rot, x0, y0, vw, vh, ox, oy)

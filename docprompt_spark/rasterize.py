@@ -172,8 +172,43 @@ def fill_contours(
                 ).astype(np.uint8)
 
 
+def eval_shading_fn(fn: dict, t: float) -> float:
+    """Evaluate a normalized PDF function spec (§7.10) at ``t`` in [0,1]
+    — the 1-in/1-out gray case shadings use. Fixed-order IEEE float ops
+    so generator ground truth and parsed renders agree bit-exactly.
+
+    Specs: ``{"t": 2, "c0", "c1", "n"}`` exponential interpolation
+    (§7.10.3); ``{"t": 3, "bounds", "encode", "subs"}`` stitching
+    (§7.10.4) over the [0,1] domain; ``{"t": 0, "samples", "bps": 8}``
+    sampled (§7.10.2) with linear interpolation, Range [0 1]."""
+    ft = fn["t"]
+    if ft == 2:
+        return fn["c0"] + (t ** fn["n"]) * (fn["c1"] - fn["c0"])
+    if ft == 3:
+        bounds = fn["bounds"]
+        k = 0
+        while k < len(bounds) and t >= bounds[k]:
+            k += 1
+        lo = bounds[k - 1] if k > 0 else 0.0
+        hi = bounds[k] if k < len(bounds) else 1.0
+        e0, e1 = fn["encode"][2 * k], fn["encode"][2 * k + 1]
+        tt = e0 if hi == lo else e0 + (t - lo) * (e1 - e0) / (hi - lo)
+        return eval_shading_fn(fn["subs"][k], tt)
+    if ft == 0:
+        s = fn["samples"]
+        m = len(s)
+        x = t * (m - 1)
+        i = int(x)
+        if i >= m - 1:
+            i = m - 2
+        frac = x - i
+        return (s[i] + frac * (s[i + 1] - s[i])) / 255.0
+    raise ValueError(f"unsupported shading function type {ft}")
+
+
 def _shade_axial(
-    canvas: np.ndarray, contours, a, b, c0: float, c1: float, nexp: float
+    canvas: np.ndarray, contours, a, b, c0: float, c1: float, nexp: float,
+    fn: dict = None,
 ) -> None:
     """Axial (Type 2) shading fill: the same even-odd scanline spans as
     :func:`fill_contours`, but each pixel center projects onto the A→B
@@ -214,14 +249,18 @@ def _shade_axial(
                     t = 0.0
                 elif t > 1.0:
                     t = 1.0
-                v = c0 + (t ** nexp) * (c1 - c0)
+                v = (
+                    eval_shading_fn(fn, t)
+                    if fn is not None
+                    else c0 + (t ** nexp) * (c1 - c0)
+                )
                 g = int(round(v * 255.0))
                 canvas[yy, px] = 0 if g < 0 else (255 if g > 255 else g)
 
 
 def _shade_radial(
     canvas: np.ndarray, contours, circ0, circ1, c0: float, c1: float,
-    nexp: float,
+    nexp: float, fn: dict = None,
 ) -> None:
     """Radial (Type 3) shading fill (§8.7.4.3.4): same even-odd scanline
     spans as :func:`fill_contours`; each pixel center solves for the
@@ -279,7 +318,11 @@ def _shade_radial(
                     s = 0.0
                 elif s > 1.0:
                     s = 1.0
-                v = c0 + (s ** nexp) * (c1 - c0)
+                v = (
+                    eval_shading_fn(fn, s)
+                    if fn is not None
+                    else c0 + (s ** nexp) * (c1 - c0)
+                )
                 g = int(round(v * 255.0))
                 canvas[yy, px] = 0 if g < 0 else (255 if g > 255 else g)
 
@@ -390,7 +433,8 @@ def paint_vectors(
                 [c for c in pix if len(c) >= 3],
                 (axu * scale, (page_h - ayu) * scale),
                 (bxu * scale, (page_h - byu) * scale),
-                v["c0"], v["c1"], v["n"],
+                v.get("c0", 0.0), v.get("c1", 1.0), v.get("n", 1.0),
+                fn=v.get("fn"),
             )
         elif paint == "shade3":
             (cx0, cy0, r0), (cx1, cy1, r1) = v["coords"]
@@ -399,7 +443,8 @@ def paint_vectors(
                 [c for c in pix if len(c) >= 3],
                 (cx0 * scale, (page_h - cy0) * scale, r0 * scale),
                 (cx1 * scale, (page_h - cy1) * scale, r1 * scale),
-                v["c0"], v["c1"], v["n"],
+                v.get("c0", 0.0), v.get("c1", 1.0), v.get("n", 1.0),
+                fn=v.get("fn"),
             )
         elif paint == "fill":
             fill_contours(

@@ -218,3 +218,36 @@ def test_tiling_pattern_partial_tiles_clip_to_region():
     for v in vecs:
         (x0, y0), _, (x1, y1), _ = v["contours"][0]
         assert 78.0 <= x0 < x1 <= 108.0 and 126.0 <= y0 < y1 <= 144.0
+
+
+def test_multistop_shading_functions():
+    """Shading functions beyond plain exponential: the 3-stop STITCHING
+    form (§7.10.4) and the sampled Type 0 stream (§7.10.2) — parsed
+    specs equal the generator's, evaluation is fixed-order float."""
+    from docprompt_spark import corpus, pdfparse, rasterize
+
+    found = set()
+    for idx in range(40):
+        if idx % 4 == 3:  # rotated docs assert via raster parity instead
+            continue
+        _, pages = corpus._gen_doc_pages(idx, 42, 0)
+        d = corpus.gen_doc(idx, seed=42, skew_every=0)
+        pf = pdfparse.PdfFile(pdfparse.unwrap_pdf_bytes(d["pdf"]))
+        for p, (page, _w, _im) in enumerate(pages):
+            got = pf.extract_page(p)["vectors"]
+            assert got == (page.get("vectors_gt") or [])
+            for v in got:
+                if v.get("paint") == "shade":
+                    fn = v.get("fn")
+                    found.add("t2" if fn is None else f"t{fn['t']}")
+    assert found == {"t2", "t3", "t0"}
+
+    f3 = {"t": 3, "bounds": [0.5], "encode": [0.0, 1.0, 0.0, 1.0],
+          "subs": [{"t": 2, "c0": 0.2, "c1": 0.9, "n": 1.0},
+                   {"t": 2, "c0": 0.9, "c1": 0.4, "n": 2.0}]}
+    assert rasterize.eval_shading_fn(f3, 0.0) == 0.2
+    assert rasterize.eval_shading_fn(f3, 0.25) == 0.2 + 0.5 * 0.7
+    assert rasterize.eval_shading_fn(f3, 1.0) == 0.4
+    f0 = {"t": 0, "samples": [0, 255], "bps": 8}
+    assert rasterize.eval_shading_fn(f0, 0.5) == 0.5
+    assert rasterize.eval_shading_fn(f0, 1.0) == 1.0
