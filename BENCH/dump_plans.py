@@ -74,6 +74,13 @@ def main() -> None:
         "link_annotations",
         "tagged_reading_order",
         "embedding_cosine_neardup_pairs",
+        # round-5 continued (this session)
+        "page_labels",
+        "signature_fields",
+        "extraction_ocg_spans",
+        "pii_redaction_stats",
+        "paragraph_dedup_fraction",
+        "url_domain_filter",
     ]:
         sections.append((name, formatted(reg[name][0](spark, sf))))
 

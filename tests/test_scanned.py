@@ -69,7 +69,7 @@ def test_scanned_raster_matches_generator_ground_truth(idx):
     raw = pdfparse.unwrap_pdf_bytes(d["pdf"])
     got, wds = _parser_raster(raw)
 
-    _, pages = _gen_doc_pages(idx, 42, 0)
+    _, pages = _gen_doc_pages(idx, 42, 0, tiles=False)  # scanned envelope: no tile slice
     page, words_gt, images_gt = pages[0]
     _scanned_page_overlay(idx, 0, page, images_gt)
     gt_imgs = [
