@@ -626,11 +626,40 @@ def _page_vectors(k: int):
                        (base + top) // 2, top, (base + top) // 2]
             spec = {"t": 0, "samples": samples, "bps": 8}
             w_entry["fn"] = g_entry["fn"] = spec
+        elif fsel == 2:
+            # PostScript calculator gradient (§7.10.5): (1-t)^2 — the
+            # quadratic ease-out form designers export
+            spec = {"t": 4, "code": [1, "exch", "sub", "dup", "mul"]}
+            w_entry["fn"] = g_entry["fn"] = spec
         else:
             w_entry.update({"c0": c0, "c1": c1, "n": nexp})
             g_entry.update({"c0": c0, "c1": c1, "n": nexp})
         writer.append(w_entry)
         gt.append(g_entry)
+    if (k & 24) == 24:
+        # Separation spot-color swatch (§8.6.6.4): the brand-ink block of
+        # letterheads; tint transform rotates Type-4 inverse vs square
+        from docprompt_spark.rasterize import eval_shading_fn
+
+        tint = 0.75 if (k & 4) else 0.5
+        sp_fn = (
+            {"t": 4, "code": [1, "exch", "sub"]}
+            if (k >> 6) & 1
+            else {"t": 4, "code": ["dup", "mul"]}
+        )
+        sx, sy = x0, float(TOP_Y + 26)
+        sw_, sh_ = 24.0, 10.0
+        writer.append(
+            {"path": [("re", sx, sy, sw_, sh_)], "paint": "f",
+             "sep": {"name": "BrandInk", "fn": sp_fn, "tint": tint}}
+        )
+        gt.append(
+            {"contours": [[(sx, sy), (sx + sw_, sy), (sx + sw_, sy + sh_),
+                           (sx, sy + sh_)]],
+             "closed": [True], "paint": "fill",
+             "gray": int(round(eval_shading_fn(sp_fn, tint) * 255.0)),
+             "lw": 0.0}
+        )
     if (k & 65) == 65:  # radial badge vignette (§8.7.4.3.4)
         # the seal/button gradient form: a Type 3 shading through a square
         # clip. Even k>>7 keeps the circles CONCENTRIC (r0=0, the common

@@ -936,6 +936,7 @@ class PdfFile:
             properties=self.resolve(resources.get("Properties", {})) or {},
             oc_off=self._oc_off_nums(),
             patterns=self.resolve(resources.get("Pattern", {})) or {},
+            colorspaces=self.resolve(resources.get("ColorSpace", {})) or {},
         )
         return {
             "width": pw,
@@ -1948,7 +1949,42 @@ def _parse_pdf_function(obj, resolve) -> dict:
         if bps != 8:
             raise ValueError(f"sampled function BitsPerSample {bps}")
         return {"t": 0, "samples": list(o.data(resolve)), "bps": 8}
+    if ft == 4:
+        return {"t": 4, "code": _ps_parse(o.data(resolve))}
     raise ValueError(f"unsupported shading FunctionType {ft}")
+
+
+def _ps_parse(data: bytes):
+    """Tokenize a Type 4 PostScript-calculator program (§7.10.5) into the
+    nested token-list form :func:`rasterize._ps_exec` runs: numbers stay
+    int unless written with a point/exponent, `{ }` nest as lists; the
+    outermost braces are the function body."""
+    toks = re.findall(rb"\{|\}|[^\s{}]+", data)
+
+    def build(i: int):
+        out: list = []
+        while i < len(toks):
+            t = toks[i]
+            i += 1
+            if t == b"{":
+                sub, i = build(i)
+                out.append(sub)
+            elif t == b"}":
+                return out, i
+            else:
+                s = t.decode("latin-1")
+                try:
+                    out.append(
+                        float(s) if ("." in s or "e" in s or "E" in s)
+                        else int(s)
+                    )
+                except ValueError:
+                    out.append(s)
+        return out, i
+
+    top, _ = build(0)
+    # the program is one outer procedure: unwrap it
+    return top[0] if len(top) == 1 and isinstance(top[0], list) else top
 
 
 def _interpret_content(
@@ -1956,7 +1992,7 @@ def _interpret_content(
     page_h: float, with_image_data: bool = False, ctm0: tuple = None,
     load_font=None, depth: int = 0, shadings: dict = None,
     ext_gstates: dict = None, properties: dict = None, oc_off=None,
-    patterns: dict = None,
+    patterns: dict = None, colorspaces: dict = None,
 ) -> Tuple[List[dict], List[dict]]:
     # iter(): the op loop and the nested array/dict collectors share one
     # cursor (the tokenizer returns a plain list for speed)
@@ -1992,6 +2028,10 @@ def _interpret_content(
     # tiling-pattern fill (§8.7.3): set by `/Pattern cs /PtN scn`, cleared
     # by a non-Pattern cs; (cell vector entries, cell bbox, xstep, ystep)
     fill_pattern: Optional[tuple] = None
+    # Separation spot color (§8.6.6.4): `/CSn cs` selecting a
+    # [/Separation name /DeviceGray fn] space stores the tint-transform
+    # spec; numeric scn then maps tint -> alternate gray through it
+    fill_sep: Optional[dict] = None
     cur_mcid: Optional[int] = None  # innermost marked-content /MCID (§14.6)
     mc_stack: List[Optional[int]] = []
     # optional content (§8.11): content inside a /OC BDC…EMC sequence whose
@@ -2416,12 +2456,12 @@ def _interpret_content(
         if op == b"q":
             gs_stack.append(
                 (ctm, fill_g, stroke_g, line_w, tr_mode, clip_cts,
-                 fill_a, stroke_a, fill_pattern)
+                 fill_a, stroke_a, fill_pattern, fill_sep)
             )
         elif op == b"Q":
             if gs_stack:
                 (ctm, fill_g, stroke_g, line_w, tr_mode, clip_cts,
-                 fill_a, stroke_a, fill_pattern) = gs_stack.pop()
+                 fill_a, stroke_a, fill_pattern, fill_sep) = gs_stack.pop()
         elif op == b"cm":
             m = tuple(float(v) for v in stack[-6:])
             ctm = _mat_mul(m, ctm)
@@ -2546,6 +2586,8 @@ def _interpret_content(
                         oc_off=oc_off,
                         patterns=resolve(sub_res.get("Pattern", {}))
                         or patterns,
+                        colorspaces=resolve(sub_res.get("ColorSpace", {}))
+                        or colorspaces,
                     )
                     words.extend(w2)
                     images.extend(i2)
@@ -2723,16 +2765,36 @@ def _interpret_content(
             line_w = float(stack[-1])
             stack.clear()
         elif op == b"cs":
-            # non-stroking colorspace: only /Pattern matters to this
-            # interpreter; any other space clears an active pattern
+            # non-stroking colorspace: /Pattern and /Separation matter to
+            # this interpreter; any other space clears both
+            fill_sep = None
             if stack and str(stack[-1]) != "Pattern":
                 fill_pattern = None
+                csv = resolve((colorspaces or {}).get(str(stack[-1])))
+                if (
+                    isinstance(csv, list)
+                    and len(csv) == 4
+                    and str(resolve(csv[0])) == "Separation"
+                    and str(resolve(csv[2])) == "DeviceGray"
+                ):
+                    # spot color with a DeviceGray alternate: keep the
+                    # tint transform; scn evaluates it
+                    fill_sep = _parse_pdf_function(csv[3], resolve)
             stack.clear()
         elif op == b"scn":
             # pattern selection (§8.7.3.3): /PtN names a tiling-pattern
             # stream in the page's /Pattern resource; numeric scn
-            # operands (color components) leave the gray state alone
-            if stack and isinstance(stack[-1], Name):
+            # operands map through an active Separation tint transform
+            if (
+                stack
+                and fill_sep is not None
+                and isinstance(stack[-1], (int, float))
+            ):
+                from docprompt_spark.rasterize import eval_shading_fn
+
+                fill_g = eval_shading_fn(fill_sep, float(stack[-1]))
+                stack.clear()
+            elif stack and isinstance(stack[-1], Name):
                 pat = resolve((patterns or {}).get(str(stack[-1])))
                 fill_pattern = None
                 if (

@@ -591,6 +591,7 @@ def write_pdf(
         )
         gs_res = _gstate_resource(page.get("vectors"))
         pat_res = _pattern_streams(b, page.get("vectors"))
+        sep_res = _separation_resource(b, page.get("vectors"))
         xobj_entries = []
         if form_data is not None:
             # Form XObject carrying the vector art + header line; its own
@@ -611,6 +612,8 @@ def write_pdf(
                 form_res += f" /ExtGState {gs_res}"
             if pat_res:
                 form_res += f" /Pattern {pat_res}"
+            if sep_res:
+                form_res += f" /ColorSpace {sep_res}"
             fm_num = b.add_stream(
                 "/Type /XObject /Subtype /Form"
                 f" /BBox [{fmt_num(ox)} {fmt_num(oy)} {fmt_num(ox + fw)}"
@@ -674,6 +677,8 @@ def write_pdf(
             res += f" /ExtGState {gs_res}"
         if pat_res and form_data is None:
             res += f" /Pattern {pat_res}"
+        if sep_res and form_data is None:
+            res += f" /ColorSpace {sep_res}"
         if ocg_nums:
             props = " ".join(
                 f"/OC{i} {n} 0 R" for i, n in enumerate(ocg_nums)
@@ -1177,7 +1182,14 @@ def _vector_ops(
             # constant-alpha fill (§11.3.7.2): /GSaN gs names an ExtGState
             # carrying /ca — _gstate_resource enumerates in the same order
             seg.append(f"/GSa{_alpha_index(vectors, vec)} gs")
-        if paint in ("f", "f*", "B", "B*", "b", "b*"):
+        if vec.get("sep") is not None and paint in ("f", "f*"):
+            # Separation spot fill (§8.6.6.4): select the named space and
+            # set the tint; the reader maps it through the tint transform
+            seg.append(
+                f"/CSsp{_sep_index(vectors, vec)} cs"
+                f" {fmt_num(vec['sep']['tint'])} scn"
+            )
+        elif paint in ("f", "f*", "B", "B*", "b", "b*"):
             seg.append(f"{fmt_num(gray)} g")
         if paint not in ("f", "f*"):
             seg.append(f"{fmt_num(vec.get('stroke_gray', gray))} G")
@@ -1189,6 +1201,35 @@ def _vector_ops(
         seg.append("Q")
         parts.append(" ".join(seg))
     return parts
+
+
+def _sep_index(vectors, vec) -> int:
+    """Position of ``vec`` among the Separation-fill entries — the /CSspN
+    name both _vector_ops and _separation_resource agree on."""
+    i = 0
+    for v in vectors or []:
+        if v is vec:
+            return i
+        if v.get("sep") is not None:
+            i += 1
+    return i
+
+
+def _separation_resource(b, vectors) -> str:
+    """/ColorSpace resource for Separation-fill entries: one
+    [/Separation /Name /DeviceGray tintFn] array per entry (§8.6.6.4),
+    tint transforms serialized through :func:`_fn_ser` (so exponential /
+    stitching / sampled / PostScript Type 4 all work)."""
+    entries: List[str] = []
+    for vec in vectors or []:
+        sep = vec.get("sep")
+        if sep is None:
+            continue
+        entries.append(
+            f"/CSsp{len(entries)} [/Separation /{sep['name']}"
+            f" /DeviceGray {_fn_ser(sep['fn'], b)}]"
+        )
+    return "" if not entries else "<< " + " ".join(entries) + " >>"
 
 
 def _pattern_streams(b, vectors) -> str:
@@ -1276,6 +1317,23 @@ def _fn_ser(spec: dict, b) -> str:
             "/FunctionType 0 /Domain [0 1] /Range [0 1]"
             f" /Size [{len(spec['samples'])}] /BitsPerSample 8",
             bytes(spec["samples"]),
+        )
+        return f"{num} 0 R"
+    if spec["t"] == 4:
+        def ser(code) -> str:
+            parts = []
+            for tok in code:
+                if isinstance(tok, list):
+                    parts.append(ser(tok))
+                elif isinstance(tok, float):
+                    parts.append(fmt_num(tok))
+                else:
+                    parts.append(str(tok))
+            return "{ " + " ".join(parts) + " }"
+
+        num = b.add_stream(
+            "/FunctionType 4 /Domain [0 1] /Range [0 1]",
+            ser(spec["code"]).encode("latin-1"),
         )
         return f"{num} 0 R"
     raise ValueError(f"unsupported function spec {spec['t']}")

@@ -172,6 +172,118 @@ def fill_contours(
                 ).astype(np.uint8)
 
 
+def _ps_exec(code, st: list) -> None:
+    """Type 4 PostScript-calculator execution (§7.10.5): the operator
+    subset real tint transforms and gradient functions use, over a plain
+    operand stack. Procedures (nested lists) push as objects for
+    if/ifelse. Fixed-order IEEE float ops for cross-side determinism."""
+    i = 0
+    while i < len(code):
+        tok = code[i]
+        i += 1
+        if isinstance(tok, list):
+            st.append(tok)
+        elif isinstance(tok, (int, float)):
+            st.append(tok)
+        elif tok == "add":
+            b = st.pop(); st.append(st.pop() + b)
+        elif tok == "sub":
+            b = st.pop(); st.append(st.pop() - b)
+        elif tok == "mul":
+            b = st.pop(); st.append(st.pop() * b)
+        elif tok == "div":
+            b = st.pop(); st.append(st.pop() / b)
+        elif tok == "idiv":
+            b = st.pop(); a = st.pop(); st.append(int(a) // int(b))
+        elif tok == "mod":
+            b = st.pop(); a = st.pop(); st.append(int(a) % int(b))
+        elif tok == "neg":
+            st.append(-st.pop())
+        elif tok == "abs":
+            st.append(abs(st.pop()))
+        elif tok == "sqrt":
+            st.append(math.sqrt(st.pop()))
+        elif tok == "sin":
+            st.append(math.sin(math.radians(st.pop())))
+        elif tok == "cos":
+            st.append(math.cos(math.radians(st.pop())))
+        elif tok == "atan":
+            b = st.pop(); a = st.pop()
+            d = math.degrees(math.atan2(a, b))
+            st.append(d + 360.0 if d < 0.0 else d)
+        elif tok == "exp":
+            b = st.pop(); st.append(st.pop() ** b)
+        elif tok == "ln":
+            st.append(math.log(st.pop()))
+        elif tok == "log":
+            st.append(math.log10(st.pop()))
+        elif tok in ("cvi", "truncate"):
+            v = st.pop(); st.append(int(v) if tok == "cvi" else float(int(v)))
+        elif tok == "cvr":
+            st.append(float(st.pop()))
+        elif tok == "floor":
+            st.append(float(math.floor(st.pop())))
+        elif tok == "ceiling":
+            st.append(float(math.ceil(st.pop())))
+        elif tok == "round":
+            v = st.pop()
+            st.append(float(math.floor(v + 0.5)))  # PS rounds half up
+        elif tok == "dup":
+            st.append(st[-1])
+        elif tok == "exch":
+            st[-1], st[-2] = st[-2], st[-1]
+        elif tok == "pop":
+            st.pop()
+        elif tok == "copy":
+            n = int(st.pop())
+            if n > 0:
+                st.extend(st[-n:])
+        elif tok == "index":
+            n = int(st.pop()); st.append(st[-1 - n])
+        elif tok == "roll":
+            j = int(st.pop()); n = int(st.pop())
+            if n > 0:
+                j %= n
+                part = st[-n:]
+                del st[-n:]
+                st.extend(part[-j:] + part[:-j])
+        elif tok in ("eq", "ne", "gt", "ge", "lt", "le"):
+            b = st.pop(); a = st.pop()
+            st.append(
+                {"eq": a == b, "ne": a != b, "gt": a > b,
+                 "ge": a >= b, "lt": a < b, "le": a <= b}[tok]
+            )
+        elif tok in ("and", "or", "xor"):
+            b = st.pop(); a = st.pop()
+            if isinstance(a, bool) or isinstance(b, bool):
+                st.append(
+                    {"and": bool(a) and bool(b),
+                     "or": bool(a) or bool(b),
+                     "xor": bool(a) != bool(b)}[tok]
+                )
+            else:
+                st.append(
+                    {"and": int(a) & int(b), "or": int(a) | int(b),
+                     "xor": int(a) ^ int(b)}[tok]
+                )
+        elif tok == "not":
+            a = st.pop()
+            st.append(not a if isinstance(a, bool) else ~int(a))
+        elif tok == "true":
+            st.append(True)
+        elif tok == "false":
+            st.append(False)
+        elif tok == "if":
+            proc = st.pop(); cond = st.pop()
+            if cond:
+                _ps_exec(proc, st)
+        elif tok == "ifelse":
+            p2 = st.pop(); p1 = st.pop(); cond = st.pop()
+            _ps_exec(p1 if cond else p2, st)
+        else:
+            raise ValueError(f"PostScript operator {tok!r} unsupported")
+
+
 def eval_shading_fn(fn: dict, t: float) -> float:
     """Evaluate a normalized PDF function spec (§7.10) at ``t`` in [0,1]
     — the 1-in/1-out gray case shadings use. Fixed-order IEEE float ops
@@ -184,6 +296,11 @@ def eval_shading_fn(fn: dict, t: float) -> float:
     ft = fn["t"]
     if ft == 2:
         return fn["c0"] + (t ** fn["n"]) * (fn["c1"] - fn["c0"])
+    if ft == 4:
+        st = [t]
+        _ps_exec(fn["code"], st)
+        v = st[-1]
+        return 0.0 if v < 0.0 else (1.0 if v > 1.0 else v)
     if ft == 3:
         bounds = fn["bounds"]
         k = 0

@@ -240,7 +240,7 @@ def test_multistop_shading_functions():
                 if v.get("paint") == "shade":
                     fn = v.get("fn")
                     found.add("t2" if fn is None else f"t{fn['t']}")
-    assert found == {"t2", "t3", "t0"}
+    assert found == {"t2", "t3", "t0", "t4"}
 
     f3 = {"t": 3, "bounds": [0.5], "encode": [0.0, 1.0, 0.0, 1.0],
           "subs": [{"t": 2, "c0": 0.2, "c1": 0.9, "n": 1.0},
@@ -251,3 +251,57 @@ def test_multistop_shading_functions():
     f0 = {"t": 0, "samples": [0, 255], "bps": 8}
     assert rasterize.eval_shading_fn(f0, 0.5) == 0.5
     assert rasterize.eval_shading_fn(f0, 1.0) == 1.0
+
+
+def test_type4_postscript_and_separation_spot():
+    """Type 4 PostScript-calculator functions (§7.10.5) evaluate the real
+    operator subset, and Separation spot fills (§8.6.6.4) map tints
+    through their transform to the DeviceGray alternate — writer→parser
+    gray equality via the shared evaluator."""
+    from docprompt_spark.rasterize import eval_shading_fn
+
+    assert eval_shading_fn({"t": 4, "code": ["dup", "mul"]}, 0.5) == 0.25
+    assert eval_shading_fn({"t": 4, "code": [90, "sin"]}, 0.3) == 1.0
+    assert eval_shading_fn(
+        {"t": 4, "code": [0.5, "lt", [0], [1], "ifelse"]}, 0.25
+    ) == 0
+    # roll/index/copy stack ops
+    assert eval_shading_fn(
+        {"t": 4, "code": [2, 3, 3, 1, "roll", "pop", "pop"]}, 0.125
+    ) == 1.0  # [t 2 3] roll-> [3 t 2] pop pop -> 3 -> clamps to 1
+    sep_fn = {"t": 4, "code": [1, "exch", "sub", "dup", "mul"]}
+    pages = [{
+        "width": 612.0, "height": 792.0, "images": [],
+        "text_ops": [{"font": "F1", "size": 10.0, "x": 72.0, "y": 700.0,
+                      "mode": "Tm", "segments": ["x"]}],
+        "vectors": [
+            {"paint": "f", "path": [("re", 72.0, 120.0, 96.0, 24.0)],
+             "sep": {"name": "SpotInk", "fn": sep_fn, "tint": 0.75}},
+        ],
+    }]
+    pf = pdfparse.PdfFile(pdfwrite.write_pdf(pages, doc_title="t"))
+    v = pf.extract_page(0)["vectors"][0]
+    assert v["gray"] == int(round(eval_shading_fn(sep_fn, 0.75) * 255.0))
+    assert v["gray"] == int(round(0.0625 * 255.0))
+
+
+def test_separation_corpus_rotation():
+    """Default-corpus spot swatches ((k&24)==24) and Type-4 gradient
+    bands parse to the generator's exact GT (flat docs)."""
+    from docprompt_spark import corpus
+
+    seen_sep = seen_t4 = 0
+    for idx in range(40):
+        if idx % 4 == 3:
+            continue
+        d = corpus.gen_doc(idx, seed=42, skew_every=0)
+        _, pages = corpus._gen_doc_pages(idx, 42, 0)
+        pf = pdfparse.PdfFile(pdfparse.unwrap_pdf_bytes(d["pdf"]))
+        for p, (page, _w, _im) in enumerate(pages):
+            assert pf.extract_page(p)["vectors"] == page["vectors_gt"]
+            for wv in page.get("vectors") or []:
+                if wv.get("sep"):
+                    seen_sep += 1
+                if wv.get("paint") == "sh" and wv.get("fn", {}).get("t") == 4:
+                    seen_t4 += 1
+    assert seen_sep and seen_t4
