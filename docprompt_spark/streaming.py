@@ -220,3 +220,49 @@ def stream_sessionize(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup: drop duplicate documents at ingest time
+# ---------------------------------------------------------------------------
+
+
+def dedup_documents(
+    docs_stream: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "ingest_ts",
+) -> DataFrame:
+    """Ingest-time exact dedup — the streaming form of the batch
+    content-hash dedup (`queries.dedup_exact_groups`): documents whose
+    md5(text) was already seen within the watermark horizon are dropped,
+    so a crawler re-delivering the same page never double-feeds the
+    training corpus. `dropDuplicates` keeps per-key state in the state
+    store; the watermark bounds that state (and therefore memory) at
+    scale — without it, 10^12 keys would accumulate forever."""
+    return (
+        docs_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withColumn("content_hash", F.md5("text"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["content_hash"])
+    )
+
+
+def stream_dedup_documents(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """File-source document stream → watermarked exact dedup → append
+    parquet sink, exactly-once per input file via the checkpoint."""
+    schema = spark.read.parquet(input_dir).schema
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    deduped = dedup_documents(stream)
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -118,3 +118,43 @@ def test_sessionize_fn_orders_across_chunks():
     row = out[0].iloc[0]
     assert (row["session_start"], row["session_end"], row["n_events"]) == (5.0, 20.0, 3)
     assert st.val == (200.0, 210.0, 2)  # open session left in state
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """Ingest-time exact dedup: a doc re-delivered in a LATER micro-batch
+    (within the watermark) is dropped — per-key state survives across
+    batches through the checkpoint; distinct docs all pass."""
+    import pandas as pd
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "din"),
+        str(tmp_path / "dout"),
+        str(tmp_path / "dckpt"),
+    )
+    b1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta", "gamma delta", "alpha beta"],
+            "ingest_ts": ["2026-01-01 10:00:00"] * 3,
+        }
+    )
+    spark.createDataFrame(b1).write.mode("append").parquet(in_dir)
+    q = streaming.stream_dedup_documents(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(300)
+    out1 = spark.read.parquet(out_dir).toPandas()
+    assert sorted(out1["text"]) == ["alpha beta", "gamma delta"]
+
+    # batch 2: one true duplicate of batch 1, one new doc
+    b2 = pd.DataFrame(
+        {
+            "doc_id": [4, 5],
+            "text": ["gamma delta", "epsilon zeta"],
+            "ingest_ts": ["2026-01-01 10:30:00"] * 2,
+        }
+    )
+    spark.createDataFrame(b2).write.mode("append").parquet(in_dir)
+    q2 = streaming.stream_dedup_documents(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(300)
+    out = spark.read.parquet(out_dir).toPandas()
+    assert sorted(out["text"]) == ["alpha beta", "epsilon zeta", "gamma delta"]
+    assert len(out) == 3  # the re-delivered 'gamma delta' was dropped
