@@ -1342,6 +1342,87 @@ class PdfFile:
             )
         return out
 
+    def annotation_appearances(self, index: int) -> List[dict]:
+        """Rendered annotation appearances (§12.5.5): for each annotation
+        with a normal appearance stream (/AP /N — the Form XObject real
+        viewers regenerate to DISPLAY a widget's value), run the §12.5.5
+        appearance algorithm — /BBox corners through /Matrix, the result
+        mapped onto /Rect — and interpret the stream, returning the
+        drawn text in PAGE space. This is the only place a filled form's
+        on-page rendering lives; pdfium paints these with FPDF_ANNOT and
+        docprompt's OCR providers read that paint. Page text extraction
+        intentionally excludes appearance content (pdfium's text API does
+        too); this surface exposes it separately."""
+        page = self.resolve(self.page_refs[index])
+        media = self._inherited(page, "MediaBox")
+        media = [float(self.resolve(v)) for v in media]
+        pw, ph = media[2] - media[0], media[3] - media[1]
+        out: List[dict] = []
+        for ref in self.resolve(page.get("Annots")) or []:
+            a = self.resolve(ref)
+            a = a.dict if isinstance(a, Stream) else a
+            if not isinstance(a, dict):
+                continue
+            ap = self.resolve(a.get("AP"))
+            n = self.resolve(ap.get("N")) if isinstance(ap, dict) else None
+            if not isinstance(n, Stream):
+                continue
+            rect = [
+                float(self.resolve(v))
+                for v in self.resolve(a.get("Rect")) or [0, 0, 0, 0]
+            ]
+            rx0, ry0 = min(rect[0], rect[2]), min(rect[1], rect[3])
+            rx1, ry1 = max(rect[0], rect[2]), max(rect[1], rect[3])
+            bbox = [
+                float(self.resolve(v))
+                for v in self.resolve(n.dict.get("BBox")) or [0, 0, 1, 1]
+            ]
+            mat = self.resolve(n.dict.get("Matrix"))
+            fm = (
+                tuple(float(self.resolve(v)) for v in mat)
+                if mat is not None
+                else _ID
+            )
+            # §12.5.5 b): transformed bbox corners -> bounding quad
+            xs, ys = [], []
+            for cx, cy in (
+                (bbox[0], bbox[1]), (bbox[2], bbox[1]),
+                (bbox[2], bbox[3]), (bbox[0], bbox[3]),
+            ):
+                xs.append(fm[0] * cx + fm[2] * cy + fm[4])
+                ys.append(fm[1] * cx + fm[3] * cy + fm[5])
+            bx0, bx1 = min(xs), max(xs)
+            by0, by1 = min(ys), max(ys)
+            sx = (rx1 - rx0) / (bx1 - bx0) if bx1 > bx0 else 1.0
+            sy = (ry1 - ry0) / (by1 - by0) if by1 > by0 else 1.0
+            # A maps form space -> page space: Matrix, then scale the quad
+            # onto Rect
+            amap = _mat_mul(
+                fm, (sx, 0.0, 0.0, sy, rx0 - bx0 * sx, ry0 - by0 * sy)
+            )
+            sub_res = self.resolve(n.dict.get("Resources")) or {}
+            fonts_d = self.resolve(sub_res.get("Font", {})) or {}
+            words, _im, _vec = _interpret_content(
+                n.data(self.resolve),
+                fonts={
+                    nm: self._load_font(r) for nm, r in fonts_d.items()
+                },
+                xobjects=self.resolve(sub_res.get("XObject", {})) or {},
+                resolve=self.resolve,
+                page_w=pw,
+                page_h=ph,
+                ctm0=amap,
+            )
+            out.append(
+                {
+                    "field_name": self._str_of(a.get("T")) or "",
+                    "subtype": str(self.resolve(a.get("Subtype", ""))),
+                    "rect": [rx0, ry0, rx1, ry1],
+                    "text": " ".join(w["text"] for w in words),
+                }
+            )
+        return out
+
     def structure_tree(self) -> List[dict]:
         """Flattened logical-structure tree (tagged PDF, §14.7): DFS over
         /StructTreeRoot → /StructElem /K kids; each element yields its

@@ -368,6 +368,15 @@ def write_pdf(
             for ch in seg
         }
         | {" "}
+        # widget appearance streams (§12.5.5) draw field VALUES with F1,
+        # so the subset must cover them too — exactly what real producers
+        # do when they regenerate appearances
+        | {
+            ch
+            for fdef in (structure or {}).get("fields", ())
+            if fdef["ftype"] in ("Tx", "Ch")
+            for ch in str(fdef.get("value") or "")
+        }
     )
     widths = " ".join(str(char_width_pm(chr(c))) for c in range(32, 127))
     if font_format == "type3":
@@ -776,8 +785,28 @@ def write_pdf(
         body += (
             f" /Rect [{fmt_num(x0)} {fmt_num(y0)} {fmt_num(x1)} {fmt_num(y1)}]"
             f" /F 4 /P {page_nums[fdef['page']]} 0 R"
-            f" /DA {_dstr('/F1 9 Tf 0 g', num)} >>"
+            f" /DA {_dstr('/F1 9 Tf 0 g', num)}"
         )
+        if fdef["ftype"] in ("Tx", "Ch") and v:
+            # normal appearance stream (§12.5.5): the widget's rendered
+            # value — a Form XObject whose /BBox spans the Rect dims; the
+            # marked /Tx BMC…EMC wrapper is what real viewers regenerate.
+            # The value string inside the STREAM encrypts with the stream
+            # object's key automatically.
+            ap_txt = esc_literal(str(v).encode("latin-1")).decode("latin-1")
+            ap_content = (
+                f"/Tx BMC q BT /F1 9 Tf 0 g 2 {fmt_num((y1 - y0) / 2 - 3.0)}"
+                f" Td ({ap_txt}) Tj ET Q EMC"
+            ).encode("latin-1")
+            ap_num = b.add_stream(
+                "/Type /XObject /Subtype /Form"
+                f" /BBox [0 0 {fmt_num(x1 - x0)} {fmt_num(y1 - y0)}]"
+                f" /Resources << /Font << /F1 {f1} 0 R >> >>",
+                ap_content,
+                compress=compress_streams,
+            )
+            body += f" /AP << /N {ap_num} 0 R >>"
+        body += " >>"
         b.set(num, body.encode())
     for pname, (pnum, ftype, kid_nums) in parent_nodes.items():
         kids = " ".join(f"{k} 0 R" for k in kid_nums)

@@ -125,6 +125,7 @@ _LOW_PRIORITY_NAMES = [
     "token_counts_bpe_ish",  # (tokens) the token-scan kernel is in-window inside repetition_quality_flags (same split) and search_bm25_ranked; local oracle still checks it
     "clean_text_lengths",  # (P8/F1) the clean/normalize path runs in-window inside provenance_search + search_bm25_ranked token normalization; local oracle still checks it
     "bbox_iou_vs_query",  # (J2) geometric-predicate joins evidenced in-window by line_block_word_assignment (J1) + textblock_bounding_polys; theta_quantity_near_size is the same-family overflow dup; local oracle still checks it
+    "form_appearance_texts",  # (§12.5.5 /AP) the appearance algorithm + widget AP interpretation; form_field_values (in-window) covers the AcroForm surface, the local oracle checks the rendered-value text exactly
     "stratified_sample_10pct",  # (sampling) same md5-hash-split kernel as the in-window dedup family; local oracle covers
     "ann_lsh_bucketed_top5",  # (ANN scale path) ann_ivf_top5 in-window is the bucketed scale evidence; sign-LSH banding also proven in-window by embedding_cosine_neardup_pairs
     "doc_length_percentiles",  # (corpus stats) exact rank-window percentiles; q1/doc_fingerprints cover the agg surface in-window, local oracle still checks it
@@ -4135,6 +4136,71 @@ def _outline_entries_oracle_sql() -> str:
 _REGISTRY["outline_entries"] = (outline_entries, None)
 
 
+def form_appearance_texts(spark, sf_dir):
+    """Annotation appearance extraction (§12.5.5): each filled text/choice
+    widget's /AP /N stream — the Form XObject real viewers regenerate to
+    DISPLAY the value — run through the appearance algorithm (/BBox
+    through /Matrix, mapped onto /Rect) and interpreted; one row per
+    rendered widget with the drawn text. This is the on-page rendering
+    of form data (pdfium paints it under FPDF_ANNOT, which is what the
+    reference's OCR providers see); page text extraction intentionally
+    excludes it, matching pdfium's text API."""
+    import pandas as pd
+
+    from docprompt_spark import pdfparse
+
+    schema = (
+        "doc_id string, page_number int, field_name string, ap_text string"
+    )
+    cols = ["doc_id", "page_number", "field_name", "ap_text"]
+
+    def fn(batches):
+        for b in batches:
+            rows = []
+            for doc_id, pdf in zip(b["doc_id"], b["pdf"]):
+                pf = pdfparse.PdfFile(pdfparse.unwrap_pdf_bytes(bytes(pdf)))
+                for p in range(len(pf.page_refs)):
+                    for a in pf.annotation_appearances(p):
+                        if a["subtype"] != "Widget" or not a["text"]:
+                            continue
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "page_number": p + 1,
+                                "field_name": a["field_name"],
+                                "ap_text": a["text"],
+                            }
+                        )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return _structured_corpus(spark).mapInPandas(fn, schema=schema)
+
+
+def _form_appearance_texts_oracle_sql() -> str:
+    from docprompt_spark.corpus import _doc_structure_gt, _gen_doc_pages
+
+    rows = []
+    for idx in range(_N_STRUCTURED):
+        doc_id, pages = _gen_doc_pages(idx, _FLAGSHIP_SEED, 0)
+        gt = _doc_structure_gt(doc_id, idx, len(pages))
+        for f in gt["fields"]:
+            if f["ftype"] in ("Tx", "Ch") and f["value"]:
+                rows.append(
+                    f"({_sql_quote(doc_id)},{f['page'] + 1},"
+                    f"{_sql_quote(f['name'].split('.')[-1])},"
+                    f"{_sql_quote(f['value'])})"
+                )
+    return (
+        "SELECT doc_id, CAST(page_number AS INT) AS page_number,"
+        " field_name, ap_text FROM (VALUES " + ",".join(rows) +
+        ") AS t(doc_id, page_number, field_name, ap_text)"
+    )
+
+
+_REGISTRY["form_appearance_texts"] = (form_appearance_texts, None)
+
+
 def page_labels(spark, sf_dir):
     """Page-label extraction (/PageLabels number tree, §12.4.2): the
     'iv', 'C2-7' display numbering viewers show for front-matter /
@@ -5217,6 +5283,7 @@ def _build_oracle_sql() -> Dict[str, str]:
     out["document_metadata"] = _document_metadata_oracle_sql()
     out["outline_entries"] = _outline_entries_oracle_sql()
     out["page_labels"] = _page_labels_oracle_sql()
+    out["form_appearance_texts"] = _form_appearance_texts_oracle_sql()
     out["form_field_values"] = _form_field_values_oracle_sql()
     out["embedded_attachments"] = _embedded_attachments_oracle_sql()
     out["extraction_scanned_spans"] = _golden_spans_sql(
