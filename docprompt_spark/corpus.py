@@ -467,6 +467,18 @@ def _gen_page(
                     "palette": palette,
                     "decode": decode_arr, "imagemask": imagemask,
                     "smask": smask,
+                    # ICCBased colorspace wrapper (§8.6.5.5) on a third of
+                    # the raw/flate/lzw device-space XObjects — the
+                    # near-universal real-producer form; payload bytes and
+                    # ground truth are unchanged (the reader maps /N back
+                    # to the device family)
+                    "icc": (
+                        (base >> 2) % 3 == 1
+                        and not is_inline
+                        and not imagemask
+                        and palette is None
+                        and filt in (None, "FlateDecode", "LZWDecode")
+                    ),
                     "x": ix, "y": y, "w": w, "h": h,
                     # BI/ID/EI inline images (scanned-page tiles / small
                     # logos in real PDFs): rotate ~25% of figures inline on

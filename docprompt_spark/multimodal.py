@@ -94,6 +94,24 @@ def indexed_palette(xo_dict, resolve):
     return bytes(table)
 
 
+def _cs_device_name(cs_obj, resolve) -> str:
+    """Normalize a colorspace to its device family: /ICCBased streams —
+    the near-universal form real producers write — fall back to the
+    device space their /N component count implies (§8.6.5.5 allows a
+    conforming reader to substitute the alternate; profile TRANSFORMS
+    are out of scope, component semantics are honored)."""
+    if isinstance(cs_obj, list) and cs_obj:
+        if str(resolve(cs_obj[0])) == "ICCBased" and len(cs_obj) > 1:
+            prof = resolve(cs_obj[1])
+            d = prof.dict if hasattr(prof, "dict") else (prof or {})
+            n = int(resolve(d.get("N", 1)) or 1)
+            return {1: "DeviceGray", 3: "DeviceRGB", 4: "DeviceCMYK"}.get(
+                n, ""
+            )
+        return ""
+    return str(cs_obj)
+
+
 def _codec_of(xo_dict, resolve, payload=None) -> str:
     """Classify the XObject's encoding for the decode stage. Post-decode
     flags ride as ;-suffixes on the tag: ``;d10`` = /Decode [1 0] inverted
@@ -108,7 +126,7 @@ def _codec_of(xo_dict, resolve, payload=None) -> str:
     filts = [str(f) for f in (filt if isinstance(filt, list) else [filt] if filt else [])]
     cs_obj = resolve(xo_dict.get("ColorSpace", ""))
     indexed = isinstance(cs_obj, list) and str(resolve(cs_obj[0])) == "Indexed"
-    cs = "" if indexed else str(cs_obj)
+    cs = "" if indexed else _cs_device_name(cs_obj, resolve)
     bpc = int(resolve(xo_dict.get("BitsPerComponent", 0)) or 0)
 
     def flags() -> str:

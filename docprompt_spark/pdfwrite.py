@@ -646,6 +646,21 @@ def write_pdf(
                 cs = im.get("colorspace", "DeviceGray")
                 # /Indexed etc. arrive as pre-serialized arrays "[...]"
                 cs_ser = cs if cs.startswith("[") else "/" + cs
+                if im.get("icc"):
+                    # ICCBased wrapper (§8.6.5.5) — the near-universal
+                    # real-producer form: an [/ICCBased stream] whose /N
+                    # matches the device family; readers honoring /N (ours
+                    # included) decode identically. The profile payload is
+                    # a deterministic placeholder — profile TRANSFORMS are
+                    # out of scope, declared at multimodal._cs_device_name.
+                    n_comp = {"DeviceGray": 1, "DeviceRGB": 3,
+                              "DeviceCMYK": 4}[cs]
+                    icc_num = b.add_stream(
+                        f"/N {n_comp}",
+                        b"ICC-PROFILE-PLACEHOLDER/" + cs.encode(),
+                        compress=False,
+                    )
+                    cs_ser = f"[/ICCBased {icc_num} 0 R]"
                 entries += (
                     f" /ColorSpace {cs_ser}"
                     f" /BitsPerComponent {im.get('bpc', 8)}"

@@ -402,3 +402,32 @@ def test_inline_indexed_corpus_roundtrip():
         if hit >= 6:
             return
     assert hit, "corpus should rotate /Indexed images"
+
+
+def test_iccbased_colorspace_maps_to_device_family():
+    """[/ICCBased stream] colorspaces (§8.6.5.5 — the near-universal
+    real-producer form) classify and decode by their /N component count;
+    codec tags and pixels are identical to the bare device space."""
+    import hashlib
+
+    from docprompt_spark import corpus, pdfparse
+
+    seen = 0
+    for idx in range(36):
+        _, pages = corpus._gen_doc_pages(idx, 11, 0)
+        if not any(
+            w.get("icc") for p, _w, _i in pages for w in p["images"]
+        ):
+            continue
+        d = corpus.gen_doc(idx, seed=11, skew_every=0)
+        raw = pdfparse.unwrap_pdf_bytes(d["pdf"])
+        assert b"/ICCBased" in raw
+        pf = pdfparse.PdfFile(raw)
+        for p, (page, _wg, _ig) in enumerate(pages):
+            ep = pf.extract_page(p, with_image_data=True)
+            parsed = {i["media_ref"]: i["codec"] for i in ep["images"]}
+            for w in page["images"]:
+                ref = hashlib.md5(w["data"]).hexdigest()
+                assert parsed[ref] == corpus.writer_entry_codec(w)
+        seen += 1
+    assert seen
