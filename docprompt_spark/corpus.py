@@ -775,6 +775,80 @@ def _tile_decoration(idx: int, p: int):
     return writer, gt
 
 
+def _spacing_eligible(idx: int, img_codec=None, inline=None) -> bool:
+    """Default-corpus docs carrying the TEXT-STATE line (§9.3.1: Tc/Tw/
+    Tz/Ts) — idx%8==4 never collides with the structured/incremental/
+    tagged/signed slices and is never rotated (idx%4==0)."""
+    return img_codec is None and inline is None and idx % 8 == 4
+
+
+def _spacing_line_overlay(idx: int, p: int, page: dict,
+                          words_gt: list) -> None:
+    """Append the justified/letter-spaced/condensed/superscript line real
+    typesetters emit: four ops exercising Tw, Tc, Tz and Ts on one
+    baseline. Ground-truth geometry mirrors the interpreter's §9.4.4
+    displacement exactly — per-glyph (w0/1000*Tfs + Tc [+Tw on space])
+    * Th, accumulated in the same float order — so golden spans stay
+    bit-exact. Dyadic constants; derived from (idx, p) alone."""
+    size = 10.0
+    y = 92.0 + 0.25 * (p % 4)
+    entries = [
+        # (text, char_spacing, word_spacing, hscale, rise)
+        ("justified words here", 0.0, 1.5 + 0.25 * (idx % 4), 1.0, 0.0),
+        ("letterspaced", 0.25 + 0.125 * ((idx >> 3) % 2), 0.0, 1.0, 0.0),
+        ("condensed text", 0.0, 0.0, 0.5, 0.0),
+        ("super", 0.0, 0.0, 1.0, 2.5),
+    ]
+    x = MARGIN_X
+    for text, csp, wsp, h, rise in entries:
+        op = {"font": "F1", "size": size, "x": x, "y": y, "mode": "Tm",
+              "segments": [text]}
+        if csp:
+            op["char_spacing"] = csp
+        if wsp:
+            op["word_spacing"] = wsp
+        if h != 1.0:
+            op["hscale_pct"] = h * 100.0
+        if rise:
+            op["rise"] = rise
+        page["text_ops"].append(op)
+        # mirror the interpreter's advance, char by char
+        tx = 0.0
+        word_start = 0.0
+        cur = []
+        plain = csp == 0.0 and wsp == 0.0 and h == 1.0
+        for ch in text:
+            if ch == " ":
+                if cur:
+                    bbox = kernels.norm_word_bbox(
+                        x + word_start, y + rise, tx - word_start, size,
+                        ASCENT_PM, DESCENT_PM, PAGE_W, PAGE_H,
+                    )
+                    words_gt.append(
+                        {"text": "".join(cur), "x0": bbox[0],
+                         "top": bbox[1], "x1": bbox[2],
+                         "bottom": bbox[3]}
+                    )
+                    cur = []
+                w0 = char_width_pm(ch) * size / 1000.0
+                tx += w0 if plain else (w0 + csp + wsp) * h
+                word_start = tx
+            else:
+                cur.append(ch)
+                w0 = char_width_pm(ch) * size / 1000.0
+                tx += w0 if plain else (w0 + csp) * h
+        if cur:
+            bbox = kernels.norm_word_bbox(
+                x + word_start, y + rise, tx - word_start, size,
+                ASCENT_PM, DESCENT_PM, PAGE_W, PAGE_H,
+            )
+            words_gt.append(
+                {"text": "".join(cur), "x0": bbox[0], "top": bbox[1],
+                 "x1": bbox[2], "bottom": bbox[3]}
+            )
+        x = _snap16(x + tx + size * 0.5)
+
+
 def _ocg_watermark_on(idx: int) -> bool:
     """Default visibility of the Watermark layer for ocg-envelope doc
     ``idx`` — one formula shared by the generator, the write_pdf call and
@@ -1013,6 +1087,7 @@ def _tiles_eligible(idx: int, img_codec=None, inline=None) -> bool:
 def _gen_doc_pages(
     idx: int, seed: int, skew_every: int, img_codec: str = None,
     inline: Optional[bool] = None, tiles: Optional[bool] = None,
+    spacing: Optional[bool] = None,
 ):
     """Deterministic page set for document ``idx``: (doc_id, [(writer_page,
     words_gt, images_gt), ...]). Single source of truth for the rng replay —
@@ -1036,6 +1111,11 @@ def _gen_doc_pages(
             tw, tgt = _tile_decoration(idx, p)
             page["vectors"] = list(page.get("vectors") or []) + [tw]
             page["vectors_gt"] = list(page.get("vectors_gt") or []) + tgt
+    if spacing is None:
+        spacing = _spacing_eligible(idx, img_codec, inline)
+    if spacing:
+        for p, (page, words_gt, _im) in enumerate(pages):
+            _spacing_line_overlay(idx, p, page, words_gt)
     return doc_id, pages
 
 
@@ -1165,6 +1245,7 @@ def gen_doc(
         img_codec="ccitt" if envelope == "ccitt" else None,
         inline=True if envelope == "inline" else None,
         tiles=_tiles_eligible(idx) if envelope is None else False,
+        spacing=_spacing_eligible(idx) if envelope is None else False,
     )
     n_pages = len(gen_pages)
     if envelope == "scanned":

@@ -2101,6 +2101,13 @@ def _interpret_content(
     tr_mode = 0  # text rendering mode (§9.3.6); 3 = invisible — the OCR
     # text layer of scanned PDFs. Extraction keeps the text (pdfium does),
     # rasterization must not paint it.
+    # text state (§9.3.1): character/word spacing, horizontal scaling and
+    # rise — the justified/letter-spaced/condensed/superscript forms real
+    # typesetters emit; all four are graphics state (q/Q-saved)
+    char_sp = 0.0  # Tc
+    word_sp = 0.0  # Tw (applies to byte code 32 in simple fonts only)
+    hscale = 1.0  # Tz / 100
+    rise = 0.0  # Ts
     clip_cts: Optional[list] = None  # current clip path (device contours);
     # rectangle intersections only in practice — the `q re W n ... Q` form
     pending_clip = False  # W seen; the clip applies at the next path-end op
@@ -2388,6 +2395,8 @@ def _interpret_content(
                     x_dev = e_x + scale_x * start_tx if start_tx else e_x
                     width = (tx - start_tx) * scale_x
                     y_dev, sz, sc = e_y, size, scale_x
+                    if rise != 0.0:  # Ts baseline shift (§9.3.7)
+                        y_dev = e_y + rise * tm[3]
                 elif trm_horiz:
                     # e.g. 90-degree Tm under a 90-degree /Rotate page, or
                     # a scale+translate Form XObject CTM: still horizontal
@@ -2395,6 +2404,8 @@ def _interpret_content(
                     y_dev = trm[1] * start_tx + trm[5]
                     width = trm[0] * (tx - start_tx)
                     sz, sc = size * trm[3], trm[0]
+                    if rise != 0.0:
+                        y_dev = y_dev + rise * trm[3]
                 else:
                     # genuinely rotated/flipped final orientation: emit a
                     # standalone word with the bbox of the transformed quad
@@ -2403,6 +2414,9 @@ def _interpret_content(
                     finalize_pend()
                     asc = size * font["ascent"] / 1000.0
                     desc = size * font["descent"] / 1000.0
+                    if rise != 0.0:  # Ts shifts the quad in text space
+                        asc = asc + rise
+                        desc = desc + rise
                     xs, ys = [], []
                     for tx_c, ty_c in (
                         (start_tx, desc), (tx, desc),
@@ -2442,13 +2456,30 @@ def _interpret_content(
             cur_text = []
             start_tx = tx
 
+        # text-state displacement (§9.4.4): w0/1000*Tfs + Tc (+Tw for
+        # byte-32 in simple fonts), all scaled by Th — the justified /
+        # letter-spaced / condensed forms. plain_ts keeps the historical
+        # single-expression float path bit-identical when state is default.
+        plain_ts = char_sp == 0.0 and word_sp == 0.0 and hscale == 1.0
+        is_t0 = font["type0"]
+
+        def adv(code: int) -> float:
+            w0 = widths_get(code, dw) * size / 1000.0
+            if plain_ts:
+                return w0
+            extra = char_sp + (
+                word_sp if code == 32 and not is_t0 else 0.0
+            )
+            return (w0 + extra) * hscale
+
         for seg in segments:
             if isinstance(seg, (int, float)):
                 # A large forward TJ adjustment (>= merge threshold) is
                 # word-separating whitespace without a space glyph.
                 if cur_text and (-seg / 1000.0) >= MERGE_GAP_EM:
                     chunk_out(False)
-                tx += -seg / 1000.0 * size
+                adj = -seg / 1000.0 * size
+                tx += adj if plain_ts else adj * hscale
                 if not cur_text:
                     start_tx = tx
                 continue
@@ -2464,16 +2495,28 @@ def _interpret_content(
                     chars = [gm.get(c) or chr(c) for c in codes]
                 else:  # common case: latin-1-safe font, no remapping
                     chars = seg.decode("latin-1")
-            for code, ch in zip(codes, chars):
-                if ch == " ":
-                    chunk_out(True)
-                    tx += widths_get(code, dw) * size / 1000.0
-                    start_tx = tx
-                else:
-                    if not cur_text:
+            if plain_ts:  # hot path: default text state, inline advance
+                for code, ch in zip(codes, chars):
+                    if ch == " ":
+                        chunk_out(True)
+                        tx += widths_get(code, dw) * size / 1000.0
                         start_tx = tx
-                    cur_text.append(ch)
-                    tx += widths_get(code, dw) * size / 1000.0
+                    else:
+                        if not cur_text:
+                            start_tx = tx
+                        cur_text.append(ch)
+                        tx += widths_get(code, dw) * size / 1000.0
+            else:
+                for code, ch in zip(codes, chars):
+                    if ch == " ":
+                        chunk_out(True)
+                        tx += adv(code)
+                        start_tx = tx
+                    else:
+                        if not cur_text:
+                            start_tx = tx
+                        cur_text.append(ch)
+                        tx += adv(code)
         chunk_out(False)
 
     for tok in tokens:
@@ -2537,12 +2580,14 @@ def _interpret_content(
         if op == b"q":
             gs_stack.append(
                 (ctm, fill_g, stroke_g, line_w, tr_mode, clip_cts,
-                 fill_a, stroke_a, fill_pattern, fill_sep)
+                 fill_a, stroke_a, fill_pattern, fill_sep,
+                 char_sp, word_sp, hscale, rise)
             )
         elif op == b"Q":
             if gs_stack:
                 (ctm, fill_g, stroke_g, line_w, tr_mode, clip_cts,
-                 fill_a, stroke_a, fill_pattern, fill_sep) = gs_stack.pop()
+                 fill_a, stroke_a, fill_pattern, fill_sep,
+                 char_sp, word_sp, hscale, rise) = gs_stack.pop()
         elif op == b"cm":
             m = tuple(float(v) for v in stack[-6:])
             ctm = _mat_mul(m, ctm)
@@ -2570,6 +2615,18 @@ def _interpret_content(
             stack.clear()
         elif op == b"Tr":
             tr_mode = int(float(stack[-1]))
+            stack.clear()
+        elif op == b"Tc":
+            char_sp = float(stack[-1])
+            stack.clear()
+        elif op == b"Tw":
+            word_sp = float(stack[-1])
+            stack.clear()
+        elif op == b"Tz":
+            hscale = float(stack[-1]) / 100.0
+            stack.clear()
+        elif op == b"Ts":
+            rise = float(stack[-1])
             stack.clear()
         elif op in (b"BDC", b"BMC"):
             # marked-content sequence (§14.6): BDC's property list may

@@ -1459,6 +1459,19 @@ def _text_block(
         if key != cur_font:
             parts.append(f"/{op['font']} {fmt_num(op['size'])} Tf")
             cur_font = key
+        # text state (§9.3.1): per-op character/word spacing, horizontal
+        # scaling and rise — emitted before the op and reset after, the
+        # way justification engines scope their adjustments
+        ts_ops = []
+        if op.get("char_spacing"):
+            ts_ops.append((f"{fmt_num(op['char_spacing'])} Tc", "0 Tc"))
+        if op.get("word_spacing"):
+            ts_ops.append((f"{fmt_num(op['word_spacing'])} Tw", "0 Tw"))
+        if op.get("hscale_pct") and op["hscale_pct"] != 100.0:
+            ts_ops.append((f"{fmt_num(op['hscale_pct'])} Tz", "100 Tz"))
+        if op.get("rise"):
+            ts_ops.append((f"{fmt_num(op['rise'])} Ts", "0 Ts"))
+        parts.extend(s for s, _ in ts_ops)
         if op["mode"] == "Td" and line_start is not None:
             # Td displacement lives in TEXT space, which the rotated Tm
             # keeps aligned with the visual frame — args are unchanged
@@ -1471,6 +1484,7 @@ def _text_block(
             )
         line_start = (op["x"], op["y"])
         parts.append(_show_op(op, cid_of))
+        parts.extend(r for _, r in ts_ops)
         if tagged:
             parts.append("EMC")
         if ocv is not None:
