@@ -2670,6 +2670,14 @@ def _interpret_content(
             begin_line(_line_displace(tlm, 0.0, -tl))
             show([stack[-1]])
             stack.clear()
+        elif op == b'"':
+            # aw ac string " (§9.4.3): set word+char spacing, move to the
+            # next line, show — the one-op-per-line justified form
+            word_sp = float(stack[-3])
+            char_sp = float(stack[-2])
+            begin_line(_line_displace(tlm, 0.0, -tl))
+            show([stack[-1]])
+            stack.clear()
         elif op == b"TJ":
             show(list(stack[-1]))
             stack.clear()

@@ -90,3 +90,25 @@ def test_default_corpus_spacing_slice_golden_parity(idx):
     txt = " ".join(pr["page_text"] for pr in page_results)
     for t in ("justified", "letterspaced", "condensed", "super"):
         assert t in txt
+
+
+def test_double_quote_operator_sets_spacing_and_shows():
+    """aw ac string \" (§9.4.3): sets Tw/Tc, moves to the next line and
+    shows — the one-op-per-line justified form."""
+    pages = [{"width": 612.0, "height": 792.0, "images": [],
+              "text_ops": [_op("alpha beta gamma delta")]}]
+    pdf = pdfwrite.write_pdf(pages, doc_title="t")
+    pf = pdfparse.PdfFile(pdf)
+    res = pf.resolve(pf._inherited(pf.resolve(pf.page_refs[0]), "Resources"))
+    fonts = {"F1": pf._load_font(res["Font"]["F1"])}
+    content = (
+        b'BT /F1 10 Tf 14 TL 72 700 Td'
+        b' 4 0.25 (alpha beta) " 0 0 (alpha beta) " ET'
+    )
+    words, _, _ = pdfparse._interpret_content(
+        content, fonts=fonts, xobjects={}, resolve=pf.resolve,
+        page_w=612.0, page_h=792.0,
+    )
+    assert [w["text"] for w in words] == ["alpha", "beta", "alpha", "beta"]
+    assert words[1]["x0"] > words[3]["x0"]  # Tw=4 widened line 1 only
+    assert words[0]["top"] < words[2]["top"]  # TL advanced the baseline
