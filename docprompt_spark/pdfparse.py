@@ -805,6 +805,19 @@ class PdfFile:
             info["widths"] = {first + i: float(self.resolve(w)) for i, w in enumerate(arr)}
             info["dw"] = float(descriptor.get("MissingWidth", 500))
             info["glyphmap"] = self._simple_font_glyphmap(fd, descriptor)
+            if not arr:
+                # unembedded standard-14 font with no /Widths (§9.6.2.2 —
+                # the pre-2008 real-world form): built-in AFM metrics
+                from docprompt_spark import standard14
+
+                std = standard14.metrics_for(
+                    str(self.resolve(fd.get("BaseFont", "")))
+                )
+                if std is not None:
+                    info["widths"] = std["widths"]
+                    descriptor = dict(descriptor)
+                    descriptor.setdefault("Ascent", std["ascent"])
+                    descriptor.setdefault("Descent", std["descent"])
         info["ascent"] = float(descriptor.get("Ascent", 720))
         info["descent"] = float(descriptor.get("Descent", -180))
         self._font_cache[ref.num] = info

@@ -24,6 +24,7 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 # ---------------------------------------------------------------------------
 
 ASCENT_PM = 720
+_BASE14_NAME = "Helvetica"  # face used by font_format='base14' (tests rotate)
 DESCENT_PM = -180
 
 
@@ -419,6 +420,14 @@ def write_pdf(
         )
         ff_entry = f" /FontFile2 {fontfile} 0 R >>"
         f1_subtype = "TrueType"
+    elif font_format == "base14":
+        # unembedded standard-14 reference (§9.6.2.2): no font program,
+        # no /Widths, no descriptor — the bare pre-2008 real-world form;
+        # readers must supply the published AFM metrics (ours:
+        # docprompt_spark.standard14). Which face is chosen via the
+        # module-level _BASE14_NAME (tests rotate it).
+        ff_entry = None
+        f1_subtype = "Type1"
     elif font_format == "type1":
         # original Type1 program via /FontFile (§9.9 Table 127):
         # cleartext header + eexec body + zeros trailer, with the
@@ -438,7 +447,14 @@ def write_pdf(
         )
         ff_entry = f" /FontFile3 {fontfile} 0 R >>"
         f1_subtype = "Type1"
-    if font_format != "type3":
+    if font_format == "base14":
+        f1 = b.add(
+            (
+                "<< /Type /Font /Subtype /Type1"
+                f" /BaseFont /{_BASE14_NAME} >>"
+            ).encode()
+        )
+    elif font_format != "type3":
         # F1: simple font with explicit /Widths for codes 32..126
         f1_desc = b.add(
             (
