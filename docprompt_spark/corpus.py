@@ -559,17 +559,23 @@ def _page_vectors(k: int):
     writer: List[dict] = []
     gt: List[dict] = []
     x0, x1 = float(MARGIN_X), float(PAGE_W - MARGIN_X)
-    # horizontal header rule (every page)
+    # horizontal header rule (every page); a quarter ((k&96)==96) is
+    # DASHED (§8.4.3.6) — the separator form style sheets emit
     lw = 1.0 + float(k % 3)
     yr = float(TOP_Y + 14 + 2 * ((k >> 3) % 4))
-    writer.append(
-        {"path": [("m", x0, yr), ("l", x1, yr)], "paint": "S", "gray": 0.0,
-         "lw": lw}
-    )
-    gt.append(
-        {"contours": [[(x0, yr), (x1, yr)]], "closed": [False],
-         "paint": "stroke", "gray": 0, "lw": lw}
-    )
+    w_rule = {"path": [("m", x0, yr), ("l", x1, yr)], "paint": "S",
+              "gray": 0.0, "lw": lw}
+    g_rule = {"contours": [[(x0, yr), (x1, yr)]], "closed": [False],
+              "paint": "stroke", "gray": 0, "lw": lw}
+    if (k & 96) == 96:
+        dash_arr = [6.0, 3.0] if k & 4 else [2.0, 2.0]
+        ph = 1.5 if k & 8 else 0.0
+        w_rule["dash"] = dash_arr
+        w_rule["dash_phase"] = ph
+        g_rule["dash"] = [v * 1.0 for v in dash_arr]
+        g_rule["dash_phase"] = ph * 1.0
+    writer.append(w_rule)
+    gt.append(g_rule)
     if k & 1:  # stroked page frame
         m = 40.0
         writer.append(

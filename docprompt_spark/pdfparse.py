@@ -2126,6 +2126,7 @@ def _interpret_content(
     pending_clip = False  # W seen; the clip applies at the next path-end op
     fill_a = 1.0  # constant alpha (§11.3.7.2), set by `gs` /ca //CA
     stroke_a = 1.0
+    dash: Optional[tuple] = None  # ([on, off, ...], phase) — §8.4.3.6
     # tiling-pattern fill (§8.7.3): set by `/Pattern cs /PtN scn`, cleared
     # by a non-Pattern cs; (cell vector entries, cell bbox, xstep, ystep)
     fill_pattern: Optional[tuple] = None
@@ -2304,6 +2305,10 @@ def _interpret_content(
                 }
                 if stroke_a != 1.0:
                     entry["alpha"] = stroke_a
+                if dash is not None:
+                    s_ = math.sqrt(det)
+                    entry["dash"] = [v * s_ for v in dash[0]]
+                    entry["dash_phase"] = dash[1] * s_
                 vectors.append(entry)
         subpaths, sub_closed = [], []
 
@@ -2594,13 +2599,13 @@ def _interpret_content(
             gs_stack.append(
                 (ctm, fill_g, stroke_g, line_w, tr_mode, clip_cts,
                  fill_a, stroke_a, fill_pattern, fill_sep,
-                 char_sp, word_sp, hscale, rise)
+                 char_sp, word_sp, hscale, rise, dash)
             )
         elif op == b"Q":
             if gs_stack:
                 (ctm, fill_g, stroke_g, line_w, tr_mode, clip_cts,
                  fill_a, stroke_a, fill_pattern, fill_sep,
-                 char_sp, word_sp, hscale, rise) = gs_stack.pop()
+                 char_sp, word_sp, hscale, rise, dash) = gs_stack.pop()
         elif op == b"cm":
             m = tuple(float(v) for v in stack[-6:])
             ctm = _mat_mul(m, ctm)
@@ -2922,6 +2927,14 @@ def _interpret_content(
             stack.clear()
         elif op == b"w":
             line_w = float(stack[-1])
+            stack.clear()
+        elif op == b"d":
+            # dash pattern (§8.4.3.6): [on off ...] phase; empty array =
+            # solid. Lengths live in user space (CTM-scaled at stroke
+            # time, like line width).
+            if len(stack) >= 2 and isinstance(stack[-2], list):
+                arr = [float(resolve(v)) for v in stack[-2]]
+                dash = (arr, float(stack[-1])) if arr else None
             stack.clear()
         elif op == b"cs":
             # non-stroking colorspace: /Pattern and /Separation matter to

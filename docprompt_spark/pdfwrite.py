@@ -1254,6 +1254,11 @@ def _vector_ops(
         if paint not in ("f", "f*"):
             seg.append(f"{fmt_num(vec.get('stroke_gray', gray))} G")
             seg.append(f"{fmt_num(vec.get('lw', 1.0))} w")
+            if vec.get("dash"):
+                vals = " ".join(fmt_num(v) for v in vec["dash"])
+                seg.append(
+                    f"[{vals}] {fmt_num(vec.get('dash_phase', 0.0))} d"
+                )
         for op in vec["path"]:
             op = _rot_path_op(op, rot, vw, vh, ox, oy)
             seg.append(" ".join(fmt_num(v) for v in op[1:]) + (" " if len(op) > 1 else "") + op[0])

@@ -528,6 +528,50 @@ def _stroke_quads(contour, lw: float, closed: bool) -> List[List[Tuple[float, fl
     return quads
 
 
+def _dash_polylines(contour, closed: bool, dash, phase: float):
+    """Split one polyline into its ON-run sub-polylines per the dash
+    pattern (§8.4.3.6): walk segment lengths, alternating through the
+    (cyclic) on/off array starting ``phase`` units in. Degenerate
+    patterns (all zeros) fall back to solid."""
+    total = sum(dash)
+    if total <= 0.0:
+        yield contour, closed
+        return
+    pts = list(contour) + ([contour[0]] if closed else [])
+    # position within the cyclic pattern
+    k = 0
+    rem = phase % total
+    while rem >= dash[k]:
+        rem -= dash[k]
+        k = (k + 1) % len(dash)
+    left = dash[k] - rem  # distance left in the current run
+    on = k % 2 == 0
+    cur: list = [pts[0]] if on else []
+    for i in range(len(pts) - 1):
+        (x0, y0), (x1, y1) = pts[i], pts[i + 1]
+        seg = math.hypot(x1 - x0, y1 - y0)
+        done = 0.0
+        while seg - done > left:
+            done += left
+            t = done / seg
+            px, py = x0 + (x1 - x0) * t, y0 + (y1 - y0) * t
+            if on:
+                cur.append((px, py))
+                if len(cur) >= 2:
+                    yield cur, False
+                cur = []
+            else:
+                cur = [(px, py)]
+            k = (k + 1) % len(dash)
+            left = dash[k]
+            on = not on
+        left -= seg - done
+        if on:
+            cur.append((x1, y1))
+    if on and len(cur) >= 2:
+        yield cur, False
+
+
 def paint_vectors(
     canvas: np.ndarray, vectors: List[dict], page_h: float, scale: float
 ) -> None:
@@ -571,10 +615,21 @@ def paint_vectors(
         elif paint == "stroke":
             lw_px = max(float(v.get("lw", 1.0)) * scale, 1.0)
             a = float(v.get("alpha", 1.0))
+            dash = v.get("dash")
             for i, c in enumerate(pix):
                 cl = closed[i] if isinstance(closed, (list, tuple)) else bool(closed)
-                for quad in _stroke_quads(c, lw_px, cl):
-                    fill_contours(canvas, [quad], gray, alpha=a)
+                if dash:
+                    # §8.4.3.6: stroke only the ON runs; dash lengths are
+                    # user-space and scale with the raster like lw
+                    for sub, scl in _dash_polylines(
+                        c, cl, [d * scale for d in dash],
+                        float(v.get("dash_phase", 0.0)) * scale,
+                    ):
+                        for quad in _stroke_quads(sub, lw_px, scl):
+                            fill_contours(canvas, [quad], gray, alpha=a)
+                else:
+                    for quad in _stroke_quads(c, lw_px, cl):
+                        fill_contours(canvas, [quad], gray, alpha=a)
 
 
 def render_page(

@@ -305,3 +305,46 @@ def test_separation_corpus_rotation():
                 if wv.get("paint") == "sh" and wv.get("fn", {}).get("t") == 4:
                     seen_t4 += 1
     assert seen_sep and seen_t4
+
+
+def test_dash_patterns():
+    """Dash patterns (§8.4.3.6): `[on off] phase d` strokes paint only
+    the ON runs (gaps visible, phase shifts the pattern), parse into
+    entry dash fields CTM-scaled like line width, and the dashed-rule
+    corpus slice parses to exact GT."""
+    import numpy as np
+
+    from docprompt_spark import corpus
+
+    canvas = np.full((40, 200), 255, np.uint8)
+    rasterize.paint_vectors(
+        canvas,
+        [{"contours": [[(10.0, 20.0), (190.0, 20.0)]], "closed": [False],
+          "paint": "stroke", "gray": 0, "lw": 2.0, "dash": [6.0, 3.0],
+          "dash_phase": 0.0}],
+        page_h=40.0, scale=1.0,
+    )
+    row = canvas[20]
+    assert 0 < (row == 0).sum() < 180  # gaps exist
+    assert (row[10:190] == 255).sum() > 30
+
+    vecs = _interp(b"[4 2] 1 d 1 w 72 700 m 300 700 l S")
+    assert vecs[0]["dash"] == [4.0, 2.0]
+    assert vecs[0]["dash_phase"] == 1.0
+    # CTM scales dash lengths like lw
+    vecs = _interp(b"q 2 0 0 2 0 0 cm [4 2] 1 d 1 w 0 0 m 50 0 l S Q")
+    assert vecs[0]["dash"] == [8.0, 4.0] and vecs[0]["dash_phase"] == 2.0
+    # empty array resets to solid
+    vecs = _interp(b"[4 2] 0 d [] 0 d 1 w 0 0 m 50 0 l S")
+    assert "dash" not in vecs[0]
+
+    n_dash = 0
+    for idx in (1, 5, 21, 41, 61):  # flat docs
+        d = corpus.gen_doc(idx, seed=42, skew_every=0)
+        _, pages = corpus._gen_doc_pages(idx, 42, 0)
+        pf = pdfparse.PdfFile(pdfparse.unwrap_pdf_bytes(d["pdf"]))
+        for p, (page, _w, _im) in enumerate(pages):
+            got = pf.extract_page(p)["vectors"]
+            assert got == (page.get("vectors_gt") or [])
+            n_dash += sum(1 for v in got if v.get("dash"))
+    assert n_dash
