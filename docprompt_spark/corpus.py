@@ -1025,7 +1025,11 @@ def _tagged_structure_gt(idx: int, seed: int) -> Tuple[str, List[tuple]]:
     that line's golden words. Shared by the tagged_reading_order oracle."""
     from docprompt_spark.pdfwrite import _mcid_line_groups
 
-    doc_id, pages = _gen_doc_pages(idx, seed, 0)
+    # spacing=False: tagged docs never carry the text-state line (the
+    # "tagged" envelope forces it off and the default tagged slice
+    # idx%8==6 is disjoint from the spacing slice idx%8==4) — without
+    # the explicit flag this GT would add phantom lines on idx%8==4
+    doc_id, pages = _gen_doc_pages(idx, seed, 0, spacing=False)
     rows: List[tuple] = [(0, 0, "Document", 0, "")]
     for p, (page, words_gt, _img) in enumerate(pages):
         for gi, group in enumerate(_mcid_line_groups(page["text_ops"])):
