@@ -1323,7 +1323,7 @@ def gen_doc(
         )
     if envelope is None:
         use_xref_stream = idx % 5 == 1
-        comp = ["flate", False, "lzw", False][idx % 4]
+        comp = ["flate", False, "lzw", "a85"][idx % 4]
     else:
         use_xref_stream = envelope == "xrefstream" or (
             envelope == "rotated" and idx % 2 == 1

@@ -113,9 +113,122 @@ class Stream:
                 raw = binascii.unhexlify(
                     re.sub(rb"[^0-9A-Fa-f]", b"", raw.rstrip(b">"))
                 )
+            elif f == "ASCII85Decode":
+                raw = _a85_decode(raw)
+            elif f == "RunLengthDecode":
+                raw = _rle_decode(raw)
             else:
                 raise ValueError(f"unsupported filter {f}")
         return raw
+
+
+def _a85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (§7.4.3): 5 chars '!'..'u' -> 4 bytes base-85
+    big-endian; 'z' = four zero bytes (group start only); whitespace
+    skipped; '~>' terminates; a partial group of n chars pads with 'u'
+    and keeps n-1 bytes."""
+    i = data.find(b"<~")
+    body = data[i + 2 :] if i == 0 else data
+    j = body.find(b"~>")
+    if j >= 0:
+        body = body[:j]
+    out = bytearray()
+    group: List[int] = []
+    for c in body:
+        if c in (0x20, 0x0A, 0x0D, 0x09, 0x0C, 0x00):
+            continue
+        if c == 0x7A:  # 'z'
+            if group:
+                raise ValueError("ASCII85: 'z' inside a group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise ValueError(f"ASCII85: bad char {c}")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        n = len(group)
+        if n == 1:
+            raise ValueError("ASCII85: lone trailing char")
+        v = 0
+        for g in group + [84] * (5 - n):  # pad with 'u'
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _a85_encode(data: bytes) -> bytes:
+    """ASCII85 encoder (writer side): 'z' shorthand for zero groups,
+    '~>' terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i : i + 4]
+        n = len(chunk)
+        v = int.from_bytes(chunk + b"\x00" * (4 - n), "big")
+        if v == 0 and n == 4:
+            out += b"z"
+            continue
+        digs = []
+        for _ in range(5):
+            digs.append(v % 85)
+            v //= 85
+        enc = bytes(0x21 + d for d in reversed(digs))
+        out += enc if n == 4 else enc[: n + 1]
+    return bytes(out) + b"~>"
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode (§7.4.5): L in 0..127 copies L+1 literals, L in
+    129..255 repeats the next byte 257-L times, 128 ends."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            break
+        if ln < 128:
+            out += data[i : i + ln + 1]
+            i += ln + 1
+        else:
+            out += data[i : i + 1] * (257 - ln)
+            i += 1
+    return bytes(out)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """RunLength encoder (writer side): greedy run detection, literal
+    chunks capped at 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        if j > i + 1:  # run of >= 3 pays off; >= 2 is fine too
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+            continue
+        k = i
+        while (
+            k < n
+            and k - i < 128
+            and not (
+                k + 2 < n and data[k] == data[k + 1] == data[k + 2]
+            )
+        ):
+            k += 1
+        out.append(k - i - 1)
+        out += data[i:k]
+        i = k
+    out.append(128)
+    return bytes(out)
 
 
 def _apply_predictor(data: bytes, parms: dict, resolve) -> bytes:

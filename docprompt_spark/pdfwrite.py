@@ -96,12 +96,26 @@ class _Builder:
         return self.set(self.reserve(), body)
 
     def add_stream(self, dict_entries: str, data: bytes, compress=False) -> int:
-        """``compress``: False, True/'flate', or 'lzw' (PDF §7.4.4.2)."""
+        """``compress``: False, True/'flate', 'lzw', 'a85' (ASCII85 over
+        Flate — the email/text-safe cascade real tools emit), or 'rl'
+        (PDF §7.4.4.2)."""
         if compress == "lzw":
             from docprompt_spark import lzw
 
             data = lzw.encode(data)
             dict_entries += " /Filter /LZWDecode"
+        elif compress == "a85":
+            # filter CASCADE: [/ASCII85Decode /FlateDecode] — data flate-
+            # compressed then 85-armored; the reader undoes in list order
+            from docprompt_spark.pdfparse import _a85_encode
+
+            data = _a85_encode(zlib.compress(data, 6))
+            dict_entries += " /Filter [/ASCII85Decode /FlateDecode]"
+        elif compress == "rl":
+            from docprompt_spark.pdfparse import _rle_encode
+
+            data = _rle_encode(data)
+            dict_entries += " /Filter /RunLengthDecode"
         elif compress:
             data = zlib.compress(data, 6)
             dict_entries += " /Filter /FlateDecode"
@@ -1032,8 +1046,15 @@ def write_pdf(
             "</rdf:Description></rdf:RDF></x:xmpmeta>\n"
             '<?xpacket end="w"?>'
         )
+        # half the XMP packets ride RunLengthDecode (picked off the
+        # title's trailing digit): XML is run-light but the filter is
+        # cheap and real metadata writers do emit it — proves the §7.4.5
+        # path on a load-bearing stream (document_metadata cross-checks
+        # the decoded packet)
         meta_num = b.add_stream(
-            "/Type /Metadata /Subtype /XML", xmp.encode("utf-8")
+            "/Type /Metadata /Subtype /XML",
+            xmp.encode("utf-8"),
+            compress="rl" if doc_title[-1:] in tuple("13579") else False,
         )
         cat_extra += f" /Metadata {meta_num} 0 R"
 

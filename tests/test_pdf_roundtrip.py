@@ -213,3 +213,39 @@ def test_tounicode_serialization_forms_rotate_in_corpus():
         raw = pdfparse.unwrap_pdf_bytes(d["pdf"])
         forms.add(b"beginbfrange" in raw)
     assert forms == {True, False}
+
+
+def test_ascii85_and_runlength_filters():
+    """ASCII85Decode (§7.4.3, incl. the [/ASCII85Decode /FlateDecode]
+    cascade and 'z' shorthand) and RunLengthDecode (§7.4.5) round-trip;
+    the default corpus rotates a85 content streams (idx%4==3) and half
+    the structured XMP packets ride RunLength."""
+    import random
+
+    from docprompt_spark import corpus, pdfparse
+    from docprompt_spark.pdfparse import (
+        _a85_decode, _a85_encode, _rle_decode, _rle_encode,
+    )
+
+    rng = random.Random(3)
+    for _ in range(50):
+        data = bytes(rng.randrange(256) for _ in range(rng.randrange(150)))
+        data += b"\x00" * rng.randrange(10)
+        assert _a85_decode(_a85_encode(data)) == data
+        assert _rle_decode(_rle_encode(data)) == data
+    assert _a85_decode(b"9jqo^BlbD-BleB1DJ+*+F(f,q~>") == b"Man is distinguished"
+    assert _a85_decode(b"z~>") == b"\x00\x00\x00\x00"
+
+    d = corpus.gen_doc(3, seed=42, skew_every=0)
+    raw = pdfparse.unwrap_pdf_bytes(d["pdf"])
+    assert b"/ASCII85Decode" in raw
+    assert pdfparse.PdfFile(raw).extract_page(0)["words"]
+
+    rl_seen = False
+    for idx in range(12):
+        d = corpus.gen_doc(idx, seed=7, skew_every=0, envelope="structured")
+        raw = pdfparse.unwrap_pdf_bytes(d["pdf"])
+        if b"/RunLengthDecode" in raw:
+            rl_seen = True
+            assert pdfparse.PdfFile(raw).xmp_metadata() is not None
+    assert rl_seen
