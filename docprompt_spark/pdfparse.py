@@ -1159,7 +1159,17 @@ class PdfFile:
                 node = self.resolve(ref)
                 if not isinstance(node, dict):
                     return
-                dest = self.resolve(node.get("Dest")) or []
+                dest = self.resolve(node.get("Dest"))
+                if isinstance(dest, (str, bytes)):
+                    # named destination (§12.3.2.3): resolve through the
+                    # catalog /Names /Dests tree; values may be the bare
+                    # array or a << /D [...] >> dictionary
+                    dest = self.resolve(
+                        self._named_dest(self._str_of(dest) or "")
+                    )
+                if isinstance(dest, dict):
+                    dest = self.resolve(dest.get("D"))
+                dest = dest or []
                 page_number = 0
                 y = None
                 if dest and isinstance(dest[0], Ref):
@@ -1358,6 +1368,30 @@ class PdfFile:
             prefix = self._str_of(rng.get("P")) or ""
             labels.append(prefix + fmt(style, st + (p - start)))
         return labels
+
+    def _named_dest(self, name: str):
+        """Value for ``name`` in the catalog /Names /Dests name tree
+        (§7.7.4, §12.3.2.3) — flat /Names arrays plus /Kids with /Limits;
+        the whole tree is walked once and cached."""
+        cache = getattr(self, "_dests_cache", None)
+        if cache is None:
+            cache = {}
+
+            def walk(node: Any) -> None:
+                node = self.resolve(node)
+                if not isinstance(node, dict):
+                    return
+                arr = self.resolve(node.get("Names")) or []
+                for i in range(0, len(arr) - 1, 2):
+                    cache[self._str_of(arr[i]) or ""] = arr[i + 1]
+                for kid in self.resolve(node.get("Kids")) or []:
+                    walk(kid)
+
+            names = self.resolve(self.root.get("Names"))
+            if isinstance(names, dict):
+                walk(names.get("Dests"))
+            self._dests_cache = cache
+        return cache.get(name)
 
     def _oc_off_nums(self) -> set:
         """Object numbers of optional-content groups that are OFF in the

@@ -875,6 +875,9 @@ def write_pdf(
         )
         cat_extra += f" /AcroForm {acro} 0 R"
 
+    names_tree_entries: List[str] = []
+    named_dests: List[tuple] = []  # (name, dest-array serialization)
+
     def _build_outline(items, parent_num):
         nums = [b.reserve() for _ in items]
         total = 0
@@ -891,10 +894,21 @@ def write_pdf(
                 body += f" /Next {nums[i + 1]} 0 R"
             if kid_first is not None:
                 body += f" /First {kid_first} 0 R /Last {kid_last} 0 R /Count {cnt}"
-            body += (
-                f" /Dest [{page_nums[it['page']]} 0 R /XYZ 0"
-                f" {fmt_num(it['y'])} 0] >>"
+            dest_arr = (
+                f"[{page_nums[it['page']]} 0 R /XYZ 0"
+                f" {fmt_num(it['y'])} 0]"
             )
+            if len(named_dests) % 2 == 0 or not named_dests:
+                # every other item targets a NAMED destination (§12.3.2.3)
+                # registered in the catalog /Names /Dests tree — the
+                # indirection real TOC generators emit; zero-padded names
+                # keep the tree's required lexicographic order
+                name = f"sec{len(named_dests):03d}"
+                named_dests.append((name, dest_arr))
+                body += f" /Dest {_dstr(name, num)} >>"
+            else:
+                named_dests.append((None, None))  # parity counter only
+                body += f" /Dest {dest_arr} >>"
             b.set(num, body.encode())
         return nums[0], nums[-1], total
 
@@ -909,6 +923,50 @@ def write_pdf(
             ).encode(),
         )
         cat_extra += f" /Outlines {ol_root} 0 R /PageMode /UseOutlines"
+        real_dests = [(n, d) for n, d in named_dests if n is not None]
+        if real_dests:
+            # /Dests name tree (§7.7.4/§12.3.2.3): two /Limits kids when
+            # >=2 entries so the tree walk (not just flat /Names) is
+            # exercised; values rotate the bare-array and << /D [...] >>
+            # dictionary forms — both occur in real files
+            def _dest_val(k: int, darr: str) -> str:
+                return darr if k % 2 == 0 else f"<< /D {darr} >>"
+
+            if len(real_dests) >= 2:
+                half = (len(real_dests) + 1) // 2
+                kid_nums = [b.reserve(), b.reserve()]
+                for kn, chunk in zip(
+                    kid_nums, (real_dests[:half], real_dests[half:])
+                ):
+                    ser = " ".join(
+                        f"{_dstr(nm, kn)} {_dest_val(k, da)}"
+                        for k, (nm, da) in enumerate(chunk)
+                    )
+                    lims = (
+                        f"[{_dstr(chunk[0][0], kn)}"
+                        f" {_dstr(chunk[-1][0], kn)}]"
+                    )
+                    b.set(
+                        kn,
+                        f"<< /Limits {lims} /Names [{ser}] >>".encode(
+                            "latin-1"
+                        ),
+                    )
+                dt = b.add(
+                    (
+                        "<< /Kids ["
+                        + " ".join(f"{k} 0 R" for k in kid_nums)
+                        + "] >>"
+                    ).encode()
+                )
+            else:
+                dt = b.reserve()
+                ser = " ".join(
+                    f"{_dstr(nm, dt)} {_dest_val(k, da)}"
+                    for k, (nm, da) in enumerate(real_dests)
+                )
+                b.set(dt, f"<< /Names [{ser}] >>".encode("latin-1"))
+            names_tree_entries.append(f"/Dests {dt} 0 R")
 
     if struct.get("page_labels"):
         # /PageLabels number tree (§12.4.2): label-range dicts keyed by
@@ -1019,7 +1077,11 @@ def write_pdf(
                 ef_tree,
                 f"<< /Names [{_dstr(nm, ef_tree)} {sp} 0 R] >>".encode(),
             )
-        cat_extra += f" /Names << /EmbeddedFiles {ef_tree} 0 R >>"
+        names_tree_entries.append(f"/EmbeddedFiles {ef_tree} 0 R")
+
+    if names_tree_entries:
+        # ONE catalog /Names dict carrying every name tree (§7.7.4)
+        cat_extra += f" /Names << {' '.join(names_tree_entries)} >>"
 
     if struct.get("xmp"):
         sinfo = struct.get("info", {})

@@ -250,3 +250,52 @@ def test_page_label_roman_letter_formatting():
     assert pf.page_labels() == [
         "i", "ii", "iii", "X-Y", "X-Z", "X-AA", "X-BB", "X-CC"
     ]
+
+
+def test_named_destinations_resolve_through_name_tree():
+    """§12.3.2.3: alternating outline items target NAMED destinations in
+    the catalog /Names /Dests tree (two-kid /Limits form, value forms
+    rotating bare-array and /D dict) — entries resolve to the same
+    page/y as the direct form, and the wire actually carries the tree."""
+    for idx in range(4):
+        d = corpus.gen_doc(idx, seed=7, skew_every=0, envelope="structured")
+        gt = corpus._doc_structure_gt(d["doc_id"], idx, d["n_pages"])
+        if not gt["outlines"]:
+            continue
+        raw = pdfparse.unwrap_pdf_bytes(d["pdf"])
+        pf = _parse(raw)
+        got = [
+            (e["title"], e["page_number"], e["y"])
+            for e in pf.outline_entries()
+        ]
+        want = [
+            (t, pg, y) for t, _lvl, pg, y in _flatten_outline_gt(gt["outlines"])
+        ]
+        assert got == want
+        names = pf.resolve(pf.root.get("Names"))
+        dests = pf.resolve(names.get("Dests"))
+        n_named = sum(
+            1 for e in pf.outline_entries()
+        )  # entries resolved fine above; assert the tree form on disk
+        if n_named >= 3:
+            assert "Kids" in dests and "Names" not in dests
+            kids = [pf.resolve(k) for k in pf.resolve(dests["Kids"])]
+            assert all("Limits" in k for k in kids)
+        # both value forms occur across the corpus
+    forms = set()
+    for idx in range(6):
+        d = corpus.gen_doc(idx, seed=7, skew_every=0, envelope="structured")
+        pf = _parse(d["pdf"])
+        names = pf.resolve(pf.root.get("Names"))
+        if not isinstance(names, dict) or names.get("Dests") is None:
+            continue
+        def walk(node):
+            node = pf.resolve(node)
+            arr = pf.resolve(node.get("Names")) or []
+            for i in range(1, len(arr), 2):
+                v = pf.resolve(arr[i])
+                forms.add("dict" if isinstance(v, dict) else "array")
+            for kid in pf.resolve(node.get("Kids")) or []:
+                walk(kid)
+        walk(names["Dests"])
+    assert forms == {"dict", "array"}
