@@ -81,6 +81,7 @@ def main() -> None:
         "pii_redaction_stats",
         "paragraph_dedup_fraction",
         "url_domain_filter",
+        "form_appearance_texts",
     ]:
         sections.append((name, formatted(reg[name][0](spark, sf))))
 

@@ -211,7 +211,16 @@ def test_tounicode_serialization_forms_rotate_in_corpus():
     for idx in (0, 3, 6, 9, 12, 15, 18, 21):
         d = corpus.gen_doc(idx, seed=42, skew_every=0)
         raw = pdfparse.unwrap_pdf_bytes(d["pdf"])
-        forms.add(b"beginbfrange" in raw)
+        pf = pdfparse.PdfFile(raw)
+        res = pf.resolve(
+            pf._inherited(pf.resolve(pf.page_refs[0]), "Resources")
+        )
+        fonts = pf.resolve(res.get("Font", {})) or {}
+        if "F2" not in fonts:
+            continue
+        f2 = pf.resolve(fonts["F2"])
+        tu = pf.resolve(f2["ToUnicode"]).data(pf.resolve)
+        forms.add(b"beginbfrange" in tu)
     assert forms == {True, False}
 
 
