@@ -3157,6 +3157,12 @@ def _interpret_content(
                     stroke_a = float(resolve(gsd["CA"]))
                 if "LW" in gsd:
                     line_w = float(resolve(gsd["LW"]))
+                if "D" in gsd:
+                    # dash via ExtGState (§8.4.5 Table 57): [[array] phase]
+                    dv = resolve(gsd["D"])
+                    if isinstance(dv, list) and len(dv) == 2:
+                        arr = [float(resolve(v)) for v in resolve(dv[0])]
+                        dash = (arr, float(resolve(dv[1]))) if arr else None
             stack.clear()
         else:
             # unknown operator: discard operands (defensive)

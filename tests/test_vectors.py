@@ -348,3 +348,16 @@ def test_dash_patterns():
             assert got == (page.get("vectors_gt") or [])
             n_dash += sum(1 for v in got if v.get("dash"))
     assert n_dash
+
+
+def test_extgstate_dash():
+    """Dash set via ExtGState /D (§8.4.5 Table 57) — the form style-based
+    producers emit — behaves exactly like the d operator."""
+    vecs = pdfparse._interpret_content(
+        b"/GS0 gs 1 w 72 700 m 300 700 l S",
+        fonts={}, xobjects={}, resolve=lambda x: x,
+        page_w=612.0, page_h=792.0,
+        ext_gstates={"GS0": {"D": [[4, 2], 1]}},
+    )[2]
+    assert vecs[0]["dash"] == [4.0, 2.0]
+    assert vecs[0]["dash_phase"] == 1.0
