@@ -1098,11 +1098,41 @@ class PdfFile:
                     if isinstance(uri, bytes)
                     else str(uri)
                 )
+            # internal GoTo target (§12.6.4.2): /Dest on the annot or a
+            # /GoTo action's /D; direct arrays, named destinations
+            # (resolved through /Names /Dests) and /D-dict values all land
+            # on a 1-based page + XYZ y
+            dest = self.resolve(a.get("Dest"))
+            if dest is None and isinstance(act, dict) and str(
+                self.resolve(act.get("S", ""))
+            ) == "GoTo":
+                dest = self.resolve(act.get("D"))
+            dest_page, dest_y = 0, None
+            if dest is not None:
+                if isinstance(dest, (str, bytes)):
+                    dest = self.resolve(
+                        self._named_dest(self._str_of(dest) or "")
+                    )
+                if isinstance(dest, dict):
+                    dest = self.resolve(dest.get("D"))
+                dest = dest or []
+                if dest and isinstance(dest[0], Ref):
+                    pgidx = {
+                        r.num: i for i, r in enumerate(self.page_refs)
+                    }
+                    dest_page = pgidx.get(dest[0].num, -1) + 1
+                if len(dest) >= 4 and str(
+                    self.resolve(dest[1]) or ""
+                ) == "XYZ":
+                    yv = self.resolve(dest[3])
+                    dest_y = float(yv) if yv is not None else None
             out.append(
                 {
                     "subtype": str(self.resolve(a.get("Subtype", ""))),
                     "rect": rect,
                     "uri": uri,
+                    "dest_page": dest_page,
+                    "dest_y": dest_y,
                 }
             )
         return out

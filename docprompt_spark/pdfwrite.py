@@ -598,6 +598,15 @@ def write_pdf(
             )
             ocg_nums.append(num)
 
+    # TOC-style internal GoTo link (§12.6.4.2): docs with outlines carry a
+    # /Link on page 1 whose /Dest is the first NAMED destination —
+    # reserved now (the page needs the ref), body set after the outline
+    # build registers the name
+    toc_link_num: Optional[int] = None
+    if struct.get("outlines"):
+        toc_link_num = b.reserve()
+        annots_by_page.setdefault(0, []).append(toc_link_num)
+
     # --- pages ------------------------------------------------------------
     page_nums: List[int] = []
     rotate = int(rotate) % 360
@@ -967,6 +976,15 @@ def write_pdf(
                 )
                 b.set(dt, f"<< /Names [{ser}] >>".encode("latin-1"))
             names_tree_entries.append(f"/Dests {dt} 0 R")
+        if toc_link_num is not None and real_dests:
+            b.set(
+                toc_link_num,
+                (
+                    "<< /Type /Annot /Subtype /Link"
+                    " /Rect [72 54 200 66] /Border [0 0 0]"
+                    f" /Dest {_dstr(real_dests[0][0], toc_link_num)} >>"
+                ).encode("latin-1"),
+            )
 
     if struct.get("page_labels"):
         # /PageLabels number tree (§12.4.2): label-range dicts keyed by

@@ -299,3 +299,37 @@ def test_named_destinations_resolve_through_name_tree():
                 walk(kid)
         walk(names["Dests"])
     assert forms == {"dict", "array"}
+
+
+def test_toc_goto_link_resolves_named_destination():
+    """Docs with outlines carry a page-1 /Link whose /Dest is the FIRST
+    registered named destination (§12.6.4.2) — the TOC-entry form; the
+    reader resolves it through the /Names /Dests tree to a page + XYZ y.
+    Registration is children-first (the writer builds kid outline nodes
+    before their parent's body), so the target is the first deep leaf."""
+    def first_registered(items):
+        # mirror _build_outline: kids recurse before the parent registers
+        it = items[0]
+        if it.get("kids"):
+            return first_registered(it["kids"])
+        return it
+
+    checked = 0
+    for idx in range(12):
+        d = corpus.gen_doc(idx, seed=7, skew_every=0, envelope="structured")
+        gt = corpus._doc_structure_gt(d["doc_id"], idx, d["n_pages"])
+        if not gt["outlines"]:
+            continue
+        pf = _parse(d["pdf"])
+        links = [
+            a for a in pf.extract_page(0)["annots"]
+            if a["subtype"] == "Link"
+        ]
+        assert len(links) == 1
+        a = links[0]
+        tgt = first_registered(gt["outlines"])
+        assert a["dest_page"] == tgt["page"] + 1
+        assert a["dest_y"] == tgt["y"]
+        assert a["uri"] is None
+        checked += 1
+    assert checked
