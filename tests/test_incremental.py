@@ -24,7 +24,7 @@ def test_appended_revision_adds_link_and_keeps_spans():
         p0 = upd.extract_page(0)
         assert p0["annots"] == [
             {"subtype": "Link", "rect": [72.0, 640.0, 272.0, 652.0],
-             "uri": uri}
+             "uri": uri, "dest_page": 0, "dest_y": None}
         ]
         # golden spans are update-invariant: same words, same geometry
         assert p0["words"] == base.extract_page(0)["words"]
@@ -43,7 +43,8 @@ def test_default_corpus_rotates_incremental_docs():
     pf = pdfparse.PdfFile(raw)
     uri, rect = _link_annotation_gt(d["doc_id"], 5)
     assert pf.extract_page(0)["annots"] == [
-        {"subtype": "Link", "rect": list(rect), "uri": uri}
+        {"subtype": "Link", "rect": list(rect), "uri": uri,
+         "dest_page": 0, "dest_y": None}
     ]
 
 
