@@ -42,3 +42,29 @@ def test_unwrap_depth_limited():
         blob = gzip.compress(blob, mtime=0)
     with pytest.raises(ValueError):
         pdfparse.unwrap_pdf_bytes(blob)
+
+
+def test_bx_ex_compatibility_sections_and_unknown_ops():
+    """§7.8.2 BX/EX: unknown operators inside (or outside) compatibility
+    sections are ignored without derailing the interpreter — text before
+    and after extracts normally."""
+    from docprompt_spark import pdfparse, pdfwrite
+
+    pages = [{"width": 612.0, "height": 792.0, "images": [],
+              "text_ops": [{"font": "F1", "size": 10.0, "x": 72.0,
+                            "y": 700.0, "mode": "Tm",
+                            "segments": ["alpha beta"]}]}]
+    pdf = pdfwrite.write_pdf(pages, doc_title="t")
+    pf = pdfparse.PdfFile(pdf)
+    res = pf.resolve(pf._inherited(pf.resolve(pf.page_refs[0]), "Resources"))
+    fonts = {"F1": pf._load_font(res["Font"]["F1"])}
+    content = (
+        b"BX /Fancy 3 newProprietaryOp EX "
+        b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (kept) Tj ET "
+        b"1 2 3 mysteryOp BT /F1 10 Tf 1 0 0 1 72 680 Tm (also) Tj ET"
+    )
+    words, _, _ = pdfparse._interpret_content(
+        content, fonts=fonts, xobjects={}, resolve=pf.resolve,
+        page_w=612.0, page_h=792.0,
+    )
+    assert [w["text"] for w in words] == ["kept", "also"]
