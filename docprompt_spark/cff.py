@@ -853,6 +853,124 @@ def cff_glyph_outlines(data: bytes):
         return {}
 
 
+def cff_cid_glyph_outlines(data: bytes):
+    """CID -> (advance width, contours) from a CID-KEYED CFF font program
+    (CIDFontType0C, the /FontFile3 form behind /CIDFontType0 descendants —
+    CFF spec §18; reference renders these via pdfium's CID font path,
+    _pdfium.py:126-135). The charset maps gid->CID (not gid->SID), FDSelect
+    (formats 0 and 3) picks each glyph's Font DICT from the FDArray, and
+    that FD's Private DICT supplies default/nominal widths + local subrs
+    for the shared Type2 machine — so advance widths are only correct if
+    FD resolution is. Empty dict on non-CID-keyed or structurally
+    surprising fonts (mirror of cff_glyph_outlines, which owns the
+    name-keyed case)."""
+    try:
+        hdrsz = data[2]
+        pos = hdrsz
+        _names, pos = _read_index(data, pos)
+        topdicts, pos = _read_index(data, pos)
+        _strings, pos = _read_index(data, pos)
+        gsubrs, pos = _read_index(data, pos)
+        td = _parse_dict(topdicts[0])
+        if 1230 not in td:  # ROS: only CID-keyed fonts carry it
+            return {}
+        charstrings_off = td.get(17, [None])[0]
+        fdarray_off = td.get(1236, [None])[0]
+        if charstrings_off is None or fdarray_off is None:
+            return {}
+        charstrings, _ = _read_index(data, int(charstrings_off))
+        n = len(charstrings)
+
+        # charset: gid -> CID (same wire formats as the SID charset;
+        # charset 0 here would mean the identity Adobe charset — treat the
+        # predefined codes as identity, like the SID path does)
+        charset_off = td.get(15, [0])[0]
+        cids = [0]
+        if charset_off in (0, 1, 2):
+            cids = list(range(n))
+        else:
+            p = int(charset_off)
+            fmt = data[p]
+            p += 1
+            if fmt == 0:
+                for _ in range(1, n):
+                    cids.append(int.from_bytes(data[p : p + 2], "big"))
+                    p += 2
+            elif fmt in (1, 2):
+                # Range1 = {first:2, nLeft:1}; Range2 = {first:2, nLeft:2}
+                while len(cids) < n:
+                    first = int.from_bytes(data[p : p + 2], "big")
+                    nleft = (
+                        data[p + 2]
+                        if fmt == 1
+                        else int.from_bytes(data[p + 2 : p + 4], "big")
+                    )
+                    p += 3 if fmt == 1 else 4
+                    for k in range(nleft + 1):
+                        cids.append(first + k)
+            else:
+                return {}
+
+        # FDSelect: gid -> Font DICT index (absent => all glyphs FD 0)
+        fd_of = [0] * n
+        fdselect_off = td.get(1237, [None])[0]
+        if fdselect_off is not None:
+            p = int(fdselect_off)
+            fmt = data[p]
+            p += 1
+            if fmt == 0:
+                fd_of = list(data[p : p + n])
+            elif fmt == 3:
+                nr = int.from_bytes(data[p : p + 2], "big")
+                p += 2
+                ranges = []
+                for _ in range(nr):
+                    first = int.from_bytes(data[p : p + 2], "big")
+                    ranges.append((first, data[p + 2]))
+                    p += 3
+                sentinel = int.from_bytes(data[p : p + 2], "big")
+                for i, (first, fd) in enumerate(ranges):
+                    end = ranges[i + 1][0] if i + 1 < len(ranges) else sentinel
+                    for g in range(first, min(end, n)):
+                        fd_of[g] = fd
+            else:
+                return {}
+
+        # one Type2 machine per Font DICT (its own widths + local subrs)
+        fddicts, _ = _read_index(data, int(fdarray_off))
+        interps = []
+        for fb in fddicts:
+            fdd = _parse_dict(fb)
+            default_w = nominal_w = 0
+            lsubrs: list = []
+            priv = fdd.get(18)
+            if priv:
+                psz, poff = int(priv[0]), int(priv[1])
+                pd = _parse_dict(data[poff : poff + psz])
+                default_w = pd.get(20, [0])[0]
+                nominal_w = pd.get(21, [0])[0]
+                if 19 in pd:
+                    lsubrs, _ = _read_index(data, poff + int(pd[19][0]))
+            interps.append(_T2Interp(gsubrs, lsubrs, default_w, nominal_w))
+        if not interps:
+            return {}
+
+        out = {}
+        for gid in range(1, n):  # gid 0 = .notdef (CID 0)
+            if gid >= len(cids):
+                break
+            fd = fd_of[gid]
+            interp = interps[fd] if fd < len(interps) else interps[0]
+            try:
+                w, contours = interp.run(charstrings[gid])
+            except (ValueError, IndexError):
+                continue
+            out[int(cids[gid])] = (w, contours)
+        return out
+    except (IndexError, KeyError, ValueError):
+        return {}
+
+
 # --------------------------------------------------------------------------
 # Type1 charstring interpretation -> glyph outlines (for the rasterizer)
 # --------------------------------------------------------------------------

@@ -1097,20 +1097,22 @@ def _tiles_eligible(idx: int, img_codec=None, inline=None) -> bool:
 def _gen_doc_pages(
     idx: int, seed: int, skew_every: int, img_codec: str = None,
     inline: Optional[bool] = None, tiles: Optional[bool] = None,
-    spacing: Optional[bool] = None,
+    spacing: Optional[bool] = None, f2: Optional[bool] = None,
 ):
     """Deterministic page set for document ``idx``: (doc_id, [(writer_page,
     words_gt, images_gt), ...]). Single source of truth for the rng replay —
     gen_doc and golden_page_layouts both consume it. ``tiles`` adds the
     tiling-pattern background after the rng replay (no extra draws);
-    None = the default-corpus eligibility formula."""
+    None = the default-corpus eligibility formula. ``f2`` overrides the
+    default idx%3 Type0-font eligibility (the "cidfont" envelope forces it
+    so every doc can draw CID text)."""
     rng = random.Random(f"doc:{seed}:{idx}")
     doc_id = f"doc-{seed}-{idx:08d}"
     if skew_every and idx > 0 and idx % skew_every == 0:
         n_pages = rng.randint(24, 64)  # skew tail
     else:
         n_pages = rng.randint(1, 3)
-    use_f2 = idx % 3 == 0
+    use_f2 = (idx % 3 == 0) if f2 is None else f2
     pages = [
         _gen_page(rng, use_f2, seed, img_codec, inline) for _ in range(n_pages)
     ]
@@ -1256,6 +1258,7 @@ def gen_doc(
         inline=True if envelope == "inline" else None,
         tiles=_tiles_eligible(idx) if envelope is None else False,
         spacing=_spacing_eligible(idx) if envelope is None else False,
+        f2=True if envelope == "cidfont" else None,
     )
     n_pages = len(gen_pages)
     if envelope == "scanned":
@@ -1352,6 +1355,12 @@ def gen_doc(
         elif envelope == "tagged":
             use_xref_stream = idx % 2 == 1
             comp = ["flate", False, "lzw"][idx % 3]
+        elif envelope == "cidfont":
+            # CID-keyed-program oracle corpus: every doc gets the
+            # CIDFontType0C descendant (f2 forced in _gen_doc_pages);
+            # both xref envelopes + all three content filters rotate
+            use_xref_stream = idx % 2 == 1
+            comp = ["flate", False, "lzw"][idx % 3]
         elif envelope == "ocg":
             # optional-content oracle corpus: both xref envelopes, all
             # three content filters; the Watermark layer's default
@@ -1394,6 +1403,14 @@ def gen_doc(
         # streams) — all carrying identical 1000-upm outlines, so rasters
         # are format-independent while the parse path proves all four loops
         font_format=("cff", "type1", "truetype", "type3")[idx % 4],
+        # half the F2 (Type0) docs carry a REAL CID-keyed CFF program
+        # (CIDFontType0C descendant, 1-based CIDs), the other half stay
+        # metrics-only CIDFontType2 — both real-world forms in rotation;
+        # golden spans/rasters are form-invariant by construction. The
+        # "cidfont" envelope forces the program on every doc.
+        cid_font_program=(
+            envelope == "cidfont" or (envelope is None and idx % 6 == 0)
+        ),
         # a third of the corpus routes vector art + the header line through
         # a Form XObject (/Fm0 Do, §8.10) — the letterhead/stamp pattern
         # real producers emit; golden spans are envelope-invariant so the

@@ -222,6 +222,115 @@ def build_cff(
     return blob
 
 
+def build_cff_cid(
+    chars: Sequence[str],
+    font_name: str = "DSCIDOutline",
+    fdselect_format: int = 3,
+) -> bytes:
+    """A real CID-KEYED CFF font program (CIDFontType0C — the form modern
+    subsetters and every CJK producer embed behind /FontFile3 on a
+    /CIDFontType0 descendant; reference renders these through pdfium's CID
+    path, _pdfium.py:126-135). Glyph 0 = .notdef (implicitly CID 0); glyph
+    i (1-based over codepoint-sorted ``chars``) carries CID i via a
+    format-0 charset (charsets in CID fonts map gid->CID, not gid->SID —
+    CFF spec §18). TWO Font DICTs sit in the FDArray with DIFFERENT
+    nominalWidthX (0 / 300) and FDSelect splits the glyph range between
+    them, so recovering each glyph's advance width REQUIRES resolving its
+    FD — per-FD Private DICT decode is load-bearing, not decorative.
+    ``fdselect_format``: 3 (range form, the one real fonts use) or 0
+    (per-gid byte array). Round-trips exactly through
+    cff.cff_cid_glyph_outlines."""
+    from docprompt_spark.pdfwrite import char_width_pm
+
+    chars = sorted(set(chars), key=ord)
+    n = len(chars) + 1  # + .notdef
+    mid = max(1, (n + 1) // 2)
+    fd_of = [0 if gid < mid else 1 for gid in range(n)]
+    nominals = (0, 300)
+    charstrings = [b"\x0e"]  # .notdef: bare endchar (width = defaultWidthX)
+    for gid in range(1, n):
+        c = chars[gid - 1]
+        # the leading operand is the width DELTA from the owning FD's
+        # nominalWidthX — _charstring's first _t2_num is exactly that
+        charstrings.append(
+            _charstring(
+                char_width_pm(c) - nominals[fd_of[gid]], glyph_contours(c)
+            )
+        )
+
+    name_index = _mk_index([font_name.encode()])
+    # ROS operands are SIDs: "Adobe"/"Identity" land in the string index
+    string_index = _mk_index([b"Adobe", b"Identity"])
+    gsubr_index = _mk_index([])
+    charstrings_index = _mk_index(charstrings)
+
+    # charset fmt 0: CID per gid 1..n-1; CID == gid by construction
+    charset = b"\x00" + b"".join(g.to_bytes(2, "big") for g in range(1, n))
+
+    if fdselect_format == 0:
+        fdselect = bytes([0]) + bytes(fd_of)
+    elif fdselect_format == 3:
+        ranges = [(0, 0)] + ([(mid, 1)] if mid < n else [])
+        fdselect = (
+            bytes([3])
+            + len(ranges).to_bytes(2, "big")
+            + b"".join(
+                first.to_bytes(2, "big") + bytes([fd]) for first, fd in ranges
+            )
+            + n.to_bytes(2, "big")  # sentinel
+        )
+    else:
+        raise ValueError(f"unsupported fdselect_format {fdselect_format}")
+
+    privates = [
+        _dict_num(0) + bytes([20]) + _dict_num(nom) + bytes([21])
+        for nom in nominals
+    ]
+
+    def fd_dict(psz: int, poff: int) -> bytes:
+        return _dict_num(psz) + _dict_num5(poff) + bytes([18])
+
+    def top_dict(charset_off, cs_off, fda_off, fds_off) -> bytes:
+        return (
+            # ROS (12 30) first, as real CID fonts serialize it
+            _dict_num(391) + _dict_num(392) + _dict_num(0) + b"\x0c\x1e"
+            + _dict_num(n) + b"\x0c\x22"  # CIDCount (12 34)
+            + _dict_num5(charset_off) + bytes([15])
+            + _dict_num5(cs_off) + bytes([17])
+            + _dict_num5(fda_off) + b"\x0c\x24"  # FDArray (12 36)
+            + _dict_num5(fds_off) + b"\x0c\x25"  # FDSelect (12 37)
+        )
+
+    header = bytes([1, 0, 4, 4])
+
+    def assemble(cso, ccso, fao, fso, poffs):
+        fdarray_index = _mk_index(
+            [fd_dict(len(p), po) for p, po in zip(privates, poffs)]
+        )
+        td_index = _mk_index([top_dict(cso, ccso, fao, fso)])
+        pos = (
+            len(header) + len(name_index) + len(td_index)
+            + len(string_index) + len(gsubr_index)
+        )
+        charset_off = pos
+        fds_off = charset_off + len(charset)
+        cs_off = fds_off + len(fdselect)
+        fda_off = cs_off + len(charstrings_index)
+        p0 = fda_off + len(fdarray_index)
+        new_poffs = (p0, p0 + len(privates[0]))
+        blob = (
+            header + name_index + td_index + string_index + gsubr_index
+            + charset + fdselect + charstrings_index + fdarray_index
+            + privates[0] + privates[1]
+        )
+        return blob, (charset_off, cs_off, fda_off, fds_off, new_poffs)
+
+    _, (cso, ccso, fao, fso, poffs) = assemble(0, 0, 0, 0, (0, 0))
+    blob, offs2 = assemble(cso, ccso, fao, fso, poffs)
+    assert (cso, ccso, fao, fso, poffs) == offs2
+    return blob
+
+
 def glyph_pool(chars: Sequence[str]) -> Dict[str, Tuple[int, List[Contour]]]:
     """Oracle-side glyph source: char -> (advance width pm, contours),
     generated directly (the rasterizer kernel builds the same pool by

@@ -1752,10 +1752,32 @@ class PdfFile:
                         key = hashlib.md5(data).digest()
                         if key not in seen:
                             seen.add(key)
-                            for name, wc in cff.cff_glyph_outlines(data).items():
+                            named = cff.cff_glyph_outlines(data)
+                            for name, wc in named.items():
                                 ch = cff.glyph_name_to_text(name)
                                 if ch and ch not in pool:
                                     pool[ch] = wc
+                            if not named:
+                                # CID-keyed program (CIDFontType0C): the
+                                # charset carries CIDs, not names — map
+                                # CID->char through the Type0 parent's
+                                # ToUnicode (Identity-H: code == CID)
+                                tu = self.resolve(fd_obj.get("ToUnicode"))
+                                cmap = (
+                                    _parse_tounicode(tu.data(self.resolve))
+                                    if isinstance(tu, Stream)
+                                    else {}
+                                )
+                                for cid, wc in cff.cff_cid_glyph_outlines(
+                                    data
+                                ).items():
+                                    ch = cmap.get(cid)
+                                    if (
+                                        ch
+                                        and len(ch) == 1
+                                        and ch not in pool
+                                    ):
+                                        pool[ch] = wc
                     ff2 = self.resolve(desc.get("FontFile2"))
                     if isinstance(ff2, Stream):
                         # TrueType (glyf) program: outlines keyed by char

@@ -270,7 +270,7 @@ def _objstm_offsets(compressed: List[Tuple[int, bytes]]) -> List[Tuple[int, int]
 # Words on one visual line share a y; ops are emitted in the given order.
 
 
-def _tounicode_cmap(charset: Sequence[str]) -> bytes:
+def _tounicode_cmap(charset: Sequence[str], first_cid: int = 0) -> bytes:
     lines = [
         "/CIDInit /ProcSet findresource begin",
         "12 dict begin",
@@ -296,12 +296,13 @@ def _tounicode_cmap(charset: Sequence[str]) -> bytes:
             )
             lines.append("1 beginbfrange")
             lines.append(
-                f"<{start:04x}> <{start + len(chunk) - 1:04x}> [{dsts}]"
+                f"<{first_cid + start:04x}>"
+                f" <{first_cid + start + len(chunk) - 1:04x}> [{dsts}]"
             )
             lines.append("endbfrange")
         else:
             lines.append(f"{len(chunk)} beginbfchar")
-            for cid, ch in enumerate(chunk, start=start):
+            for cid, ch in enumerate(chunk, start=first_cid + start):
                 u = ch.encode("utf-16-be").hex()
                 lines.append(f"<{cid:04x}> <{u}>")
             lines.append("endbfchar")
@@ -318,6 +319,7 @@ def write_pdf(
     xref_stream: bool = False,
     encrypt: Optional[str] = None,
     font_format: str = "cff",
+    cid_font_program: bool = False,
     form_xobject: bool = False,
     rotate: int = 0,
     media_origin: Tuple[float, float] = (0.0, 0.0),
@@ -498,14 +500,33 @@ def write_pdf(
             for ch in seg
         }
     )
-    cid_of: Dict[str, int] = {ch: i for i, ch in enumerate(charset)}
+    # With a real CID-keyed program, CIDs are 1-based: CFF gid 0 is
+    # .notdef == CID 0, and gid i carries CID i via the charset — so the
+    # document's CID assignment must leave 0 to .notdef, exactly like
+    # real subsetters number ABCDEF+ CID subsets.
+    first_cid = 1 if cid_font_program else 0
+    cid_of: Dict[str, int] = {
+        ch: i + first_cid for i, ch in enumerate(charset)
+    }
     f2 = None
     if charset:
+        cid_ff_entry = ""
+        if cid_font_program:
+            # CID-keyed CFF program (CIDFontType0C, §9.9 Table 126): the
+            # descendant becomes /CIDFontType0 and CID->glyph resolution
+            # runs through the CFF charset instead of /CIDToGIDMap
+            cid_fontfile = b.add_stream(
+                "/Subtype /CIDFontType0C",
+                fontgen.build_cff_cid(charset),
+                compress=compress_streams,
+            )
+            cid_ff_entry = f" /FontFile3 {cid_fontfile} 0 R"
         f2_desc = b.add(
             (
                 "<< /Type /FontDescriptor /FontName /DSCID /Flags 4"
                 f" /Ascent {ASCENT_PM} /Descent {DESCENT_PM} /CapHeight 660"
-                " /ItalicAngle 0 /StemV 80 /FontBBox [0 -180 760 720] >>"
+                " /ItalicAngle 0 /StemV 80 /FontBBox [0 -180 760 720]"
+                f"{cid_ff_entry} >>"
             ).encode()
         )
         w_array = " ".join(str(char_width_pm(ch)) for ch in charset)
@@ -518,18 +539,24 @@ def write_pdf(
             # member strings are NOT individually encrypted (§7.5.7)
             reg = handler.encrypt(reg, cidfont)
             order = handler.encrypt(order, cidfont)
+        desc_subtype = "CIDFontType0" if cid_font_program else "CIDFontType2"
+        # /CIDToGIDMap applies only to CIDFontType2 (§9.7.4.2) — with a
+        # CID-keyed program the CFF charset carries CID->glyph itself
+        gidmap = "" if cid_font_program else " /CIDToGIDMap /Identity"
         b.set(
             cidfont,
             (
-                "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /DSCID"
+                f"<< /Type /Font /Subtype /{desc_subtype} /BaseFont /DSCID"
                 f" /CIDSystemInfo << /Registry ({esc_literal(reg).decode('latin-1')})"
                 f" /Ordering ({esc_literal(order).decode('latin-1')})"
                 " /Supplement 0 >>"
-                f" /FontDescriptor {f2_desc} 0 R /DW 500 /W [0 [{w_array}]]"
-                " /CIDToGIDMap /Identity >>"
+                f" /FontDescriptor {f2_desc} 0 R /DW 500"
+                f" /W [{first_cid} [{w_array}]]{gidmap} >>"
             ).encode(),
         )
-        tounicode = b.add_stream("", _tounicode_cmap(charset), compress=compress_streams)
+        tounicode = b.add_stream(
+            "", _tounicode_cmap(charset, first_cid), compress=compress_streams
+        )
         f2 = b.add(
             (
                 "<< /Type /Font /Subtype /Type0 /BaseFont /DSCID"

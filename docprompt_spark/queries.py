@@ -66,7 +66,6 @@ _PRIORITY_NAMES = [
     "media_masked_rasters",
     "provenance_phrase_search",
     "extraction_ccitt_spans",
-    "extraction_lzw_spans",
     "extraction_encrypted_spans",
     "dedup_connected_components",
     "search_bm25_ranked",
@@ -104,8 +103,11 @@ _PRIORITY_NAMES = [
     # pinned: the ONLY audio-path (wav/RIFF) oracle — unique coverage that
     # must not silently overflow as the registry grows
     "audio_features",
+    # round-5 late additions
+    "extraction_cid_font_spans",  # CID-keyed CFF programs (CIDFontType0C: ROS/FDArray/FDSelect, charset CID->glyph)
 ]
 _LOW_PRIORITY_NAMES = [
+    "extraction_lzw_spans",  # (S1-S3 LZW) double-covered in-window: the flagship corpus rotates LZW content streams (idx%4==2) through extraction_spans_flat; local oracle still checks the all-LZW envelope
     "q5_supplier_volume_by_nation",  # TPC-H redundancy: q1+q3 stay in-window; q5 still bench-timed + local oracle
     "q3_shipping_priority",  # TPC-H redundancy: q1 stays in-window; W6 top-n evidenced in-window by search_bm25_ranked's rank-pushdown + ann TakeOrderedAndProject; q3 still bench-timed + local oracle
     "ann_bruteforce_cosine_top10",  # (ANN) ann_ivf_top5 in-window covers similarity; brute-force stays bench-timed + local oracle
@@ -3531,6 +3533,37 @@ def extraction_lzw_spans(spark, sf_dir):
 _REGISTRY["extraction_lzw_spans"] = (extraction_lzw_spans, None)
 
 
+def extraction_cid_font_spans(spark, sf_dir):
+    """Same pipeline over documents whose Type0 font embeds a REAL
+    CID-keyed CFF program (/FontFile3 /Subtype /CIDFontType0C on a
+    /CIDFontType0 descendant — the form modern subsetters and CJK
+    producers write; reference renders it via pdfium's CID path,
+    _pdfium.py:126-135). CIDs are 1-based (gid 0 = .notdef = CID 0, like
+    real ABCDEF+ subsets), CID->glyph resolves through the CFF charset
+    instead of /CIDToGIDMap, and advance widths require FDArray/FDSelect
+    per-FD Private decode (two Font DICTs with different nominalWidthX).
+    Corpus rotates both xref envelopes + all three content filters;
+    golden spans are embedding-form-independent."""
+    from docprompt_spark import pipeline
+
+    docs = pipeline.corpus_df(
+        spark, 6, seed=_FLAGSHIP_SEED, skew_every=0, envelope="cidfont"
+    )
+    result = pipeline.run_extraction(spark, docs.select("doc_id", "pdf", "n_pages"))
+    flat = pipeline.spans_exploded(result)
+    return flat.select(
+        "doc_id",
+        F.col("seq").cast("int").alias("seq"),
+        "kind",
+        "text",
+        "media_ref",
+        F.col("offset").cast("int").alias("offset"),
+    )
+
+
+_REGISTRY["extraction_cid_font_spans"] = (extraction_cid_font_spans, None)
+
+
 def extraction_encrypted_spans(spark, sf_dir):
     """Same pipeline over ENCRYPTED documents (PDF §7.6 Standard security
     handler — the reference opens these via pdfium's password support,
@@ -5255,6 +5288,9 @@ def _build_oracle_sql() -> Dict[str, str]:
     out["provenance_phrase_search"] = _phrase_search_oracle_sql()
     out["extraction_lzw_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, envelope="lzw"
+    )
+    out["extraction_cid_font_spans"] = _golden_spans_sql(
+        6, _FLAGSHIP_SEED, envelope="cidfont"
     )
     out["extraction_encrypted_spans"] = _golden_spans_sql(
         6, _FLAGSHIP_SEED, envelope="encrypted"
