@@ -590,6 +590,15 @@ def _page_vectors(k: int):
     if k & 2:  # filled accent bar top-right
         g = 0.5 if (k & 4) else 0.75
         ax0, ay0, aw, ah = x1 - 90.0, float(TOP_Y + 26), 90.0, 10.0
+        blend = None
+        if (k & 96) == 32:
+            # blend-mode slice (§11.3.5 via ExtGState /BM): the bar DROPS
+            # ONTO the header rule so Multiply/Screen visibly differ from
+            # Normal exactly where ink overlaps — raster md5 equality then
+            # proves the blend math, not just gstate plumbing. Disjoint
+            # from the dashed-rule slice ((k&96)==96).
+            blend = "Multiply" if k & 8 else "Screen"
+            ay0 = yr - 5.0
         w_entry = {"path": [("re", ax0, ay0, aw, ah)], "paint": "f", "gray": g}
         g_entry = {
             "contours": [[(ax0, ay0), (ax0 + aw, ay0), (ax0 + aw, ay0 + ah),
@@ -602,6 +611,9 @@ def _page_vectors(k: int):
             # header rule / page background like real watermark bars
             w_entry["alpha"] = 0.5
             g_entry["alpha"] = 0.5
+        if blend is not None:
+            w_entry["blend"] = blend
+            g_entry["blend"] = blend
         writer.append(w_entry)
         gt.append(g_entry)
     if k & 16:  # axial gradient band (the separator/letterhead gradient)

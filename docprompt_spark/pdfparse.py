@@ -2325,6 +2325,7 @@ def _interpret_content(
     pending_clip = False  # W seen; the clip applies at the next path-end op
     fill_a = 1.0  # constant alpha (§11.3.7.2), set by `gs` /ca //CA
     stroke_a = 1.0
+    blend_m = "Normal"  # blend mode (§11.3.5), set by `gs` /BM
     dash: Optional[tuple] = None  # ([on, off, ...], phase) — §8.4.3.6
     # tiling-pattern fill (§8.7.3): set by `/Pattern cs /PtN scn`, cleared
     # by a non-Pattern cs; (cell vector entries, cell bbox, xstep, ystep)
@@ -2491,6 +2492,8 @@ def _interpret_content(
                 }
                 if fill_a != 1.0:  # constant alpha (ExtGState /ca)
                     entry["alpha"] = fill_a
+                if blend_m not in ("Normal", "Compatible"):
+                    entry["blend"] = blend_m  # §11.3.5 via ExtGState /BM
                 vectors.append(entry)
             if stroke:
                 # line width scales with the CTM (sqrt |det|, §8.4.3.2)
@@ -2504,6 +2507,8 @@ def _interpret_content(
                 }
                 if stroke_a != 1.0:
                     entry["alpha"] = stroke_a
+                if blend_m not in ("Normal", "Compatible"):
+                    entry["blend"] = blend_m
                 if dash is not None:
                     s_ = math.sqrt(det)
                     entry["dash"] = [v * s_ for v in dash[0]]
@@ -2798,13 +2803,14 @@ def _interpret_content(
             gs_stack.append(
                 (ctm, fill_g, stroke_g, line_w, tr_mode, clip_cts,
                  fill_a, stroke_a, fill_pattern, fill_sep,
-                 char_sp, word_sp, hscale, rise, dash)
+                 char_sp, word_sp, hscale, rise, dash, blend_m)
             )
         elif op == b"Q":
             if gs_stack:
                 (ctm, fill_g, stroke_g, line_w, tr_mode, clip_cts,
                  fill_a, stroke_a, fill_pattern, fill_sep,
-                 char_sp, word_sp, hscale, rise, dash) = gs_stack.pop()
+                 char_sp, word_sp, hscale, rise, dash,
+                 blend_m) = gs_stack.pop()
         elif op == b"cm":
             m = tuple(float(v) for v in stack[-6:])
             ctm = _mat_mul(m, ctm)
@@ -3197,8 +3203,8 @@ def _interpret_content(
             stack.clear()
         elif op == b"gs":
             # ExtGState: constant alpha (/ca non-stroking, /CA stroking,
-            # §11.3.7.2) and /LW are honored; soft masks / blend modes out
-            # of scope for this renderer
+            # §11.3.7.2), /BM blend modes (§11.3.5, separable gray), /LW
+            # and /D are honored; gstate soft masks (/SMask) out of scope
             name = str(stack[-1]) if stack else ""
             gsd = resolve((ext_gstates or {}).get(name))
             gsd = gsd.dict if hasattr(gsd, "dict") else gsd
@@ -3209,6 +3215,15 @@ def _interpret_content(
                     stroke_a = float(resolve(gsd["CA"]))
                 if "LW" in gsd:
                     line_w = float(resolve(gsd["LW"]))
+                if "BM" in gsd:
+                    # blend mode (§11.3.5): name or array-of-names (the
+                    # PDF 1.3 fallback form — first applicable wins; the
+                    # separable gray modes this renderer knows are the
+                    # ones real producers emit for highlights/watermarks)
+                    bmv = resolve(gsd["BM"])
+                    if isinstance(bmv, list):
+                        bmv = bmv[0] if bmv else "Normal"
+                    blend_m = str(bmv)
                 if "D" in gsd:
                     # dash via ExtGState (§8.4.5 Table 57): [[array] phase]
                     dv = resolve(gsd["D"])

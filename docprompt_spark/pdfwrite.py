@@ -1366,9 +1366,10 @@ def _vector_ops(
             continue
         seg = ["q"]
         gray = vec.get("gray", 0.0)
-        if vec.get("alpha") is not None:
-            # constant-alpha fill (§11.3.7.2): /GSaN gs names an ExtGState
-            # carrying /ca — _gstate_resource enumerates in the same order
+        if _gs_needed(vec):
+            # constant alpha (§11.3.7.2) and/or blend mode (§11.3.5):
+            # /GSaN gs names an ExtGState carrying /ca //CA and/or /BM —
+            # _gstate_resource enumerates in the same order
             seg.append(f"/GSa{_alpha_index(vectors, vec)} gs")
         if vec.get("sep") is not None and paint in ("f", "f*"):
             # Separation spot fill (§8.6.6.4): select the named space and
@@ -1461,29 +1462,36 @@ def _pattern_streams(b, vectors) -> str:
     return "" if not entries else "<< " + " ".join(entries) + " >>"
 
 
+def _gs_needed(v) -> bool:
+    return v.get("alpha") is not None or v.get("blend") is not None
+
+
 def _alpha_index(vectors, vec) -> int:
-    """Position of ``vec`` among the alpha-carrying entries — the /GSaN
-    name both _vector_ops and _gstate_resource agree on."""
+    """Position of ``vec`` among the gstate-carrying entries (alpha and/or
+    blend mode) — the /GSaN name both _vector_ops and _gstate_resource
+    agree on."""
     i = 0
     for v in vectors or []:
         if v is vec:
             return i
-        if v.get("alpha") is not None:
+        if _gs_needed(v):
             i += 1
     return i
 
 
 def _gstate_resource(vectors) -> str:
-    """/ExtGState resource dict for alpha-carrying vector entries: /GSa0..
-    each with /ca (non-stroking) and /CA (stroking) constant alpha."""
-    entries = [
-        f"/GSa{i} << /Type /ExtGState /ca {fmt_num(v['alpha'])}"
-        f" /CA {fmt_num(v['alpha'])} >>"
-        for i, v in enumerate(
-            [v for v in vectors or [] if v.get("alpha") is not None]
-        )
-    ]
-    return "" if not entries else "<< " + " ".join(entries) + " >>"
+    """/ExtGState resource dict for gstate-carrying vector entries: /GSa0..
+    each with /ca //CA constant alpha (§11.3.7.2) and/or /BM blend mode
+    (§11.3.5) — exactly the keys the entry sets."""
+    parts = []
+    for i, v in enumerate([v for v in vectors or [] if _gs_needed(v)]):
+        body = "/Type /ExtGState"
+        if v.get("alpha") is not None:
+            body += f" /ca {fmt_num(v['alpha'])} /CA {fmt_num(v['alpha'])}"
+        if v.get("blend") is not None:
+            body += f" /BM /{v['blend']}"
+        parts.append(f"/GSa{i} << {body} >>")
+    return "" if not parts else "<< " + " ".join(parts) + " >>"
 
 
 def _fn_ser(spec: dict, b) -> str:

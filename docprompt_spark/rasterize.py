@@ -130,7 +130,8 @@ _EM_DESC = -180.0
 
 
 def fill_contours(
-    canvas: np.ndarray, contours, value: int = 0, alpha: float = 1.0
+    canvas: np.ndarray, contours, value: int = 0, alpha: float = 1.0,
+    blend: "Optional[str]" = None,
 ) -> None:
     """Even-odd scanline polygon fill at pixel centers — deterministic IEEE
     float ops in fixed order, so identical rasters on every host. This is
@@ -161,14 +162,23 @@ def fill_contours(
             px1 = min(w, int(math.ceil(xs[k + 1] - 0.5)))
             if px1 <= px0:
                 continue
-            if alpha >= 1.0:
+            if alpha >= 1.0 and blend is None:
                 canvas[yy, px0:px1] = value
             else:
-                # constant-alpha source-over (§11.3.7): same float
-                # expression on generator-GT and parsed renders
+                # §11.3.5/§11.3.6 over an OPAQUE backdrop: composite =
+                # (1-a)·B + a·Blend(B,S); Normal's Blend(B,S)=S recovers
+                # plain source-over. Separable gray blends, fixed-order
+                # IEEE floats with ONE rounding site — same expression on
+                # generator-GT and parsed renders
                 old = canvas[yy, px0:px1].astype(np.float64)
+                if blend == "Multiply":
+                    src = old * (value / 255.0)
+                elif blend == "Screen":
+                    src = 255.0 - (255.0 - old) * ((255.0 - value) / 255.0)
+                else:
+                    src = float(value)
                 canvas[yy, px0:px1] = np.clip(
-                    np.round(value * alpha + old * (1.0 - alpha)), 0, 255
+                    np.round(src * alpha + old * (1.0 - alpha)), 0, 255
                 ).astype(np.uint8)
 
 
@@ -610,11 +620,12 @@ def paint_vectors(
         elif paint == "fill":
             fill_contours(
                 canvas, [c for c in pix if len(c) >= 3], gray,
-                alpha=float(v.get("alpha", 1.0)),
+                alpha=float(v.get("alpha", 1.0)), blend=v.get("blend"),
             )
         elif paint == "stroke":
             lw_px = max(float(v.get("lw", 1.0)) * scale, 1.0)
             a = float(v.get("alpha", 1.0))
+            bm = v.get("blend")
             dash = v.get("dash")
             for i, c in enumerate(pix):
                 cl = closed[i] if isinstance(closed, (list, tuple)) else bool(closed)
@@ -626,10 +637,12 @@ def paint_vectors(
                         float(v.get("dash_phase", 0.0)) * scale,
                     ):
                         for quad in _stroke_quads(sub, lw_px, scl):
-                            fill_contours(canvas, [quad], gray, alpha=a)
+                            fill_contours(
+                                canvas, [quad], gray, alpha=a, blend=bm
+                            )
                 else:
                     for quad in _stroke_quads(c, lw_px, cl):
-                        fill_contours(canvas, [quad], gray, alpha=a)
+                        fill_contours(canvas, [quad], gray, alpha=a, blend=bm)
 
 
 def render_page(

@@ -135,7 +135,9 @@ def test_extgstate_alpha_blend():
     background; writer -> parser dict equality + raster md5 parity."""
     from docprompt_spark.corpus import _page_vectors
 
-    for k in (34, 35, 50, 255):  # k&2 (bar) and k&32 (alpha) set
+    # k&2 (bar) and k&32 (alpha) set, k&64 set so these stay OUT of the
+    # blend-mode slice ((k&96)==32, covered by tests/test_blend_modes.py)
+    for k in (98, 99, 114, 255):
         writer, gt = _page_vectors(k)
         assert any(v.get("alpha") == 0.5 for v in gt), f"k={k}"
         pages = [{
