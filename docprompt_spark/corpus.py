@@ -1423,6 +1423,13 @@ def gen_doc(
         cid_font_program=(
             envelope == "cidfont" or (envelope is None and idx % 6 == 0)
         ),
+        # an embedded /Encoding CMap stream (§9.7.5.3, codes = CID+0x100)
+        # replaces /Identity-H on half of each CID slice — geometry only
+        # survives if the reader walks the cidrange/cidchar sections
+        cid_encoding_cmap=(
+            (envelope == "cidfont" and idx % 2 == 0)
+            or (envelope is None and idx % 12 == 0)
+        ),
         # a third of the corpus routes vector art + the header line through
         # a Form XObject (/Fm0 Do, §8.10) — the letterhead/stamp pattern
         # real producers emit; golden spans are envelope-invariant so the

@@ -904,6 +904,18 @@ class PdfFile:
                     for cid in range(first, last + 1):
                         widths[cid] = w
                     i += 3
+            enc = self.resolve(fd.get("Encoding"))
+            if isinstance(enc, Stream):
+                # embedded CID CMap (§9.7.5.3): show-string CODES map
+                # through cidrange/cidchar to CIDs. Re-key the width table
+                # by CODE once at load time so the per-glyph hot loop
+                # stays a plain dict lookup (Identity-H keeps code == CID)
+                code2cid = _parse_cid_cmap(enc.data(self.resolve))
+                widths = {
+                    code: widths[cid]
+                    for code, cid in code2cid.items()
+                    if cid in widths
+                }
             info["widths"] = widths
             tounicode = fd.get("ToUnicode")
             info["cmap"] = (
@@ -1760,18 +1772,34 @@ class PdfFile:
                             if not named:
                                 # CID-keyed program (CIDFontType0C): the
                                 # charset carries CIDs, not names — map
-                                # CID->char through the Type0 parent's
-                                # ToUnicode (Identity-H: code == CID)
+                                # CID->code (inverse of the /Encoding
+                                # CMap; Identity-H: code == CID) then
+                                # code->char through ToUnicode (§9.10.3,
+                                # keyed by CODE)
                                 tu = self.resolve(fd_obj.get("ToUnicode"))
                                 cmap = (
                                     _parse_tounicode(tu.data(self.resolve))
                                     if isinstance(tu, Stream)
                                     else {}
                                 )
+                                enc = self.resolve(fd_obj.get("Encoding"))
+                                cid2code = None
+                                if isinstance(enc, Stream):
+                                    cid2code = {
+                                        c: k
+                                        for k, c in _parse_cid_cmap(
+                                            enc.data(self.resolve)
+                                        ).items()
+                                    }
                                 for cid, wc in cff.cff_cid_glyph_outlines(
                                     data
                                 ).items():
-                                    ch = cmap.get(cid)
+                                    code = (
+                                        cid2code.get(cid)
+                                        if cid2code is not None
+                                        else cid
+                                    )
+                                    ch = cmap.get(code)
                                     if (
                                         ch
                                         and len(ch) == 1
@@ -1823,6 +1851,32 @@ _HEXTRIPLE_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f
 _BFRANGE_ARR_RE = re.compile(
     rb"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*\[((?:\s*<[0-9a-fA-F]+>)+)\s*\]"
 )
+
+
+_CIDRANGE_RE = re.compile(rb"begincidrange(.*?)endcidrange", re.S)
+_CIDCHAR_RE = re.compile(rb"begincidchar(.*?)endcidchar", re.S)
+_CIDRANGE_ROW_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\d+)"
+)
+_CIDCHAR_ROW_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*(\d+)")
+
+
+def _parse_cid_cmap(data: bytes) -> Dict[int, int]:
+    """Embedded CID CMap stream (§9.7.5.3, the Type0 /Encoding form real
+    CJK subset fonts carry instead of /Identity-H): code -> CID from
+    begincidrange triples (`<lo> <hi> firstCID`) and begincidchar pairs
+    (`<code> cid`). 2-byte codespace (the dominant real-world form; the
+    show-string reader consumes byte pairs)."""
+    out: Dict[int, int] = {}
+    for section in _CIDRANGE_RE.findall(data):
+        for lo, hi, cid in _CIDRANGE_ROW_RE.findall(section):
+            lo_i, hi_i, c0 = int(lo, 16), int(hi, 16), int(cid)
+            for k in range(hi_i - lo_i + 1):
+                out[lo_i + k] = c0 + k
+    for section in _CIDCHAR_RE.findall(data):
+        for code, cid in _CIDCHAR_ROW_RE.findall(section):
+            out[int(code, 16)] = int(cid)
+    return out
 
 
 @cff.memo_bytes_fn

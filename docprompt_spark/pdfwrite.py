@@ -95,10 +95,15 @@ class _Builder:
     def add(self, body: bytes) -> int:
         return self.set(self.reserve(), body)
 
-    def add_stream(self, dict_entries: str, data: bytes, compress=False) -> int:
+    def add_stream(
+        self, dict_entries: str, data: bytes, compress=False,
+        dict_entries_fn=None,
+    ) -> int:
         """``compress``: False, True/'flate', 'lzw', 'a85' (ASCII85 over
         Flate — the email/text-safe cascade real tools emit), or 'rl'
-        (PDF §7.4.4.2)."""
+        (PDF §7.4.4.2). ``dict_entries_fn(num)``: extra dict entries that
+        need the object NUMBER (strings in stream dicts encrypt with the
+        containing object's key, §7.6.2)."""
         if compress == "lzw":
             from docprompt_spark import lzw
 
@@ -122,6 +127,8 @@ class _Builder:
         num = self.reserve()
         if self.encryptor is not None:
             data = self.encryptor.encrypt(data, num)
+        if dict_entries_fn is not None:
+            dict_entries += dict_entries_fn(num)
         head = f"<< {dict_entries} /Length {len(data)} >>\nstream\n".encode()
         return self.set(num, head + data + b"\nendstream")
 
@@ -270,6 +277,53 @@ def _objstm_offsets(compressed: List[Tuple[int, bytes]]) -> List[Tuple[int, int]
 # Words on one visual line share a y; ops are emitted in the given order.
 
 
+def _cid_cmap_stream(n_chars: int, first_cid: int, code_off: int) -> bytes:
+    """An embedded CID CMap stream (§9.7.5.3 — the /Encoding form real CJK
+    subset fonts carry instead of /Identity-H): 2-byte codespace, codes =
+    CID + ``code_off``. Mappings serialize as chunked begincidrange
+    sections PLUS trailing begincidchar singles, so the reader's range AND
+    char paths are both exercised."""
+    lines = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+        " /Supplement 0 >> def",
+        "/CMapName /DS-Ext def",
+        "/CMapType 1 def",
+        "/WMode 0 def",
+        "1 begincodespacerange",
+        "<0000> <ffff>",
+        "endcodespacerange",
+    ]
+    n_singles = min(2, n_chars)  # last codes go through begincidchar
+    n_ranged = n_chars - n_singles
+    chunk = 3
+    ranges = []
+    i = 0
+    while i < n_ranged:
+        n = min(chunk, n_ranged - i)
+        lo = first_cid + i + code_off
+        ranges.append(f"<{lo:04x}> <{lo + n - 1:04x}> {first_cid + i}")
+        i += n
+    if ranges:
+        lines.append(f"{len(ranges)} begincidrange")
+        lines.extend(ranges)
+        lines.append("endcidrange")
+    if n_singles:
+        lines.append(f"{n_singles} begincidchar")
+        for j in range(n_ranged, n_chars):
+            lines.append(f"<{first_cid + j + code_off:04x}> {first_cid + j}")
+        lines.append("endcidchar")
+    lines += [
+        "endcmap",
+        "CMapName currentdict /CMap defineresource pop",
+        "end",
+        "end",
+    ]
+    return "\n".join(lines).encode()
+
+
 def _tounicode_cmap(charset: Sequence[str], first_cid: int = 0) -> bytes:
     lines = [
         "/CIDInit /ProcSet findresource begin",
@@ -320,6 +374,7 @@ def write_pdf(
     encrypt: Optional[str] = None,
     font_format: str = "cff",
     cid_font_program: bool = False,
+    cid_encoding_cmap: bool = False,
     form_xobject: bool = False,
     rotate: int = 0,
     media_origin: Tuple[float, float] = (0.0, 0.0),
@@ -505,8 +560,13 @@ def write_pdf(
     # document's CID assignment must leave 0 to .notdef, exactly like
     # real subsetters number ABCDEF+ CID subsets.
     first_cid = 1 if cid_font_program else 0
+    # With an embedded /Encoding CMap (§9.7.5.3), show-string CODES are no
+    # longer CIDs: code = CID + 0x100 — the mapping only round-trips if
+    # the reader actually walks the cidrange/cidchar sections. ToUnicode
+    # stays keyed by CODE (§9.10.3); /W stays keyed by CID.
+    code_off = 0x100 if cid_encoding_cmap else 0
     cid_of: Dict[str, int] = {
-        ch: i + first_cid for i, ch in enumerate(charset)
+        ch: i + first_cid + code_off for i, ch in enumerate(charset)
     }
     f2 = None
     if charset:
@@ -555,12 +615,38 @@ def write_pdf(
             ).encode(),
         )
         tounicode = b.add_stream(
-            "", _tounicode_cmap(charset, first_cid), compress=compress_streams
+            "",
+            _tounicode_cmap(charset, first_cid + code_off),
+            compress=compress_streams,
         )
+        if cid_encoding_cmap:
+            def _csi(num: int) -> str:
+                # /CIDSystemInfo strings in a STREAM dict encrypt with the
+                # containing object's key (§7.6.2 — stream objects never
+                # join the ObjStm, so this applies in both envelopes)
+                def s(txt: bytes) -> str:
+                    if handler is not None:
+                        txt = handler.encrypt(txt, num)
+                    return esc_literal(txt).decode("latin-1")
+
+                return (
+                    f" /CIDSystemInfo << /Registry ({s(b'Adobe')})"
+                    f" /Ordering ({s(b'Identity')}) /Supplement 0 >>"
+                )
+
+            enc_stream = b.add_stream(
+                "/Type /CMap /CMapName /DS-Ext",
+                _cid_cmap_stream(len(charset), first_cid, code_off),
+                compress=compress_streams,
+                dict_entries_fn=_csi,
+            )
+            enc_entry = f" /Encoding {enc_stream} 0 R"
+        else:
+            enc_entry = " /Encoding /Identity-H"
         f2 = b.add(
             (
                 "<< /Type /Font /Subtype /Type0 /BaseFont /DSCID"
-                " /Encoding /Identity-H"
+                f"{enc_entry}"
                 f" /DescendantFonts [{cidfont} 0 R] /ToUnicode {tounicode} 0 R >>"
             ).encode()
         )

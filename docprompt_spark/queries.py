@@ -3542,8 +3542,12 @@ def extraction_cid_font_spans(spark, sf_dir):
     real ABCDEF+ subsets), CID->glyph resolves through the CFF charset
     instead of /CIDToGIDMap, and advance widths require FDArray/FDSelect
     per-FD Private decode (two Font DICTs with different nominalWidthX).
-    Corpus rotates both xref envelopes + all three content filters;
-    golden spans are embedding-form-independent."""
+    Half the corpus additionally swaps /Identity-H for an EMBEDDED CID
+    CMap stream /Encoding (§9.7.5.3, codes = CID+0x100, cidrange +
+    cidchar sections) — word geometry only survives if the reader walks
+    the CMap (/W is keyed by CID, ToUnicode by code). Corpus rotates both
+    xref envelopes + all three content filters; golden spans are
+    embedding-form-independent."""
     from docprompt_spark import pipeline
 
     docs = pipeline.corpus_df(
