@@ -116,6 +116,8 @@ _LOW_PRIORITY_NAMES = [
     "media_image_features",  # (D11 features) same decode surface as media_codec_histogram (in-window); local oracle covers
     "ngram_jaccard_self_similarity",  # (dedup) minhash_lsh_neardup_pairs' exact-verify stage runs the same relational Jaccard in-window
     "text_quality_scores",  # (quality) repetition_quality_flags is the in-window quality evidence; still bench-timed + local oracle
+    "rare_token_quality",  # (quality) corpus-frequency rare-token gate; same integer-exact family as repetition_quality_flags (in-window); local oracle covers
+    "exact_substring_dup_spans",  # (dedup) overlapping-window exact-substring pass; the dedup family is in-window via minhash/simhash/paragraph/decontamination; local oracle covers
     "media_inventory",  # (media counts) media_codec_histogram is the stronger in-window counting oracle; local oracle still checks it
     "page_bucket_batching",  # W8 chunk_iterable: local oracle covers; size_capped_batching is the same kernel
     "posting_list_sizes",  # search stats: search_bm25_ranked (in-window) is the §2 evidence
@@ -875,6 +877,148 @@ def doc_fingerprints(spark, sf_dir):
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 _SW_SQL = "('" + "','".join(_STOPWORDS) + "')"
+
+
+_ESD_W = 10  # exact-substring window width (tokens)
+
+@query(
+    "exact_substring_dup_spans",
+    f"""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ), w AS (
+      SELECT doc_id,
+             {_h60_sql(f"array_to_string(list_slice(toks, i, i + {_ESD_W - 1}), ' ')")} AS h
+      FROM d, LATERAL unnest(generate_series(1, len(toks) - {_ESD_W - 1}))
+             AS g(i)
+      WHERE len(toks) >= {_ESD_W}
+    ), dup AS (
+      SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) * 5
+             >= COUNT(*) AS INT) AS dup_flag
+    FROM w LEFT JOIN dup ON w.h = dup.h
+    GROUP BY w.doc_id
+    """,
+)
+def exact_substring_dup_spans(spark, sf_dir):
+    """EXACT-SUBSTRING dedup (Lee et al. 2021, 'Deduplicating Training
+    Data Makes Language Models Better' — the suffix-array pass, re-cast
+    relationally): every OVERLAPPING 10-token window (stride 1, unlike
+    paragraph_dedup_fraction's disjoint chunks) is hashed; a window whose
+    hash occurs in >=2 DISTINCT documents marks a cross-document repeated
+    substring. Per doc: total windows, duplicated windows, and a >=20%
+    flag via the INTEGER cross-multiplication ``dup*5 >= n`` (no float
+    division — engines agree exactly). Scale plan: windows are built
+    JVM-side from the token array (sequence+transform+slice — no UDF) and
+    reduced to 60-bit hashes BEFORE the exchange, so the shuffle carries
+    ~8 bytes per window, not text; the duplicate set comes from one
+    hash-partitioned partial agg and joins back on the same key (AQE
+    reuses the partitioning). The W-times blowup is inherent to
+    exact-substring dedup; hashing first is what makes it shippable at
+    100 TB."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
+    ).filter(F.size("toks") >= _ESD_W)
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (_ESD_W - 1)),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, _ESD_W)),
+            )
+        ).alias("win"),
+    )
+    h = wins.select("doc_id", _h60(F.col("win")).alias("h"))
+    dup = (
+        h.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("isdup"))
+    )
+    return (
+        h.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.coalesce("isdup", F.lit(0)))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            (F.col("n_dup_windows") * 5 >= F.col("n_windows"))
+            .cast("int")
+            .alias("dup_flag"),
+        )
+    )
+
+
+@query(
+    "rare_token_quality",
+    """
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ), freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(f.c) AS BIGINT) AS sum_token_freq,
+           CAST(SUM(CASE WHEN f.c <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS rare_token_n,
+           CAST(SUM(CASE WHEN f.c <= 2 THEN 1 ELSE 0 END) * 5 >= COUNT(*)
+             AS INT) AS rare_flag
+    FROM toks t JOIN freq f ON t.tok = f.tok
+    GROUP BY t.doc_id
+    """,
+)
+def rare_token_quality(spark, sf_dir):
+    """Corpus-frequency (unigram-LM-style) quality scoring — the CCNet/
+    Gopher-family 'too many rare tokens' filter between per-doc shape
+    checks and model-based perplexity: per doc, the total corpus frequency
+    mass of its tokens and how many of them are corpus-RARE (global count
+    <= 2), flagged at >=20% via the INTEGER cross-multiplication
+    ``rare_n*5 >= n_tokens`` — no float division, every engine agrees
+    exactly. Scale plan: ONE global token aggregation (map-side partial —
+    vocab is tiny next to the corpus), the frequency table BROADCAST back
+    onto the token stream, then one per-doc partial agg; no shuffle of the
+    corpus text itself beyond the token explode, the same shape at 100 TB
+    (reference analog: quality gates around search/result scoring,
+    models/result.py)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    joined = toks.join(F.broadcast(freq), "tok")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("c").cast("long").alias("sum_token_freq"),
+            F.sum((F.col("c") <= 2).cast("long"))
+            .cast("long")
+            .alias("rare_token_n"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_token_freq",
+            "rare_token_n",
+            (F.col("rare_token_n") * 5 >= F.col("n_tokens"))
+            .cast("int")
+            .alias("rare_flag"),
+        )
+    )
 
 
 @query(
