@@ -35,7 +35,7 @@ def corpus_path(n_docs: int, seed: int = 42, spark=None) -> str:
     # v8: corpus rotates xref-stream envelopes (idx%5==1),
     # Flate/raw/LZW/raw content streams (idx%4) and raw/Flate/LZW/DCT/CCITT
     # image codecs; bump the prefix whenever gen_doc output bytes change
-    path = f"/tmp/docprompt_bench_corpus/v49_seed{seed}_n{n_docs}"
+    path = f"/tmp/docprompt_bench_corpus/v50_seed{seed}_n{n_docs}"
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         if spark is not None:

@@ -479,6 +479,18 @@ def _gen_page(
                         and palette is None
                         and filt in (None, "FlateDecode", "LZWDecode")
                     ),
+                    # CIE-based CalGray/CalRGB (§8.6.5.2-3) on the NEXT
+                    # third — the pre-ICC archival form; ground truth is
+                    # unchanged (the reader maps the family back to its
+                    # device space)
+                    "cal": (
+                        (base >> 2) % 3 == 2
+                        and not is_inline
+                        and not imagemask
+                        and palette is None
+                        and cs in ("DeviceGray", "DeviceRGB")
+                        and filt in (None, "FlateDecode", "LZWDecode")
+                    ),
                     "x": ix, "y": y, "w": w, "h": h,
                     # BI/ID/EI inline images (scanned-page tiles / small
                     # logos in real PDFs): rotate ~25% of figures inline on

@@ -101,13 +101,20 @@ def _cs_device_name(cs_obj, resolve) -> str:
     conforming reader to substitute the alternate; profile TRANSFORMS
     are out of scope, component semantics are honored)."""
     if isinstance(cs_obj, list) and cs_obj:
-        if str(resolve(cs_obj[0])) == "ICCBased" and len(cs_obj) > 1:
+        head = str(resolve(cs_obj[0]))
+        if head == "ICCBased" and len(cs_obj) > 1:
             prof = resolve(cs_obj[1])
             d = prof.dict if hasattr(prof, "dict") else (prof or {})
             n = int(resolve(d.get("N", 1)) or 1)
             return {1: "DeviceGray", 3: "DeviceRGB", 4: "DeviceCMYK"}.get(
                 n, ""
             )
+        if head in ("CalGray", "CalRGB"):
+            # CIE-based Cal spaces (§8.6.5.2-3, the pre-ICC archival
+            # form): render through the corresponding device space —
+            # component semantics honored, CIE transforms out of scope
+            # (pdfium's practical handling)
+            return {"CalGray": "DeviceGray", "CalRGB": "DeviceRGB"}[head]
         return ""
     return str(cs_obj)
 

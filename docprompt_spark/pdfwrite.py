@@ -813,6 +813,21 @@ def write_pdf(
                         compress=False,
                     )
                     cs_ser = f"[/ICCBased {icc_num} 0 R]"
+                elif im.get("cal") and cs in ("DeviceGray", "DeviceRGB"):
+                    # CIE-based CalGray/CalRGB (§8.6.5.2-3) — the pre-ICC
+                    # archival (PDF/A-1-era) form; the reader maps the
+                    # family back to its device space, CIE transforms out
+                    # of scope (multimodal._cs_device_name)
+                    if cs == "DeviceGray":
+                        cs_ser = (
+                            "[/CalGray << /WhitePoint [0.9505 1 1.089]"
+                            " /Gamma 2.2 >>]"
+                        )
+                    else:
+                        cs_ser = (
+                            "[/CalRGB << /WhitePoint [0.9505 1 1.089]"
+                            " /Gamma [2.2 2.2 2.2] >>]"
+                        )
                 entries += (
                     f" /ColorSpace {cs_ser}"
                     f" /BitsPerComponent {im.get('bpc', 8)}"
