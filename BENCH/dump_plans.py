@@ -82,6 +82,10 @@ def main() -> None:
         "paragraph_dedup_fraction",
         "url_domain_filter",
         "form_appearance_texts",
+        # round-5 late additions (this session)
+        "extraction_cid_font_spans",
+        "exact_substring_dup_spans",
+        "rare_token_quality",
     ]:
         sections.append((name, formatted(reg[name][0](spark, sf))))
 

@@ -51,6 +51,10 @@ def main() -> None:
     attempts = int(os.environ.get("SCALING_ATTEMPTS", "2"))
     os.environ.setdefault("BENCH_REPS", "4")
     os.environ.setdefault("BENCH_DOCS", "24000")
+    # scaling measures the extraction job only — the per-query timings the
+    # full bench also reports don't feed the efficiency ratio and double
+    # the campaign wall at low core counts
+    os.environ.setdefault("BENCH_SKIP_QUERIES", "1")
 
     levels = sorted({c for p in pairs for c in p})
     best: dict[int, dict] = {}
@@ -100,15 +104,18 @@ def main() -> None:
         "",
         "## Extraction (flagship): corpus → parse → layout → span sequences",
         "",
-        "| parallelism (pinned) | docs | pages | wall sec | docs/sec | pages/sec |",
-        "|---|---|---|---|---|---|",
+        "| parallelism (pinned) | docs | pages | wall sec | docs/sec | pages/sec | serial cal (docs/s/core) |",
+        "|---|---|---|---|---|---|---|",
     ]
     for cpus in levels:
         r = best[cpus]
+        # serial cal: the same kernel run on ONE core inside that bench
+        # invocation — a host-weather anchor making runs comparable
         lines.append(
             f"| local[{cpus}] | {r['extraction']['n_docs']} | {r['extraction']['n_pages']} "
             f"| {r['value']} | {r['extraction']['docs_per_sec']} "
-            f"| {r['extraction']['pages_per_sec']} |"
+            f"| {r['extraction']['pages_per_sec']} "
+            f"| {r['extraction'].get('serial_docs_per_sec', '—')} |"
         )
     lines += ["", "## Scaling efficiency tp(4N) / (4 × tp(N))", ""]
     for (a, b), eff in effs.items():

@@ -88,6 +88,27 @@ def main() -> None:
     # worker pool with real imports; throughput below is steady-state
     pipeline.run_extraction(spark, docs).selectExpr("sum(size(spans))").collect()
 
+    # HOST CALIBRATION (uncounted): the same parse kernel run serially on
+    # one core, in-process. This box is a shared-tenant VM whose effective
+    # per-vCPU capacity swings 2-4x hour to hour (measured: the identical
+    # pure-python 16-way probe ranged 11-45 docs/s/core in one afternoon
+    # while the serial number held ~70/s on an idle box); recording the
+    # serial kernel rate alongside the Spark wall lets any two bench runs
+    # be compared on engine merit rather than host weather.
+    from docprompt_spark import corpus as _corpus
+    from docprompt_spark import kernels as _kernels
+    from docprompt_spark import pdfparse as _pdfparse
+
+    cal_blobs = [_corpus.gen_doc(i, seed=42)["pdf"] for i in range(64)]
+    t0 = time.perf_counter()
+    for _blob in cal_blobs:
+        for _p in _pdfparse.extract_pages(_blob):
+            _lay = _kernels.build_page_layout(_p["words"])
+            _kernels.assemble_page_spans(_lay, _p["images"])
+    serial_docs_per_sec = round(64 / (time.perf_counter() - t0), 2)
+    print(f"[bench] serial kernel calibration: {serial_docs_per_sec} docs/s/core",
+          file=sys.stderr)
+
     extraction_sec, n_spans = None, 0
     rep_walls = []
     for _ in range(reps):
@@ -115,6 +136,8 @@ def main() -> None:
     ]
     reg = qmod.registry()
     query_secs = {}
+    if os.environ.get("BENCH_SKIP_QUERIES"):
+        headline = []  # scaling runs time extraction only (halves campaign wall)
     for name in headline:
         fn, _ = reg[name]
         best = None
@@ -139,6 +162,11 @@ def main() -> None:
             "docs_per_sec": round(n_docs / extraction_sec, 2),
             "pages_per_sec": round(n_pages / extraction_sec, 2),
             "rep_walls": rep_walls,
+            # single-core serial rate of the same kernel, measured in this
+            # run: divides out shared-host capacity swings when comparing
+            # bench runs across days (engine merit = docs_per_sec relative
+            # to serial_docs_per_sec * cores, not the absolute wall)
+            "serial_docs_per_sec": serial_docs_per_sec,
         },
     }
     print(json.dumps(out))
