@@ -293,6 +293,20 @@ class LitString(bytes):
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
+# Master token regex for the object lexer (same shape as _CS_RE for content
+# streams): one C-level match replaces the per-char skip_ws + scan loops.
+# Group alternatives mirror read_token's historical dispatch exactly; literal
+# strings, hex strings and #-escaped names fall back to the char-loop readers.
+_OBJ_TOK_RE = re.compile(
+    rb"(?:%[^\r\n]*|[\0\t\n\f\r ])*"
+    rb"(<<|>>|\[|\]"
+    rb"|/[^\0\t\n\f\r ()<>\[\]{}/%]*"
+    rb"|[0-9+.\-][0-9.+-]*"
+    rb"|[^\0\t\n\f\r ()<>\[\]{}/%]+"
+    rb"|.)",
+    re.DOTALL,
+)
+
 
 class _Lexer:
     """Tokenizer over PDF syntax, used for both objects & content streams."""
@@ -318,37 +332,35 @@ class _Lexer:
 
     def read_token(self) -> Any:
         """Next syntactic token: returns python values, Name, Ref markers
-        handled by the parser above; operators come back as bytes."""
-        self.skip_ws()
-        d = self.data
-        if self.pos >= len(d):
+        handled by the parser above; operators come back as bytes.
+
+        One _OBJ_TOK_RE match per token (C-level scan) with the historical
+        char-loop readers kept as fallbacks for literal strings, hex
+        strings, and #-escaped names — token-for-token identical output."""
+        m = _OBJ_TOK_RE.match(self.data, self.pos)
+        if m is None:  # only at end-of-data (ws/comment tail included)
             raise EOFError
-        c = d[self.pos]
+        tok = m.group(1)
+        self.pos = m.end()
+        c = tok[0]
         if c == 0x2F:  # /Name
-            return self._read_name()
-        if c == 0x28:  # ( literal string
+            if 0x23 in tok:  # #xx escape: rare — char-loop fallback
+                self.pos = m.start(1)
+                return self._read_name()
+            return Name(tok[1:].decode("latin-1"))
+        if 0x30 <= c <= 0x39 or c in (0x2B, 0x2D, 0x2E):  # number
+            return float(tok) if 0x2E in tok else int(tok)
+        if tok in (b"<<", b">>", b"[", b"]"):
+            return tok
+        if c == 0x28:  # ( literal string: escape-aware reader
+            self.pos = m.start(1)
             return self._read_literal_string()
-        if c == 0x3C:  # < or <<
-            if d[self.pos : self.pos + 2] == b"<<":
-                self.pos += 2
-                return b"<<"
+        if c == 0x3C:  # lone '<': hex string
+            self.pos = m.start(1)
             return self._read_hex_string()
-        if c == 0x3E and d[self.pos : self.pos + 2] == b">>":
-            self.pos += 2
-            return b">>"
-        if c in b"[]":
-            self.pos += 1
-            return bytes([c])
-        if c in b"+-." or 0x30 <= c <= 0x39:
-            return self._read_number()
-        # keyword / operator
-        start = self.pos
-        while self.pos < len(d) and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
-            self.pos += 1
-        if self.pos == start:  # lone delimiter (e.g. { })
-            self.pos += 1
-            return d[start : self.pos]
-        return Op(d[start : self.pos])
+        if len(tok) == 1 and c in b")>{}":  # lone delimiter
+            return tok
+        return Op(tok)
 
     def _read_name(self) -> Name:
         d = self.data
@@ -1009,7 +1021,10 @@ class PdfFile:
         return out
 
     # -- page extraction ----------------------------------------------------
-    def extract_page(self, index: int, with_image_data: bool = False) -> dict:
+    def extract_page(
+        self, index: int, with_image_data: bool = False,
+        with_vectors: bool = True,
+    ) -> dict:
         """Words + images for 0-based page ``index`` (normalized bboxes)."""
         page = self.resolve(self.page_refs[index])
         media = self._inherited(page, "MediaBox")
@@ -1067,6 +1082,7 @@ class PdfFile:
             page_w=pw,
             page_h=ph,
             with_image_data=with_image_data,
+            with_vectors=with_vectors,
             load_font=self._load_font,
             ctm0=None if ctm0 is _ID else ctm0,
             shadings=self.resolve(resources.get("Shading", {})) or {},
@@ -2334,12 +2350,28 @@ def _ps_parse(data: bytes):
     return top[0] if len(top) == 1 and isinstance(top[0], list) else top
 
 
+#: operators that ONLY feed the vector-path output (path construction,
+#: painting, clipping, stroke/fill state, shadings, patterns, ExtGState):
+#: words and images never read any state these ops produce, so a caller
+#: that does not consume ``vectors`` can skip them wholesale.
+_VECTOR_OPS = frozenset(
+    [
+        b"m", b"l", b"c", b"v", b"y", b"re", b"h",
+        b"f", b"F", b"f*", b"S", b"s", b"B", b"B*", b"b", b"b*", b"n",
+        b"W", b"W*", b"sh", b"d", b"w", b"g", b"G", b"rg", b"RG",
+        b"cs", b"scn", b"gs", b"i", b"j", b"J", b"M", b"ri", b"CS", b"SCN",
+        b"sc", b"SC",
+    ]
+)
+
+
 def _interpret_content(
     data: bytes, *, fonts: dict, xobjects: dict, resolve, page_w: float,
     page_h: float, with_image_data: bool = False, ctm0: tuple = None,
     load_font=None, depth: int = 0, shadings: dict = None,
     ext_gstates: dict = None, properties: dict = None, oc_off=None,
     patterns: dict = None, colorspaces: dict = None,
+    with_vectors: bool = True,
 ) -> Tuple[List[dict], List[dict]]:
     # iter(): the op loop and the nested array/dict collectors share one
     # cursor (the tokenizer returns a plain list for speed)
@@ -2853,57 +2885,29 @@ def _interpret_content(
                 stack.append(tok)
             continue
         op = tok
-        if op == b"q":
-            gs_stack.append(
-                (ctm, fill_g, stroke_g, line_w, tr_mode, clip_cts,
-                 fill_a, stroke_a, fill_pattern, fill_sep,
-                 char_sp, word_sp, hscale, rise, dash, blend_m)
-            )
-        elif op == b"Q":
-            if gs_stack:
-                (ctm, fill_g, stroke_g, line_w, tr_mode, clip_cts,
-                 fill_a, stroke_a, fill_pattern, fill_sep,
-                 char_sp, word_sp, hscale, rise, dash,
-                 blend_m) = gs_stack.pop()
-        elif op == b"cm":
+        if not with_vectors and op in _VECTOR_OPS:
+            # words-only mode (the span pipeline): path geometry, paint
+            # state, shadings and patterns are never emitted — skip the
+            # ops (incl. per-point CTM transforms, tiling-cell expansion
+            # and shading-function resolution) outright. Text, image and
+            # marked-content state are untouched by any of these ops.
+            stack.clear()
+            continue
+        # dispatch ordered by measured op frequency on the corpus
+        # (Tj 33% > Tm 23% > Td 16% > TJ 5% > BDC/EMC > q/Q > the rest)
+        if op == b"Tj":
+            show([stack[-1]])
+            stack.clear()
+        elif op == b"Tm":
             m = tuple(float(v) for v in stack[-6:])
-            ctm = _mat_mul(m, ctm)
-            stack.clear()
-        elif op == b"BT":
-            begin_line(_ID)
-            stack.clear()
-        elif op == b"ET":
-            stack.clear()
-        elif op == b"Tf":
-            size = float(stack[-1])
-            font = fonts[str(stack[-2])]
-            stack.clear()
-        elif op == b"TL":
-            tl = float(stack[-1])
+            begin_line(m)
             stack.clear()
         elif op == b"Td":
             dx, dy = float(stack[-2]), float(stack[-1])
             begin_line(_line_displace(tlm, dx, dy))
             stack.clear()
-        elif op == b"TD":
-            dx, dy = float(stack[-2]), float(stack[-1])
-            tl = -dy
-            begin_line(_line_displace(tlm, dx, dy))
-            stack.clear()
-        elif op == b"Tr":
-            tr_mode = int(float(stack[-1]))
-            stack.clear()
-        elif op == b"Tc":
-            char_sp = float(stack[-1])
-            stack.clear()
-        elif op == b"Tw":
-            word_sp = float(stack[-1])
-            stack.clear()
-        elif op == b"Tz":
-            hscale = float(stack[-1]) / 100.0
-            stack.clear()
-        elif op == b"Ts":
-            rise = float(stack[-1])
+        elif op == b"TJ":
+            show(list(stack[-1]))
             stack.clear()
         elif op in (b"BDC", b"BMC"):
             # marked-content sequence (§14.6): BDC's property list may
@@ -2933,15 +2937,56 @@ def _interpret_content(
             cur_mcid = mc_stack.pop() if mc_stack else None
             oc_hidden = oc_stack.pop() if oc_stack else False
             stack.clear()
-        elif op == b"Tm":
+        elif op == b"q":
+            gs_stack.append(
+                (ctm, fill_g, stroke_g, line_w, tr_mode, clip_cts,
+                 fill_a, stroke_a, fill_pattern, fill_sep,
+                 char_sp, word_sp, hscale, rise, dash, blend_m)
+            )
+        elif op == b"Q":
+            if gs_stack:
+                (ctm, fill_g, stroke_g, line_w, tr_mode, clip_cts,
+                 fill_a, stroke_a, fill_pattern, fill_sep,
+                 char_sp, word_sp, hscale, rise, dash,
+                 blend_m) = gs_stack.pop()
+        elif op == b"cm":
             m = tuple(float(v) for v in stack[-6:])
-            begin_line(m)
+            ctm = _mat_mul(m, ctm)
+            stack.clear()
+        elif op == b"BT":
+            begin_line(_ID)
+            stack.clear()
+        elif op == b"ET":
+            stack.clear()
+        elif op == b"Tf":
+            size = float(stack[-1])
+            font = fonts[str(stack[-2])]
+            stack.clear()
+        elif op == b"TL":
+            tl = float(stack[-1])
+            stack.clear()
+        elif op == b"TD":
+            dx, dy = float(stack[-2]), float(stack[-1])
+            tl = -dy
+            begin_line(_line_displace(tlm, dx, dy))
+            stack.clear()
+        elif op == b"Tr":
+            tr_mode = int(float(stack[-1]))
+            stack.clear()
+        elif op == b"Tc":
+            char_sp = float(stack[-1])
+            stack.clear()
+        elif op == b"Tw":
+            word_sp = float(stack[-1])
+            stack.clear()
+        elif op == b"Tz":
+            hscale = float(stack[-1]) / 100.0
+            stack.clear()
+        elif op == b"Ts":
+            rise = float(stack[-1])
             stack.clear()
         elif op == b"T*":
             begin_line(_line_displace(tlm, 0.0, -tl))
-            stack.clear()
-        elif op == b"Tj":
-            show([stack[-1]])
             stack.clear()
         elif op == b"'":
             begin_line(_line_displace(tlm, 0.0, -tl))
@@ -2954,9 +2999,6 @@ def _interpret_content(
             char_sp = float(stack[-2])
             begin_line(_line_displace(tlm, 0.0, -tl))
             show([stack[-1]])
-            stack.clear()
-        elif op == b"TJ":
-            show(list(stack[-1]))
             stack.clear()
         elif op == b"Do":
             name = str(stack[-1])
@@ -2997,6 +3039,7 @@ def _interpret_content(
                         page_w=page_w,
                         page_h=page_h,
                         with_image_data=with_image_data,
+                        with_vectors=with_vectors,
                         ctm0=_mat_mul(fm, ctm),
                         load_font=load_font,
                         depth=depth + 1,
@@ -3299,16 +3342,22 @@ def _interpret_content(
 
 def extract_pages(
     data: bytes, lo: int = 0, hi: Optional[int] = None,
-    with_image_data: bool = False,
+    with_image_data: bool = False, with_vectors: bool = True,
 ) -> List[dict]:
     """Parse pages [lo, hi) (0-based) and return per-page dicts:
-    {page_number (1-based), width, height, words, images}."""
+    {page_number (1-based), width, height, words, images}.
+
+    ``with_vectors=False`` skips vector-path interpretation entirely
+    (``vectors`` comes back empty): the span/text pipelines never read it,
+    and the v50 corpus carries vector art on every page."""
     pf = PdfFile(data)
     n = pf.page_count
     hi = n if hi is None else min(hi, n)
     out = []
     for i in range(lo, hi):
-        page = pf.extract_page(i, with_image_data=with_image_data)
+        page = pf.extract_page(
+            i, with_image_data=with_image_data, with_vectors=with_vectors
+        )
         page["page_number"] = i + 1
         out.append(page)
     return out

@@ -140,12 +140,29 @@ def _parse_and_layout(pages_per_bucket: int, on_error: str):
     per document-bucket, vectorized across the Arrow batch."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gc
+
         from pyspark import TaskContext
 
         from docprompt_spark import kernels, pdfparse
 
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1
+        # the parse kernel allocates millions of small acyclic dicts per
+        # task; cyclic-GC sweeps buy nothing here (refcounting frees
+        # everything) and cost ~6% — disable for the task, restore after
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            yield from _parse_batches(batches, pid)
+        finally:
+            if gc_was_enabled:
+                gc.enable()
+            gc.collect()
+
+    def _parse_batches(batches, pid):
+        from docprompt_spark import kernels, pdfparse
+
         for pdf_batch in batches:
             rows = []
             for doc_id, blob, bucket in zip(
@@ -155,7 +172,9 @@ def _parse_and_layout(pages_per_bucket: int, on_error: str):
                 lo = int(bucket) * pages_per_bucket
                 hi = lo + pages_per_bucket
                 try:
-                    pages = pdfparse.extract_pages(bytes(blob), lo, hi)
+                    pages = pdfparse.extract_pages(
+                        bytes(blob), lo, hi, with_vectors=False
+                    )
                 except Exception:
                     if on_error == "skip":
                         continue
@@ -280,6 +299,20 @@ def _parse_to_blocks(pages_per_bucket: int, on_error: str):
     """mapInPandas kernel emitting the TextBlock hierarchy per page."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gc
+
+        from docprompt_spark import kernels, pdfparse  # import before gc off
+
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            yield from _block_batches(batches)
+        finally:
+            if gc_was_enabled:
+                gc.enable()
+            gc.collect()
+
+    def _block_batches(batches):
         from docprompt_spark import kernels, pdfparse
 
         for pdf_batch in batches:
@@ -290,7 +323,7 @@ def _parse_to_blocks(pages_per_bucket: int, on_error: str):
                 lo = int(bucket) * pages_per_bucket
                 try:
                     pages = pdfparse.extract_pages(
-                        bytes(blob), lo, lo + pages_per_bucket
+                        bytes(blob), lo, lo + pages_per_bucket, with_vectors=False
                     )
                 except Exception:
                     if on_error == "skip":
