@@ -921,13 +921,18 @@ class PdfFile:
                 # embedded CID CMap (§9.7.5.3): show-string CODES map
                 # through cidrange/cidchar to CIDs. Re-key the width table
                 # by CODE once at load time so the per-glyph hot loop
-                # stays a plain dict lookup (Identity-H keeps code == CID)
+                # stays a plain dict lookup (Identity-H keeps code == CID).
+                # If the CMap yields no mappings (usecmap-based or any form
+                # the parser misses), KEEP the CID-keyed widths under the
+                # code==CID assumption instead of silently degrading every
+                # glyph to /DW.
                 code2cid = _parse_cid_cmap(enc.data(self.resolve))
-                widths = {
-                    code: widths[cid]
-                    for code, cid in code2cid.items()
-                    if cid in widths
-                }
+                if code2cid:
+                    widths = {
+                        code: widths[cid]
+                        for code, cid in code2cid.items()
+                        if cid in widths
+                    }
             info["widths"] = widths
             tounicode = fd.get("ToUnicode")
             info["cmap"] = (
@@ -1877,6 +1882,7 @@ _CIDRANGE_ROW_RE = re.compile(
 _CIDCHAR_ROW_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*(\d+)")
 
 
+@cff.memo_bytes_fn
 def _parse_cid_cmap(data: bytes) -> Dict[int, int]:
     """Embedded CID CMap stream (§9.7.5.3, the Type0 /Encoding form real
     CJK subset fonts carry instead of /Identity-H): code -> CID from

@@ -206,6 +206,102 @@ def _parse_and_layout(pages_per_bucket: int, on_error: str):
 
 SKEW_PAGE_THRESHOLD = 4 * DEFAULT_PAGES_PER_BUCKET
 
+DOC_SPANS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("spans", ArrayType(SPAN_TYPE), True),
+    ]
+)
+
+
+def _parse_and_assemble(pages_per_bucket: int, on_error: str):
+    """Small-doc kernel: parse a doc's buckets AND assemble its document-
+    level span sequence in one pass, emitting finished (doc_id, spans)
+    rows.
+
+    All buckets of a document are consecutive within one partition
+    (salt_page_buckets explodes in place and the narrow path never
+    shuffles), so cumulative page offsets are computable locally — the
+    doc_id exchange + window + ordered collect that doc_spans() performs
+    become unnecessary for the overwhelming small-doc majority. At 100 TB
+    this removes the one shuffle that carried every span's text. Offsets
+    and ordering are bit-identical to doc_spans(): page_start = Σ
+    (page_text_len + 1) over preceding pages in page_number order."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gc
+
+        from docprompt_spark import kernels, pdfparse  # import before gc off
+
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            yield from _assemble_batches(batches)
+        finally:
+            if gc_was_enabled:
+                gc.enable()
+            gc.collect()
+
+    def _assemble_batches(batches):
+        from docprompt_spark import kernels, pdfparse
+
+        cur_doc = None
+        cur_pages: list = []  # (page_number, page_text_len, spans)
+
+        def flush():
+            nonlocal cur_doc, cur_pages
+            row = None
+            if cur_pages:
+                cur_pages.sort(key=lambda p: p[0])
+                spans: list = []
+                off = 0
+                for _pn, plen, pspans in cur_pages:
+                    if off:
+                        for s in pspans:
+                            s2 = dict(s)
+                            s2["offset"] = s2["offset"] + off
+                            spans.append(s2)
+                    else:
+                        spans.extend(pspans)
+                    off += plen + 1
+                row = {"doc_id": cur_doc, "spans": spans}
+            cur_doc, cur_pages = None, []
+            return row
+
+        for pdf_batch in batches:
+            rows = []
+            for doc_id, blob, bucket in zip(
+                pdf_batch["doc_id"], pdf_batch["pdf"], pdf_batch["page_bucket"]
+            ):
+                if doc_id != cur_doc:
+                    r = flush()
+                    if r is not None:
+                        rows.append(r)
+                    cur_doc = doc_id
+                lo = int(bucket) * pages_per_bucket
+                try:
+                    pages = pdfparse.extract_pages(
+                        bytes(blob), lo, lo + pages_per_bucket,
+                        with_vectors=False,
+                    )
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
+                for p in pages:
+                    layout = kernels.build_page_layout(p["words"])
+                    pspans = kernels.assemble_page_spans(layout, p["images"])
+                    cur_pages.append(
+                        (p["page_number"], len(layout["page_text"]), pspans)
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+        r = flush()
+        if r is not None:
+            yield pd.DataFrame([r])
+
+    return fn
+
 
 def parse_pages(
     buckets_df: DataFrame,
@@ -415,7 +511,25 @@ def run_extraction(
     buckets = salt_page_buckets(docs_df, pages_per_bucket)
 
     if checkpoint_dir is None:
-        return doc_spans(parse_pages(buckets, pages_per_bucket, on_error))
+        # Small docs (the overwhelming majority): parse + doc assembly in
+        # ONE narrow kernel — zero post-parse shuffle (the former plan
+        # shipped every span through a doc_id exchange + window). Only the
+        # skew tail (n_pages > threshold) still fans out page buckets
+        # across the cluster and reassembles via doc_spans().
+        from docprompt_spark.shipping import ensure_py_files
+
+        ensure_py_files(spark)
+        cols = ["doc_id", "pdf", "page_bucket"]
+        small = buckets.filter(
+            F.col("n_pages") <= SKEW_PAGE_THRESHOLD
+        ).select(*cols)
+        big = buckets.filter(F.col("n_pages") > SKEW_PAGE_THRESHOLD)
+        assembled = small.mapInPandas(
+            _parse_and_assemble(pages_per_bucket, on_error), DOC_SPANS_SCHEMA
+        )
+        return assembled.unionByName(
+            doc_spans(parse_pages(big, pages_per_bucket, on_error))
+        )
 
     pages_path = f"{checkpoint_dir}/pages"
     lineage_path = f"{checkpoint_dir}/lineage"

@@ -267,9 +267,18 @@ def q3_shipping_priority(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c_: F.col(c_).cast("decimal(18,4)")
+    # join order matters: reduce orders by the broadcast customer filter
+    # FIRST, so the orders side entering the lineitem join is ~1/5 size and
+    # AQE's runtime stats can turn that join into a broadcast — the fact
+    # table is then never shuffled. (The old shape joined lineitem⋈orders
+    # first, shuffling both.) No forced broadcast on the orders side: at
+    # scale it degrades gracefully to a shuffle join of the REDUCED side.
+    o_bldg = o.select("o_orderkey", "o_custkey").join(
+        F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(o_bldg, li.l_orderkey == o_bldg.o_orderkey)
         .groupBy("o_orderkey")
         .agg(
             F.round(
@@ -1258,7 +1267,7 @@ def _aug_exact(spark, sf_dir):
     dup = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"), "text"
     )
-    return _spread(d.unionAll(dup))
+    return d.unionAll(dup)
 
 
 def _aug_near(spark, sf_dir):
@@ -1267,7 +1276,7 @@ def _aug_near(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
     )
-    return _spread(d.unionAll(var))
+    return d.unionAll(var)
 
 
 @query(
@@ -1640,23 +1649,23 @@ def dedup_connected_components(spark, sf_dir):
             .groupBy("b")
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_labels = (
+        # carry the previous label through the update so convergence is
+        # read off the checkpointed rows directly — the former per-round
+        # rejoin of new vs old labels (a second join + shuffle per round)
+        # is gone; the count scans already-materialized blocks.
+        stepped = (
             labels.join(nbr, labels["node"] == nbr["b"], "left")
             .select(
                 "node",
+                F.col("comp").alias("prev_comp"),
                 F.least(
                     F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
                 ).alias("comp"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") < F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("comp") < F.col("prev_comp")).count()
+        labels = stepped.select("node", "comp")
         if changed == 0:
             break
     sizes = labels.groupBy("comp").agg(F.count("*").alias("n_members"))
@@ -1698,7 +1707,11 @@ def minhash_lsh_neardup_pairs(spark, sf_dir):
     (none do here; at 100 TB a capped bucket is logged work intentionally
     skipped, not silent wrongness).
     """
-    aug = _aug_near(spark, sf_dir)
+    # _spread: the per-row work downstream (shingle transform + two md5s +
+    # 64 mins per shingle) is heavy, and the documents table reads as a
+    # single small parquet split locally — interleaved A/B showed spread
+    # wins for hash-heavy pipelines and loses for cheap map-side aggs
+    aug = _spread(_aug_near(spark, sf_dir))
     tri = _tri_shingles(aug)
     n_hashes, n_bands, rows_per_band = 64, 16, 4
     # 64 minhashes from ONE md5 per shingle (Kirsch-Mitzenmacher double
@@ -1893,7 +1906,7 @@ def simhash_neardup_pairs(spark, sf_dir):
     Output set is identical: every a<b pair with hamming ≤ 3 appears
     exactly once (within-group pairs share a signature; cross-group pairs
     are ordered with least/greatest)."""
-    sims = _simhash_spark(_aug_near(spark, sf_dir))
+    sims = _simhash_spark(_spread(_aug_near(spark, sf_dir)))
     grp = sims.groupBy("simhash").agg(
         F.array_sort(F.collect_list("doc_id")).alias("members")
     )
