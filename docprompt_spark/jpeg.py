@@ -314,6 +314,11 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        # drop already-consumed high bits: without this acc grows by 8 bits
+        # per stream byte forever and each << 8 copies the whole bigint,
+        # making entropy decode quadratic in scan size (read_bit only ever
+        # looks at the low nbits, so truncation is output-identical)
+        self.acc &= (1 << self.nbits) - 1
         while self.nbits <= 24 and self.pos < len(self.data):
             byte = self.data[self.pos]
             self.pos += 1
