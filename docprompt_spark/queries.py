@@ -1473,7 +1473,14 @@ def _tri_shingles(df):
     shuffle). Same output — (doc_id, shingle) pairs are unique either way
     because doc_id is in the key — with ZERO exchanges, so callers that
     reference the shingle table more than once recompute a narrow codegen
-    scan instead of two shuffles each time."""
+    scan instead of two shuffles each time.
+
+    DO NOT split this into a project-the-array step + explode(column):
+    putting the array behind a Project alias lets CollapseProject inline
+    ``toks`` (= filter(split(text))) into the per-element lambda, so
+    split() re-evaluates ~3x PER SHINGLE — measured 140x slower at sf1.0
+    (tri count 0.7s -> 99.8s). The explode must wrap the expression
+    directly so the Generate keeps ``toks`` materialized below it."""
     toks = df.select(
         "doc_id", F.expr("filter(split(text, ' '), t -> t != '')").alias("toks")
     )
@@ -1780,6 +1787,13 @@ def minhash_lsh_neardup_pairs(spark, sf_dir):
         .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # NOTE (r6, measured): building sets from the in-row array column
+    # (_tri_shingle_arrays + semi-join, skipping this collect_list) looks
+    # cheaper on paper but is a ~10x REGRESSION at sf1.0 (104s vs 10s,
+    # interleaved A/B): the groupBy's exchange is a load-bearing
+    # materialization point — jac references sets twice, and without an
+    # exchange to reuse, each reference re-evaluates the whole candidate
+    # pipeline upstream. Keep the aggregation.
     sets = (
         tri.join(cand_docs, "doc_id", "left_semi")
         .groupBy("doc_id")
