@@ -1257,8 +1257,17 @@ def _spread(df, mult: int = 2):
     because it only coalesces, never splits, tiny-but-compute-dense
     partitions. Guide §8: shuffle the lightweight rows (doc_id + ~300 chars
     of text), never the payloads. Partition count derives from
-    defaultParallelism — scale-adaptive, not a local constant."""
+    defaultParallelism — scale-adaptive, not a local constant.
+
+    Conditional on the input's ACTUAL scan parallelism: when the source
+    already yields >= defaultParallelism partitions (any real multi-split
+    corpus — at 100 TB the documents table is thousands of splits), the
+    repartition would be a pure full-table shuffle for nothing, so it is
+    skipped. The guard reads getNumPartitions() off the planned RDD —
+    driver-side planning only, no job is triggered."""
     sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
     return df.repartition(sc.defaultParallelism * mult)
 
 
