@@ -1264,7 +1264,14 @@ def _spread(df, mult: int = 2):
     corpus — at 100 TB the documents table is thousands of splits), the
     repartition would be a pure full-table shuffle for nothing, so it is
     skipped. The guard reads getNumPartitions() off the planned RDD —
-    driver-side planning only, no job is triggered."""
+    for SCAN-LEVEL plans that is driver-side planning only, no job.
+
+    ONLY call this on scan-level inputs (no upstream exchange): with AQE
+    enabled, .rdd on a post-shuffle plan MATERIALIZES its query stages
+    eagerly — the upstream shuffles would execute once at "planning" time
+    and again in the real job. Post-shuffle stages are already
+    distributed; if one ever needs re-spreading, use a direct
+    repartition() (see the simhash sigs site)."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() >= sc.defaultParallelism:
         return df
@@ -1751,7 +1758,10 @@ def minhash_lsh_neardup_pairs(spark, sf_dir):
     # banded table (three shuffles of the banded rows), aggregate each
     # bucket's members once and generate the in-bucket pairs with a narrow
     # nested explode over the sorted member array — one shuffle, no join.
-    bands = _spread(mh).select(
+    # (No _spread here: mh is post-shuffle output, already distributed;
+    # interleaved A/B showed the extra exchange only costs — sf0.1
+    # 5.34s -> 3.88s and sfsynth1.0 9.39 -> 8.85 without it.)
+    bands = mh.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -1933,8 +1943,17 @@ def simhash_neardup_pairs(spark, sf_dir):
     grp = sims.groupBy("simhash").agg(
         F.array_sort(F.collect_list("doc_id")).alias("members")
     )
-    # --- cross-group candidates: banded join on distinct signatures only
-    sigs = _spread(grp.select("simhash"))
+    # --- cross-group candidates: banded join on distinct signatures only.
+    # The distinct-sig table is tiny in BYTES (8 B/row), so AQE coalesces
+    # it to 1-2 partitions, but the band explode + self-join downstream is
+    # compute-dense: a DIRECT round-robin repartition keeps it on all
+    # cores — measured 2x at sfsynth1.0 (5.15s vs 9.91s without; costs
+    # ~0.8s of fixed exchange at sf0.1 — the right trade at the measured
+    # scale, and the shuffled payload is O(#distinct sigs), not O(docs)).
+    # Deliberately NOT the guarded _spread: .rdd under AQE materializes
+    # query stages for post-shuffle plans (see _spread docstring).
+    sc_ = spark.sparkContext
+    sigs = grp.select("simhash").repartition(sc_.defaultParallelism * 2)
     banded = sigs.select(
         "simhash",
         F.explode(
@@ -1975,7 +1994,10 @@ def simhash_neardup_pairs(spark, sf_dir):
     # Generate over a carried members array copies the array bytes once
     # per emitted row — measured as the dominant GC + straggler cost at
     # sf1.0, where one signature holds 3,258 docs → 5.3M pairs from a
-    # single task.) _spread keeps the 60M-row generation on all cores.
+    # single task.) No _spread on the union: both inputs are post-shuffle
+    # (already distributed) and the explode fan-out happens inside the
+    # joins — interleaved A/B showed the extra exchange only costs
+    # (sfsynth1.0 8.77s -> 5.40s, sf0.1 6.29s -> 2.83s without it).
     selfpairs = grp.filter(F.size("members") >= 2).select(
         F.col("simhash").alias("sig_a"),
         F.col("simhash").alias("sig_b"),
@@ -1984,7 +2006,7 @@ def simhash_neardup_pairs(spark, sf_dir):
     gax = grp.select(F.col("simhash").alias("sig_a"), F.explode("members").alias("x"))
     gbx = grp.select(F.col("simhash").alias("sig_b"), F.explode("members").alias("y"))
     return (
-        _spread(sig_pairs.unionAll(selfpairs))
+        sig_pairs.unionAll(selfpairs)
         .join(gax, "sig_a")
         .join(gbx, "sig_b")
         .filter((F.col("sig_a") != F.col("sig_b")) | (F.col("x") < F.col("y")))
