@@ -163,3 +163,28 @@ def test_corpus_slice_spans_match_golden():
         found += 1
         assert spans_from_pdf(doc["pdf"]) == doc["spans"], idx
     assert found >= 2  # the slice actually rotates the program in
+
+
+def test_eexec_decrypt_vectorized_matches_scalar():
+    """r6: eexec_decrypt is vectorized via a modular prefix sum over
+    uint16 numpy arrays; pin equivalence against the per-byte reference
+    recurrence for both the eexec and charstring keys, several skips,
+    and lengths crossing numpy's internal thresholds."""
+    import random
+
+    from docprompt_spark import cff
+
+    def scalar(data, r, skip):
+        out = bytearray()
+        for c in data:
+            out.append((c ^ (r >> 8)) & 0xFF)
+            r = ((c + r) * 52845 + 22719) & 0xFFFF
+        return bytes(out[skip:])
+
+    rng = random.Random(7)
+    for r0, skip in ((55665, 4), (4330, 4), (4330, 0), (55665, 2)):
+        for n in (0, 1, 2, 3, 17, 256, 4097):
+            data = bytes(rng.randrange(256) for _ in range(n))
+            assert cff.eexec_decrypt(data, r=r0, skip=skip) == scalar(
+                data, r0, skip
+            ), (r0, skip, n)

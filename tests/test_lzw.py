@@ -110,3 +110,20 @@ def test_full_bench_corpus_slice_parses():
     for idx in (9118, 16262, 18142, 2, 6, 10):
         d = gen_doc(idx, seed=42)
         assert pdfparse.extract_pages(bytes(d["pdf"]))
+
+
+def test_large_stream_roundtrip_masked_accumulator():
+    """r6: the decoder/encoder truncate their bit accumulators after each
+    code (without it both were quadratic in stream size — 11x measured on
+    100 KB streams). Pin correctness of the masked path on streams large
+    enough that every width (9-12 bits) and several CLEAR resets are
+    crossed, plus a low-entropy stream that rides maximum-length table
+    entries."""
+    import random
+
+    rng = random.Random(20260822)
+    words = [b"scan", b"batch", b"line", b"column", b"value", b"spark"]
+    big = b" ".join(rng.choice(words) for _ in range(30000))  # ~160 KB
+    assert lzw.decode(lzw.encode(big)) == big
+    runs = b"".join(bytes([b]) * rng.randrange(1, 60) for b in range(256)) * 3
+    assert lzw.decode(lzw.encode(runs)) == runs
